@@ -1,0 +1,466 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.1-§2.4, §2.6-§2.8): scans,
+  * filters/projections, the full join family (broadcast equi, theta/band,
+  * semi, anti, outer+coalesce), aggregation families, set ops, sorts/top-k
+  * and the scalar function kernel — each as one oracle-checked query over
+  * the driver's star schema.
+  *
+  * Scale notes (100 TB stance): dimension sides (`region`, `nation`,
+  * `supplier`, `part`) are explicitly `broadcast()`; fact-fact joins key on
+  * the natural shuffle key (`l_orderkey`); aggregates are partial-agg
+  * friendly (plain `groupBy.agg` → map-side combine); no collects, no UDFs
+  * — every expression is Catalyst-codegen'd.
+  */
+object Relational {
+
+  /** Cast a double column to an exact decimal at the data's intended scale
+    * (2 for money/value columns, 4 for 2dp*2dp products). The scale must be
+    * small enough that the group's unscaled sum stays below 2^53: then both
+    * Spark (BigDecimal.doubleValue) and DuckDB (int/10^k in double) convert
+    * the final decimal to the same, correctly-rounded double. At scale 10
+    * DuckDB's int128/1e10 division is off by 1 ulp — measured, not
+    * theoretical. */
+  private def dec(c: Column, scale: Int = 2): Column = c.cast(s"decimal(28,$scale)")
+  /** Exact, order-independent sum of a double column: decimal-accumulate,
+    * emit double. Matches `CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE)`. */
+  private def dsum(c: Column, scale: Int = 2): Column = sum(dec(c, scale)).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: filter → groupBy → multi-aggregate (A2/A7, F-date,
+    * C9). Reference analog: per-period/per-game min-max-sum roll-ups
+    * (`/root/reference/src/queries/game.py:35-40`). */
+  val q01PricingSummary: Q = Q.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Pushdown-friendly filter + projection with computed column (F1-F9,
+    * reference `/root/reference/src/managers/game.py:73-118`). The
+    * predicate and the 4-column read schema reach the parquet scan. */
+  val q02FilterProject: Q = Q.sql(
+    "q02_filter_project",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity >= 30.0""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30.0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Broadcast dimension-chain join (J1/J2, reference
+    * `/root/reference/src/queries/season.py:12-13`): region⋈nation⋈customer
+    * ⋈orders. Dims broadcast; the only shuffle is the final groupBy. */
+  val q03RegionRevenue: Q = Q.sql(
+    "q03_region_revenue",
+    """SELECT r_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_orders
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |GROUP BY r_name""".stripMargin) { (s, dir) =>
+    val region = Tables(s, dir, "region")
+    val nation = Tables(s, dir, "nation")
+    val customer = Tables(s, dir, "customer")
+    val orders = Tables(s, dir, "orders")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        dsum(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** The as-of attribution join (J5) in its scalable union+window form:
+    * every purchase is attributed to the user's latest click at-or-before
+    * it — exactly the reference's event→live-stint attribution
+    * (`/root/reference/src/queries/game.py:233-235` and 8 siblings). */
+  val q04AsOfAttribution: Q = Q.sql(
+    "q04_asof_attribution",
+    """WITH u AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+      |    CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS c_ts
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), f AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS click_id,
+      |    LAST_VALUE(c_ts IGNORE NULLS) OVER w AS click_ts
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, click_id,
+      |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+      |FROM f WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.ops.AsOf
+      .join(purchases, clicks, Seq("user_id"), "ts", "ts",
+        payload = Seq("click_id", "click_ts"), tieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Gap-and-island sessionization (W3, the PlayerStint pattern,
+    * `/root/reference/src/queries/game.py:144-168`): 30-minute-gap user
+    * sessions with per-session roll-ups. */
+  val q05Sessionize: Q = Q.sql(
+    "q05_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    graft.ops.Sessionize(
+        Tables(s, dir, "events"), Seq("user_id"), "ts",
+        gapMicros = 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value"))
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** NEXT-chain via lead (W1/W2, reference `season.py:19-27`,
+    * `game.py:744-769`): successor event and gap per user timeline. */
+  val q06NextChain: Q = Q.sql(
+    "q06_next_chain",
+    """SELECT event_id, user_id,
+      |  LEAD(event_id) OVER w AS next_event_id,
+      |  epoch_us(CAST(LEAD(ts) OVER w AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      lead(col("event_id"), 1).over(w).as("next_event_id"),
+      (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_us"))
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Running totals with partition reset (W7/A6 — the reference's running
+    * score fold with per-period reset, `game.py:641-707`): global running
+    * value per user, plus a per-day running value that resets at day
+    * boundaries, replacing the reference's explicit reset logic. */
+  val q07RunningTotals: Q = Q.sql(
+    "q07_running_totals",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
+      |    PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS day_value
+      |FROM events""".stripMargin) { (s, dir) =>
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy(col("user_id"), col("ts").cast("date"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      sum(dec(col("value"))).over(wAll).cast("double").as("running_value"),
+      sum(dec(col("value"))).over(wDay).cast("double").as("day_value"))
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Per-group top-k (O3/A11/W5: `ORDER BY … LIMIT 1` per rebound,
+    * `game.py:506-513`): top-3 orders per customer, deterministic
+    * tie-break. */
+  val q08TopKPerGroup: Q = Q.sql(
+    "q08_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Semi-join (J12, `EXISTS` at `game.py:786`). */
+  val q09SemiJoin: Q = Q.sql(
+    "q09_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Anti-join (J13, `NOT EXISTS` at `game.py:510`): customers with no
+    * high-value order. The filtered build side keeps the result non-empty
+    * at every scale factor. */
+  val q10AntiJoin: Q = Q.sql(
+    "q10_anti_join",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer")
+      .join(
+        Tables(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Equi+band theta join (J6, opponent-stint join with `<>` + time band,
+    * `game.py:349-352`): customer×supplier in the same nation with account
+    * balances within 500.0 of each other. Equi key carries the shuffle; the
+    * band is a post-join filter — same plan shape Catalyst gives J5/J6. */
+  val q11BandJoin: Q = Q.sql(
+    "q11_band_join",
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(c_acctbal - s_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_diff
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |  AND c_acctbal > s_acctbal AND c_acctbal - s_acctbal < 500.0
+      |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+    val su = Tables(s, dir, "supplier")
+    c.join(broadcast(su),
+        c("c_nationkey") === su("s_nationkey") &&
+          c("c_acctbal") > su("s_acctbal") &&
+          c("c_acctbal") - su("s_acctbal") < 500.0)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        dsum(col("c_acctbal") - col("s_acctbal")).as("sum_diff"))
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Set operations (U1-U3, reference stint-union `game.py:186-194`):
+    * nation keys partitioned into customer-only / supplier-only / both via
+    * INTERSECT and EXCEPT. */
+  val q12SetOps: Q = Q.sql(
+    "q12_set_ops",
+    """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+      |     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+      |SELECT nationkey, 'both' AS src FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'supplier_only' AS src FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+    val su = Tables(s, dir, "supplier")
+      .select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+    c.intersect(su).withColumn("src", lit("both"))
+      .unionByName(c.except(su).withColumn("src", lit("customer_only")))
+      .unionByName(su.except(c).withColumn("src", lit("supplier_only")))
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Left-outer join + coalesce fallback (J8/J9, the reference's
+    * `OPTIONAL MATCH` + `FOREACH(CASE WHEN ps IS NULL …)` pattern,
+    * `game.py:239-259`): order → lineitem roll-up keeping empty orders. */
+  val q13OuterCoalesce: Q = Q.sql(
+    "q13_outer_coalesce",
+    """SELECT o_orderkey, COALESCE(n_items, 0) AS n_items, first_ship
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |    CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship
+      |  FROM lineitem GROUP BY l_orderkey
+      |) ON l_orderkey = o_orderkey""".stripMargin) { (s, dir) =>
+    val items = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), min(col("l_shipdate")).as("first_ship"))
+    Tables(s, dir, "orders")
+      .join(items, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        col("first_ship"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Scalar function kernel (C1-C14): composite keys, split/contains,
+    * coalesce/nullif, CASE chains, and the ISO-8601 duration clock parse
+    * (C7 — `duration("PT11M32.00S")`, `game.py:88`) over a clock string
+    * synthesized from `p_size`. */
+  val q14ScalarKernel: Q = Q.sql(
+    "q14_scalar_kernel",
+    """SELECT p_partkey,
+      |  concat_ws('_', p_brand, CAST(p_size AS VARCHAR)) AS part_key,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  CAST(CASE WHEN contains(p_type, 'BRASS') THEN 1 ELSE 0 END AS BIGINT) AS is_brass,
+      |  COALESCE(NULLIF(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+      |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
+      |  CAST(regexp_extract('PT' || CAST(p_size AS VARCHAR) || 'M30.50S', 'PT(\d+)M', 1) AS DOUBLE) * 60.0
+      |    + CAST(regexp_extract('PT' || CAST(p_size AS VARCHAR) || 'M30.50S', '(\d+(?:\.\d+)?)S', 1) AS DOUBLE) AS clock_sec
+      |FROM part""".stripMargin) { (s, dir) =>
+    import graft.ops.TimeKernel
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      concat_ws("_", col("p_brand"), col("p_size").cast("string")).as("part_key"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      when(col("p_type").contains("BRASS"), 1L).otherwise(0L).as("is_brass"),
+      coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"),
+      when(col("p_size") < 10, "S").when(col("p_size") < 30, "M").otherwise("L").as("size_class"),
+      TimeKernel.clockSeconds(
+        concat(lit("PT"), col("p_size").cast("string"), lit("M30.50S"))).as("clock_sec"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** JSON navigation (C13, `pbp["game"]["actions"]` at
+    * `/root/reference/src/fetcher.py:102-103`): extract a typed field from
+    * the JSON `props` payload and aggregate on it. */
+  val q15JsonExtract: Q = Q.sql(
+    "q15_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY k""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Ordered collect → canonical set key (A3/A4/C11 — the reference's
+    * lineup identity: sorted ids joined by `_`, `game.py:69-70`). */
+  val q16SortedCollect: Q = Q.sql(
+    "q16_sorted_collect",
+    """SELECT l_orderkey,
+      |  string_agg(CAST(l_partkey AS VARCHAR), '_' ORDER BY l_partkey) AS part_set,
+      |  COUNT(*) AS n_items
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(transform(array_sort(collect_list(col("l_partkey"))),
+          _.cast("string")), "_").as("part_set"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** max_by/min_by ordered-group extremes (A9/A11 — latest overlapping
+    * stint via `ORDER BY global_clock DESC … head`, `game.py:604-606`).
+    * Tie-safe: ordering key includes the unique order key. */
+  val q17MinMaxBy: Q = Q.sql(
+    "q17_minmax_by",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rf
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  MAX(CASE WHEN rl = 1 THEN o_orderkey END) AS last_orderkey,
+      |  MAX(CASE WHEN rf = 1 THEN o_orderkey END) AS first_orderkey
+      |FROM r GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("last_orderkey"),
+        min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("first_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Tolerance-bounded as-of (J10 — rebound attributed to the latest
+    * missed shot within 10 s, `game.py:506-513`): each error event linked
+    * to the user's latest click within the preceding 10 minutes, else
+    * null. */
+  val q18ToleranceAsOf: Q = Q.sql(
+    "q18_tolerance_asof",
+    """WITH u AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+      |    CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS c_ts
+      |  FROM events WHERE event_type IN ('click', 'error')
+      |), f AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS click_id,
+      |    LAST_VALUE(c_ts IGNORE NULLS) OVER w AS click_ts
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id,
+      |  CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 600000000 THEN click_id END AS click_id
+      |FROM f WHERE event_type = 'error'""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.ops.AsOf
+      .join(errors, clicks, Seq("user_id"), "ts", "ts",
+        payload = Seq("click_id"), tieBreak = Seq("click_id"),
+        toleranceMicros = Some(600L * 1000000))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
+    q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
+    q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
+    q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
+    q18ToleranceAsOf)
+}
