@@ -6,5 +6,8 @@ package graft
   */
 object Registry {
   def all: Seq[Q] =
-    queries.Relational.all
+    queries.Relational.all ++
+      queries.TextPipeline.all ++
+      queries.Embeddings.all ++
+      queries.MultimodalQ.all
 }

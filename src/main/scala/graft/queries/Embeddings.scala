@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the correctness baseline, a bucketed
+  * (IVF-style) variant as the scale path, and embedding-cosine near-dup
+  * pairs.
+  *
+  * Scale stance: the brute-force query broadcasts the (small) query set
+  * against the candidate corpus — linear in corpus size, the right
+  * baseline shape. The bucketed variant adds an equi-key (the coarse
+  * partition) to the join so each probe touches one bucket, which is
+  * exactly IVF: at 100 TB the bucket id comes from a trained coarse
+  * quantizer; here the provided `label` column plays that role.
+  */
+object Embeddings {
+
+  /** DuckDB-side dot product matching [[Vectors.dot]] bit-for-bit:
+    * cast-to-double products, strict left fold. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)"
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // ---------------------------------------------------------------- q30
+  /** Brute-force cosine top-5 neighbors for each query vector
+    * (vec_id < 20): the exact-ANN baseline. */
+  val q30CosineTopK: Q = Q.sql(
+    "q30_cosine_topk",
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20
+       |), p AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${duckCos("qe", "embedding")} AS cosine
+       |  FROM qs, embeddings
+       |  WHERE vec_id <> query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM p)
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Bucketed (IVF-style) ANN: probes search only their own coarse bucket
+    * (`label` = the coarse quantizer cell), top-3 per query. The join is
+    * equi on the bucket — per-probe cost is bucket-sized, not
+    * corpus-sized. */
+  val q31BucketedAnn: Q = Q.sql(
+    "q31_bucketed_ann",
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, label, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 50
+       |), p AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${duckCos("qe", "e.embedding")} AS cosine
+       |  FROM qs JOIN embeddings e
+       |    ON qs.label = e.label AND e.vec_id <> qs.query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM p)
+       |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding"))
+      .join(broadcast(qs), Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** Embedding-cosine near-dup pairs within a bucket: cosine ≥ 0.4
+    * (this corpus' max pairwise cosine is ~0.51 — real near-dup
+    * thresholds would sit at 0.9+ on trained embeddings). */
+  val q32EmbeddingNearDup: Q = Q.sql(
+    "q32_embedding_neardup",
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckCos("a.embedding", "b.embedding")} AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val cosine = Vectors.cosine(col("a.embedding"), col("b.embedding"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine.as("cosine"))
+  }
+
+  val all: Seq[Q] = Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup)
+}

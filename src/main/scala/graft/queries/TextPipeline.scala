@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline (builder-prompt extension surface): text
+  * analysis (stats, language-ID, token counting, fingerprinting) and the
+  * dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash) over the
+  * `documents` table.
+  *
+  * Scale stance: every query is a per-doc map plus at most one equi-join
+  * shuffle (shingle inverted index, LSH band key, lang bucket). Nothing is
+  * quadratic in the corpus: candidate generation always goes through a
+  * key join with a document-frequency cut, the way a 100 TB dedup run has
+  * to.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val stopEn = Seq("the", "of", "and", "to", "in", "is", "that", "it")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht")
+  private val stopEs = Seq("el", "la", "que", "y", "en", "un", "es", "los")
+  private val stopFr = Seq("le", "la", "et", "un", "est", "que", "pour", "dans")
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+  private def stopCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops: _*)))
+
+  // ---------------------------------------------------------------- q20
+  /** Per-document text statistics: whitespace + BPE-ish token counts,
+    * punctuation ratio, average token length, and a quality flag — the
+    * length/punct/stopword-ratio quality-scoring family. */
+  val q20DocStats: Q = Q.sql(
+    "q20_doc_stats",
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       |  CAST(CASE WHEN len(toks) >= 5
+       |        AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 5 <= length(text)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS quality
+       |FROM t""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(Text.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      nPunct.cast("long").as("n_punct"),
+      (stopCount(toks, stopEn).cast("double") / size(toks)).as("stop_ratio"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_spaces"),
+      when(size(toks) >= 5 && nPunct * 5 <= length(col("text")), 1L).otherwise(0L).as("quality"))
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Stopword-profile language ID: score each doc against four tiny
+    * stopword profiles, argmax with a deterministic priority order, and
+    * compare against the labeled `lang`. */
+  val q21LangId: Q = Q.sql(
+    "q21_lang_id",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS c_en,
+       |    len(list_filter(toks, x -> x IN (${sqlList(stopDe)}))) AS c_de,
+       |    len(list_filter(toks, x -> x IN (${sqlList(stopEs)}))) AS c_es,
+       |    len(list_filter(toks, x -> x IN (${sqlList(stopFr)}))) AS c_fr
+       |  FROM t
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+       |       WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+       |       WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+       |       WHEN c_es >= c_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  CAST(CASE WHEN lang = (CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+       |       WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+       |       WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+       |       WHEN c_es >= c_fr THEN 'es'
+       |       ELSE 'fr' END) THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |FROM sc""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      stopCount(toks, stopEn).as("c_en"),
+      stopCount(toks, stopDe).as("c_de"),
+      stopCount(toks, stopEs).as("c_es"),
+      stopCount(toks, stopFr).as("c_fr"))
+    val pred =
+      when(col("c_en") + col("c_de") + col("c_es") + col("c_fr") === 0, "und")
+        .when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr")), "en")
+        .when(col("c_de") >= greatest(col("c_es"), col("c_fr")), "de")
+        .when(col("c_es") >= col("c_fr"), "es")
+        .otherwise("fr")
+    scored.select(
+      col("doc_id"), col("lang"), pred.as("pred_lang"),
+      when(col("lang") === pred, 1L).otherwise(0L).as("hit"))
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Exact dedup by content hash (hash-groupBy): one group per distinct
+    * text, representative = min doc_id. The 100 TB form of `DISTINCT`:
+    * group on md5(text), never on the full text bytes. */
+  val q22ExactDedup: Q = Q.sql(
+    "q22_exact_dedup",
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    * explode distinct word-3-gram shingles, document-frequency cut (drop
+    * shingles in >100 docs — the skew guard that keeps the self-join
+    * linear at scale), equi-join on shingle, Jaccard ≥ 0.5. */
+  val q23NgramJaccard: Q = Q.sql(
+    "q23_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3
+      |), shf AS (
+      |  SELECT sh.doc_id, sh.shingle FROM sh
+      |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+      |  USING (shingle)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM shf a JOIN shf b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        explode(Text.wordShingles(Text.tokens(col("text")), 3)).as("shingle"))
+    val dfCut = sh.groupBy("shingle").count().filter(col("count") <= 100)
+      .select("shingle")
+    val shf = sh.join(dfCut, Seq("shingle"))
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = shf.as("a")
+      .join(shf.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("i"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** MinHash LSH bucketing: 12-slot md5 MinHash signature per doc, hashed
+    * into 4 bands of 3 rows; one output row per (doc, band). Docs sharing
+    * a band_key are near-dup candidates — the equi-join key that replaces
+    * the quadratic compare at scale. */
+  val q24MinhashBands: Q = Q.sql(
+    "q24_minhash_bands",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 12), sd -> list_min(list_transform(s, x -> md5(concat_ws(':', sd, x))))) AS sg
+      |  FROM sh WHERE len(s) > 0
+      |)
+      |SELECT doc_id, CAST(b AS BIGINT) AS band,
+      |  md5(concat_ws('|', b, array_to_string(sg[b*3+1 : b*3+3], '|'))) AS band_key
+      |FROM sig, UNNEST(range(0, 4)) r(b)""".stripMargin) { (s, dir) =>
+    val shingles = Text.wordShingles(Text.tokens(col("text")), 3)
+    docs(s, dir)
+      .select(col("doc_id"), shingles.as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"),
+        posexplode(Text.bandKeys(Text.minhashSignature(col("s"), 12), 4, 3)))
+      .select(col("doc_id"), col("pos").cast("long").as("band"),
+        col("col").as("band_key"))
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** MinHash LSH near-dup pairs: candidates = docs sharing ≥1 band key
+    * (equi-join on band_key), verified with exact shingle Jaccard ≥ 0.5.
+    * This is the full scalable dedup: LSH prunes candidates, the exact
+    * check removes false positives. */
+  val q25MinhashDedup: Q = Q.sql(
+    "q25_minhash_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), shl AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 12), sd -> list_min(list_transform(s, x -> md5(concat_ws(':', sd, x))))) AS sg
+      |  FROM shl WHERE len(s) > 0
+      |), bands AS (
+      |  SELECT doc_id, md5(concat_ws('|', b, array_to_string(sg[b*3+1 : b*3+3], '|'))) AS band_key
+      |  FROM sig, UNNEST(range(0, 4)) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b USING (band_key)
+      |  WHERE a.doc_id < b.doc_id
+      |), sh AS (
+      |  SELECT doc_id, unnest(s) AS shingle FROM shl
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.wordShingles(Text.tokens(col("text")), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val bands = base
+      .select(col("doc_id"),
+        explode(Text.bandKeys(Text.minhashSignature(col("s"), 12), 4, 3)).as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = base.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("sa0"), col("sa0.doc_id") === col("doc_a"))
+      .join(sh.as("sb0"), col("sb0.doc_id") === col("doc_b") &&
+        col("sb0.shingle") === col("sa0.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("i"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** 16-bit SimHash signature per document: per-token md5 hex digits vote
+    * ±1 on each bit position; bit set where votes are positive. */
+  val q26Simhash: Q = Q.sql(
+    "q26_simhash",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS v
+      |  FROM toks, UNNEST(range(0, 16)) r(j)
+      |  GROUP BY doc_id, j
+      |)
+      |SELECT doc_id,
+      |  SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+      |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val votes = docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .select(col("doc_id"), col("j"),
+        when(conv(md5(col("tok")).substr(col("j") + 1, lit(1)), 16, 10)
+          .cast("int") % 2 === 1, 1).otherwise(-1).as("vote"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("vote")).as("v"))
+    votes
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, pow(lit(2), col("j")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** SimHash near-dup pairs within a language bucket: hamming distance
+    * ≤ 2 on the 16-bit signatures. The lang equi-key keeps the pair join
+    * partitioned (no global cross product) — the same bucketing discipline
+    * as q25's bands. */
+  val q27SimhashPairs: Q = Q.sql(
+    "q27_simhash_pairs",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS v
+      |  FROM toks, UNNEST(range(0, 16)) r(j)
+      |  GROUP BY doc_id, j
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), tagged AS (
+      |  SELECT d.doc_id, d.lang, sh.simhash FROM documents d JOIN sh USING (doc_id)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM tagged a JOIN tagged b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin) { (s, dir) =>
+    val sh = q26Simhash.run(s, dir)
+    val tagged = docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(sh, Seq("doc_id"))
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    tagged.as("a")
+      .join(tagged.as("b"), col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(hamming <= 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Rolling-hash document fingerprint: min seeded md5 over the distinct
+    * character-8-gram set (winnowing-style min-sampling), two seeds
+    * concatenated, plus the shingle count. */
+  val q28Fingerprint: Q = Q.sql(
+    "q28_fingerprint",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([substr(text, i, 8) for i in range(1, length(text) - 6)]) AS s
+      |  FROM documents WHERE length(text) >= 8
+      |)
+      |SELECT doc_id,
+      |  concat_ws('_',
+      |    list_min(list_transform(s, x -> md5(concat_ws(':', 0, x)))),
+      |    list_min(list_transform(s, x -> md5(concat_ws(':', 1, x))))) AS fingerprint,
+      |  CAST(len(s) AS BIGINT) AS n_shingles
+      |FROM sh""".stripMargin) { (s, dir) =>
+    val sh = Text.charShingles(col("text"), 8)
+    docs(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), sh.as("s"))
+      .select(col("doc_id"),
+        concat_ws("_",
+          array_min(transform(col("s"), x => md5(concat_ws(":", lit(0), x)))),
+          array_min(transform(col("s"), x => md5(concat_ws(":", lit(1), x))))).as("fingerprint"),
+        size(col("s")).cast("long").as("n_shingles"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
+    q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint)
+}
