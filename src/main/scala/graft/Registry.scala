@@ -9,5 +9,7 @@ object Registry {
     queries.Relational.all ++
       queries.TextPipeline.all ++
       queries.Embeddings.all ++
-      queries.MultimodalQ.all
+      queries.MultimodalQ.all ++
+      queries.Graphs.all ++
+      queries.Domain.all
 }

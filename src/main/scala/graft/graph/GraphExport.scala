@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Graph→tensor export and GraphX bridge — the Spark-native form of the
+  * reference's `to_pyg` exporter (`/root/reference/src/managers/
+  * game.py:324-656`): dense 0..n-1 ids per node type, per-relation COO
+  * `(src_idx, dst_idx)` edge frames, and an in-engine GraphX `Graph` for
+  * traversal analytics (BASELINE.json approach).
+  *
+  * Dense ids use `zipWithIndex` (two lightweight Spark jobs, no
+  * single-partition window) over a deterministic natural-key sort —
+  * SURVEY §7.4.5's stability requirement — so the export scales to
+  * billion-node graphs and re-runs reproduce identical ids.
+  */
+object GraphExport {
+
+  /** Assign contiguous dense ids 0..n-1 ordered by the natural key
+    * columns. Deterministic: same input ⇒ same ids. */
+  def denseIds(df: DataFrame, naturalKey: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(naturalKey.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+ StructField("dense_id", LongType, nullable = false))
+    val rdd: RDD[Row] = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Rewrite an edge list keyed by natural ids into COO dense-index form:
+    * `(src_idx, dst_idx)` against the two node tables' dense ids — the
+    * PyG `edge_index` layout, one frame per relation. */
+  def cooEdges(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      srcNodes: DataFrame, srcKey: String,
+      dstNodes: DataFrame, dstKey: String): DataFrame = {
+    val s = srcNodes.select(col(srcKey).as("__sk"), col("dense_id").as("src_idx"))
+    val d = dstNodes.select(col(dstKey).as("__dk"), col("dense_id").as("dst_idx"))
+    edges
+      .join(s, edges(srcCol) === s("__sk"))
+      .join(d, edges(dstCol) === d("__dk"))
+      .select(col("src_idx"), col("dst_idx"))
+  }
+
+  /** Build a GraphX graph from node frames (each carrying `dense_id`)
+    * and typed edge frames. Global VertexId = typeIndex * OFFSET +
+    * dense_id, so node types never collide. */
+  val TypeOffset: Long = 1L << 40
+
+  def toGraphX(
+      spark: SparkSession,
+      nodeTables: Seq[(String, DataFrame, String)], // (typeName, df-with-dense_id, labelCol)
+      edgeTables: Seq[(String, DataFrame)]): Graph[String, String] = { // (relType, df(src_gid,dst_gid))
+    val vertices: RDD[(VertexId, String)] = nodeTables.zipWithIndex.map {
+      case ((typeName, df, labelCol), ti) =>
+        df.select((col("dense_id") + lit(ti.toLong * TypeOffset)).as("gid"),
+            concat_ws(":", lit(typeName), col(labelCol)).as("label"))
+          .rdd.map(r => (r.getLong(0), r.getString(1)))
+    }.reduce(_ union _)
+    val edges: RDD[Edge[String]] = edgeTables.map { case (rel, df) =>
+      df.select(col("src_gid"), col("dst_gid"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), rel))
+    }.reduce(_ union _)
+    Graph(vertices, edges)
+  }
+}

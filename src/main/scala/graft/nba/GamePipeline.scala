@@ -1,0 +1,58 @@
+package graft.nba
+
+import graft.nba.Model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end game pipeline (reference §3.2 `load_game`, re-expressed as
+  * one Spark program): pbp + starters → stints → attributed events →
+  * score chain → plus-minus — the reference's 12 serial Bolt round trips
+  * collapsed into a single lazy plan partitioned by `game_id`.
+  */
+object GamePipeline {
+
+  case class Result(
+      lineupStints: DataFrame,
+      playerStints: DataFrame,
+      attributedEvents: DataFrame,
+      scoreChain: DataFrame,
+      stintPlusMinus: DataFrame,
+      playerPlusMinus: DataFrame,
+      reboundLinks: DataFrame,
+      timeline: DataFrame)
+
+  def run(
+      spark: SparkSession,
+      pbp: Dataset[PbpAction],
+      starters: Dataset[Starter],
+      gameTeams: DataFrame,
+      gameEnd: DataFrame): Result = {
+
+    // 1. stint engine (W4 fold + W2 tiling + W3 sessionization)
+    val subs = Stints.subEvents(spark, pbp)
+    val snapshots = Stints.lineupSnapshots(spark, starters, subs)
+    val lineupStints = Stints.lineupStints(snapshots, gameEnd).cache()
+    val playerStints = Stints.playerStints(lineupStints)
+
+    // 2. event extraction + attribution (F5 single pass, J5/J6 as-of)
+    val events = Events.enriched(pbp.toDF())
+    val attributed = Events.attributeToOpponentStints(
+      Events.attributeToStints(events, lineupStints),
+      lineupStints, gameTeams)
+
+    // 3. scores + plus-minus (A6/W7 windows, A7/A8 roll-ups)
+    val chain = Scores.scoreChain(attributed, gameTeams)
+    val stintPm = Scores.stintPlusMinus(attributed, lineupStints)
+    val playerPm = Scores.playerPlusMinus(playerStints, stintPm)
+
+    Result(
+      lineupStints = lineupStints,
+      playerStints = playerStints,
+      attributedEvents = attributed,
+      scoreChain = chain,
+      stintPlusMinus = stintPm,
+      playerPlusMinus = playerPm,
+      reboundLinks = Events.reboundOf(events),
+      timeline = Events.timeline(events))
+  }
+}

@@ -30,10 +30,12 @@ object AsOf {
     * @param tieBreak  extra state-side ordering columns so that two state
     *                  rows at the same instant resolve deterministically
     *                  (the later one in this ordering wins).
-    * @param toleranceMicros if set, a matched state older than this many
-    *                  microseconds before the event is nulled out
-    *                  (reference J10's "within 10 s" rebound window,
-    *                  game.py:506-513).
+    * @param tolerance if set, a matched state older than this many
+    *                  seconds before the event is nulled out (reference
+    *                  J10's "within 10 s" rebound window,
+    *                  game.py:506-513). The time axis may be a timestamp
+    *                  column or a plain numeric seconds column — detected
+    *                  from the event-time column's type.
     */
   def join(
       events: DataFrame,
@@ -43,7 +45,7 @@ object AsOf {
       stateTime: String,
       payload: Seq[String],
       tieBreak: Seq[String] = Nil,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      tolerance: Option[Double] = None): DataFrame = {
 
     require(payload.nonEmpty, "payload columns required")
     val evStruct = struct(events.columns.map(events(_)): _*)
@@ -81,9 +83,13 @@ object AsOf {
         payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"__f_$c")) :+
         last(when(col("__is_ev") === 0, col("__t")), ignoreNulls = true).over(w).as("__st_t"): _*)
 
-    val inTol: Column = toleranceMicros match {
+    val isTimestamp = events.schema(eventTime).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    val inTol: Column = tolerance match {
+      case Some(tol) if isTimestamp =>
+        unix_micros(col("__ev_t")) - unix_micros(col("__st_t")) <= (tol * 1e6).toLong
       case Some(tol) =>
-        unix_micros(col("__ev_t")) - unix_micros(col("__st_t")) <= tol
+        col("__ev_t") - col("__st_t") <= tol
       case None => lit(true)
     }
 

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Q
+import graft.nba.{Fixture, GamePipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Domain-engine queries: the full game pipeline (stint fold → as-of
+  * attribution → score chain → plus-minus) run on the built-in
+  * deterministic fixture game. Rows-only checks (the fixture is not one
+  * of the driver's parquet tables, so no DuckDB oracle) — deep value
+  * correctness is pinned by GamePipelineSpec's hand-computed goldens.
+  */
+object Domain {
+
+  private def pipeline(s: SparkSession) = GamePipeline.run(
+    s, Fixture.pbp(s), Fixture.starters(s), Fixture.gameTeams(s), Fixture.gameEnd(s))
+
+  val q60StintPlusMinus: Q = Q.rowsOnly(
+    "q60_stint_plusminus",
+    "lineup stints with plus-minus (SURVEY §7.2 flagship slice)") { (s, _) =>
+    pipeline(s).stintPlusMinus.select(
+      col("game_id"), col("team_id"), col("stint_id"), col("lineup_id"),
+      col("start_clock"), col("end_clock"),
+      col("pts_for"), col("pts_against"), col("plus_minus"))
+  }
+
+  val q61ScoreChain: Q = Q.rowsOnly(
+    "q61_score_chain",
+    "running score reconstruction with NEXT links") { (s, _) =>
+    pipeline(s).scoreChain
+  }
+
+  val q62PlayerStints: Q = Q.rowsOnly(
+    "q62_player_stints",
+    "player-stint sessionization with rolled-up plus-minus") { (s, _) =>
+    val p = pipeline(s)
+    p.playerStints.join(
+      p.playerPlusMinus.select(col("player_stint_id"), col("plus_minus")),
+      Seq("player_stint_id"), "left_outer")
+      .drop("stint_ids")
+  }
+
+  val all: Seq[Q] = Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints)
+}

@@ -453,7 +453,7 @@ object Relational {
     graft.ops.AsOf
       .join(errors, clicks, Seq("user_id"), "ts", "ts",
         payload = Seq("click_id"), tieBreak = Seq("click_id"),
-        toleranceMicros = Some(600L * 1000000))
+        tolerance = Some(600.0))
       .select(col("event_id"), col("user_id"), col("click_id"))
   }
 

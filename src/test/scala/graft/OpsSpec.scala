@@ -41,7 +41,7 @@ class OpsSpec extends AnyFunSuite {
     val events = Seq((1L, 10L, ts("2024-01-01 01:00:00"))).toDF("k", "ev_id", "t")
     val state = Seq((1L, 100L, ts("2024-01-01 00:00:00"))).toDF("k", "st_id", "st_t")
     val got = AsOf.join(events, state, Seq("k"), "t", "st_t",
-        payload = Seq("st_id"), toleranceMicros = Some(60L * 1000000))
+        payload = Seq("st_id"), tolerance = Some(60.0))
       .select("st_id").as[Option[Long]].collect()
     assert(got.head.isEmpty)
   }
