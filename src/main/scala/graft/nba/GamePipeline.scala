@@ -38,7 +38,7 @@ object GamePipeline {
     val events = Events.enriched(pbp.toDF())
     val attributed = Events.attributeToOpponentStints(
       Events.attributeToStints(events, lineupStints),
-      lineupStints, gameTeams)
+      lineupStints, gameTeams).cache()
 
     // 3. scores + plus-minus (A6/W7 windows, A7/A8 roll-ups)
     val chain = Scores.scoreChain(attributed, gameTeams)

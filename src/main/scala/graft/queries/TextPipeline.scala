@@ -124,27 +124,42 @@ object TextPipeline {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Shared shingle-hash inverted index: one row per (doc, distinct
+    * 3-gram shingle hash). Joining/counting on the 60-bit md5-derived int
+    * instead of the shingle string shrinks the shuffle ~5× (the 100 TB
+    * discipline: never shuffle raw text). */
+  private def shingleHashRows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          Text.wordShingles(Text.tokens(col("text")), 3),
+          x => Text.baseHash(x)))).as("h"))
+
+  private val shingleHashSql =
+    """SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)],
+      |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS h
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+      |  WHERE len(t) >= 3""".stripMargin
+
   // ---------------------------------------------------------------- q23
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    * explode distinct word-3-gram shingles, document-frequency cut (drop
-    * shingles in >100 docs — the skew guard that keeps the self-join
-    * linear at scale), equi-join on shingle, Jaccard ≥ 0.5. */
+    * explode distinct word-3-gram shingle hashes, document-frequency cut
+    * (drop shingles in >100 docs — the skew guard that keeps the
+    * self-join linear at scale), equi-join on hash, Jaccard ≥ 0.5. */
   val q23NgramJaccard: Q = Q.sql(
     "q23_ngram_jaccard",
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle
-      |  FROM toks WHERE len(t) >= 3
+    s"""WITH sh AS (
+      |  $shingleHashSql
       |), shf AS (
-      |  SELECT sh.doc_id, sh.shingle FROM sh
-      |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
-      |  USING (shingle)
+      |  SELECT sh.doc_id, sh.h FROM sh
+      |  JOIN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 100) f USING (h)
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id
       |), inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      |  FROM shf a JOIN shf b USING (shingle)
+      |  FROM shf a JOIN shf b USING (h)
       |  WHERE a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
@@ -154,15 +169,12 @@ object TextPipeline {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
-    val sh = docs(s, dir)
-      .select(col("doc_id"),
-        explode(Text.wordShingles(Text.tokens(col("text")), 3)).as("shingle"))
-    val dfCut = sh.groupBy("shingle").count().filter(col("count") <= 100)
-      .select("shingle")
-    val shf = sh.join(dfCut, Seq("shingle"))
+    val sh = shingleHashRows(s, dir).cache()
+    val dfCut = sh.groupBy("h").count().filter(col("count") <= 100).select("h")
+    val shf = sh.join(dfCut, Seq("h")).cache()
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = shf.as("a")
-      .join(shf.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(shf.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
@@ -175,68 +187,72 @@ object TextPipeline {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
-  // ---------------------------------------------------------------- q24
-  /** MinHash LSH bucketing: 12-slot md5 MinHash signature per doc, hashed
-    * into 4 bands of 3 rows; one output row per (doc, band). Docs sharing
-    * a band_key are near-dup candidates — the equi-join key that replaces
-    * the quadratic compare at scale. */
-  val q24MinhashBands: Q = Q.sql(
-    "q24_minhash_bands",
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s
-      |  FROM toks WHERE len(t) >= 3
-      |), sig AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0, 12), sd -> list_min(list_transform(s, x -> md5(concat_ws(':', sd, x))))) AS sg
-      |  FROM sh WHERE len(s) > 0
-      |)
-      |SELECT doc_id, CAST(b AS BIGINT) AS band,
-      |  md5(concat_ws('|', b, array_to_string(sg[b*3+1 : b*3+3], '|'))) AS band_key
-      |FROM sig, UNNEST(range(0, 4)) r(b)""".stripMargin) { (s, dir) =>
-    val shingles = Text.wordShingles(Text.tokens(col("text")), 3)
-    docs(s, dir)
-      .select(col("doc_id"), shingles.as("s"))
-      .filter(size(col("s")) > 0)
-      .select(col("doc_id"),
-        posexplode(Text.bandKeys(Text.minhashSignature(col("s"), 12), 4, 3)))
+  /** Shared MinHash-LSH band rows (doc_id, band, band_key): 31-bit
+    * shingle hashes → 12 arithmetic permutation minima (scalar min
+    * aggregates, one shuffle on doc_id) → 4 bands × 3 rows. Equivalent to
+    * [[Text.minhashSignature]]/[[Text.bandKeys]] but aggregation-shaped:
+    * md5 runs once per (doc, shingle) and signatures build in the
+    * map-side combine. */
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingleHashRows(s, dir)
+      .select(col("doc_id"), (col("h") % Text.MinhashP).as("h31"))
+    val slots = (0 until 12).map(sd =>
+      min((lit(sd * 2 + 1) * col("h31") + lit(sd * 1000003 + 12345)) % Text.MinhashP)
+        .as(s"m$sd"))
+    val sig = hashed.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+    val bandKey = (b: Int) => md5(concat_ws("|", lit(b),
+      col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}")))
+    sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(bandKey): _*)))
       .select(col("doc_id"), col("pos").cast("long").as("band"),
         col("col").as("band_key"))
   }
 
+  private val minhashBandsSql =
+    s"""WITH shb AS (
+       |  $shingleHashSql
+       |), sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 12), sd -> list_min(list_transform(
+       |      list(h % 2147483647),
+       |      hv -> ((sd*2+1)*hv + (sd*1000003+12345)) % 2147483647))) AS sg
+       |  FROM shb GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(b AS BIGINT) AS band,
+       |  md5(concat_ws('|', b, array_to_string(sg[b*3+1 : b*3+3], '|'))) AS band_key
+       |FROM sig, UNNEST(range(0, 4)) r(b)""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** MinHash LSH bucketing: 12-slot arithmetic MinHash signature per doc,
+    * hashed into 4 bands of 3 rows; one output row per (doc, band). Docs
+    * sharing a band_key are near-dup candidates — the equi-join key that
+    * replaces the quadratic compare at scale. */
+  val q24MinhashBands: Q = Q.sql(
+    "q24_minhash_bands",
+    minhashBandsSql)(minhashBandRows)
+
   // ---------------------------------------------------------------- q25
   /** MinHash LSH near-dup pairs: candidates = docs sharing ≥1 band key
-    * (equi-join on band_key), verified with exact shingle Jaccard ≥ 0.5.
-    * This is the full scalable dedup: LSH prunes candidates, the exact
-    * check removes false positives. */
+    * (equi-join on band_key), verified with exact shingle-hash Jaccard
+    * ≥ 0.5. This is the full scalable dedup: LSH prunes candidates, the
+    * exact check removes false positives. */
   val q25MinhashDedup: Q = Q.sql(
     "q25_minhash_dedup",
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-      |), shl AS (
-      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s
-      |  FROM toks WHERE len(t) >= 3
-      |), sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 12), sd -> list_min(list_transform(s, x -> md5(concat_ws(':', sd, x))))) AS sg
-      |  FROM shl WHERE len(s) > 0
-      |), bands AS (
-      |  SELECT doc_id, md5(concat_ws('|', b, array_to_string(sg[b*3+1 : b*3+3], '|'))) AS band_key
-      |  FROM sig, UNNEST(range(0, 4)) r(b)
+    s"""WITH bands AS (
+      |  $minhashBandsSql
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b USING (band_key)
       |  WHERE a.doc_id < b.doc_id
       |), sh AS (
-      |  SELECT doc_id, unnest(s) AS shingle FROM shl
+      |  $shingleHashSql
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
       |), inter AS (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
       |  FROM cand c
       |  JOIN sh a ON a.doc_id = c.doc_a
-      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
       |  GROUP BY 1, 2
       |)
       |SELECT doc_a, doc_b,
@@ -245,23 +261,18 @@ object TextPipeline {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
-    val base = docs(s, dir)
-      .select(col("doc_id"), Text.wordShingles(Text.tokens(col("text")), 3).as("s"))
-      .filter(size(col("s")) > 0)
-    val bands = base
-      .select(col("doc_id"),
-        explode(Text.bandKeys(Text.minhashSignature(col("s"), 12), 4, 3)).as("band_key"))
+    val bands = minhashBandRows(s, dir).cache()
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = base.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val sh = shingleHashRows(s, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa0"), col("sa0.doc_id") === col("doc_a"))
       .join(sh.as("sb0"), col("sb0.doc_id") === col("doc_b") &&
-        col("sb0.shingle") === col("sa0.shingle"))
+        col("sb0.h") === col("sa0.h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
@@ -273,59 +284,52 @@ object TextPipeline {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
-  // ---------------------------------------------------------------- q26
-  /** 16-bit SimHash signature per document: per-token md5 hex digits vote
-    * ±1 on each bit position; bit set where votes are positive. */
-  val q26Simhash: Q = Q.sql(
-    "q26_simhash",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |  FROM documents
-      |), votes AS (
-      |  SELECT doc_id, j,
-      |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1) % 2 = 1
-      |             THEN 1 ELSE -1 END) AS v
-      |  FROM toks, UNNEST(range(0, 16)) r(j)
-      |  GROUP BY doc_id, j
-      |)
-      |SELECT doc_id,
-      |  SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
-      |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val votes = docs(s, dir)
+  /** Shared SimHash SQL: one md5-derived 60-bit int per token, then 32
+    * bit-test vote sums as aggregate columns (no per-bit row explosion —
+    * the shuffle carries one row per token, not 32). */
+  private val simhashVoteCols = (0 until 32)
+    .map(j => s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+    .mkString(",\n      |    ")
+  private val simhashAssemble = (0 until 32)
+    .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+    .mkString(" + ")
+  private val simhashSql =
+    s"""SELECT doc_id, $simhashAssemble AS simhash
+      |  FROM (
+      |    SELECT doc_id,
+      |    $simhashVoteCols
+      |    FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      |          FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      |                FROM documents))
+      |    GROUP BY doc_id)""".stripMargin
+
+  private def simhashRows(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .select(col("doc_id"), col("j"),
-        when(conv(md5(col("tok")).substr(col("j") + 1, lit(1)), 16, 10)
-          .cast("int") % 2 === 1, 1).otherwise(-1).as("vote"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("vote")).as("v"))
-    votes
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, pow(lit(2), col("j")).cast("long"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), Text.baseHash(col("tok")).as("hv"))
+    val votes = (0 until 32).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j"))
+    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
+
+  // ---------------------------------------------------------------- q26
+  /** 32-bit SimHash signature per document: each token's md5-derived hash
+    * votes ±1 on every bit position; bit set where votes are positive. */
+  val q26Simhash: Q = Q.sql("q26_simhash", simhashSql)(simhashRows)
 
   // ---------------------------------------------------------------- q27
   /** SimHash near-dup pairs within a language bucket: hamming distance
-    * ≤ 2 on the 16-bit signatures. The lang equi-key keeps the pair join
+    * ≤ 2 on the 32-bit signatures. The lang equi-key keeps the pair join
     * partitioned (no global cross product) — the same bucketing discipline
     * as q25's bands. */
   val q27SimhashPairs: Q = Q.sql(
     "q27_simhash_pairs",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |  FROM documents
-      |), votes AS (
-      |  SELECT doc_id, j,
-      |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1) % 2 = 1
-      |             THEN 1 ELSE -1 END) AS v
-      |  FROM toks, UNNEST(range(0, 16)) r(j)
-      |  GROUP BY doc_id, j
-      |), sh AS (
-      |  SELECT doc_id,
-      |    SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
-      |  FROM votes GROUP BY doc_id
+    s"""WITH sh AS (
+      |  $simhashSql
       |), tagged AS (
       |  SELECT d.doc_id, d.lang, sh.simhash FROM documents d JOIN sh USING (doc_id)
       |)
@@ -334,7 +338,7 @@ object TextPipeline {
       |FROM tagged a JOIN tagged b
       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin) { (s, dir) =>
-    val sh = q26Simhash.run(s, dir)
+    val sh = simhashRows(s, dir)
     val tagged = docs(s, dir).select(col("doc_id"), col("lang"))
       .join(sh, Seq("doc_id"))
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
