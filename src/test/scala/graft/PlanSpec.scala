@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "would this survive a 100×
+  * scale-up" checks, pinned so regressions show up in CI rather than in
+  * the bench numbers: filters/projections must reach the parquet scan,
+  * small dimensions must broadcast, per-group top-k must use the
+  * WindowGroupLimit pushdown, and hot paths must stay inside whole-stage
+  * codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val q = Registry.all.find(_.name == name).get
+    q.run(spark, dir).queryExecution.explainString(FormattedMode)
+  }
+
+  test("q02: predicate and projection push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_returnflag,R)"),
+      s"filter not pushed:\n$p")
+    // only the 5 referenced columns reach the scan, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && readSchema.contains("l_orderkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q03: dimension joins broadcast, no shuffle join on dims") {
+    val p = plan("q03_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("q08: per-group top-k uses WindowGroupLimit pushdown") {
+    val p = plan("q08_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
+  }
+
+  /** AQE's pre-execution formatted plans omit codegen ids; disable it
+    * just while asserting codegen spans. */
+  private def planNoAqe(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try plan(name)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q01: aggregation is partial (map-side combine) and codegen'd") {
+    val p = planNoAqe("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(p.contains("Exchange"), s"no partial-final split:\n$p")
+    assert(p.contains("codegen id"), s"not codegen'd:\n$p")
+  }
+
+  test("q30: fused dot product stays inside a codegen'd projection") {
+    val p = planNoAqe("q30_cosine_topk")
+    assert(p.contains("dotproduct"), s"custom expression missing:\n$p")
+    assert(p.contains("codegen id"), s"not codegen'd:\n$p")
+  }
+
+  test("q04: as-of join is one shuffle on the key, no range join explosion") {
+    val p = plan("q04_asof_attribution")
+    // union + window formulation: no BroadcastNestedLoopJoin / cartesian
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"as-of fell back to a quadratic join:\n$p")
+    assert(p.contains("Window"), s"expected window formulation:\n$p")
+  }
+}
