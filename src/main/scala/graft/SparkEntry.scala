@@ -12,9 +12,11 @@ object SparkEntry {
 
   def registered: Seq[Q] = Registry.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (SURVEY §7.2's end-to-end slice: lineup stints with
+    * plus-minus through the full stint-fold → as-of-attribution → score
+    * pipeline); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    _root_.graft.queries.Relational.q01PricingSummary.run(spark, "/root/testdata/sf0.001")
+    _root_.graft.queries.Domain.q60StintPlusMinus.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -45,5 +45,32 @@ object Domain {
       .drop("stint_ids")
   }
 
-  val all: Seq[Q] = Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints)
+  /** Season-scale run: 50 generated games through the full pipeline in
+    * one partitioned plan; output is the per-game reconciliation of
+    * Σ stint plus-minus against the final score margin — `ok` must be
+    * true for every game (the SURVEY §5.2.3 invariant, at season shape).
+    */
+  val q63SeasonInvariant: Q = Q.rowsOnly(
+    "q63_season_invariant",
+    "50-game season: sum(stint +-) == final margin per game") { (s, _) =>
+    val r = graft.nba.SeasonFixture.pipeline(s, 50)
+    val pmByTeam = r.stintPlusMinus
+      .groupBy(col("game_id"), col("team_id"))
+      .agg(sum(col("plus_minus")).as("pm_sum"))
+    val finalMargin = r.scoreChain
+      .groupBy(col("game_id"))
+      .agg(max_by(col("margin"), struct(col("clock"), col("score_id"))).as("final_margin"))
+    val teams = graft.nba.SeasonFixture.gameTeams(s, 50)
+    pmByTeam
+      .join(teams, Seq("game_id"))
+      .withColumn("is_home", col("team_id") === col("home_team_id"))
+      .join(finalMargin, Seq("game_id"))
+      .withColumn("expected",
+        when(col("is_home"), col("final_margin")).otherwise(-col("final_margin")))
+      .select(col("game_id"), col("team_id"), col("pm_sum"),
+        col("expected"), (col("pm_sum") === col("expected")).as("ok"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant)
 }

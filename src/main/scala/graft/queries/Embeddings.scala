@@ -116,5 +116,39 @@ object Embeddings {
         cosine.as("cosine"))
   }
 
-  val all: Seq[Q] = Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup)
+  // ---------------------------------------------------------------- q33
+  /** Random-hyperplane LSH (SimHash-for-vectors): 8 deterministic ±1
+    * hyperplanes (signs derived from md5(j:d), so both engines construct
+    * the identical "random" planes), each vector bucketed by the sign
+    * pattern of its 8 projections. Same-bucket vectors are ANN candidates
+    * — the equi-join scale path when no coarse quantizer exists. */
+  private def planeSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ((Character.digit(hex.charAt(0), 16) % 2) == 1) 1.0 else -1.0
+  }
+
+  private def duckPlaneDot(j: Int): String =
+    s"""list_reduce([CAST(embedding[d + 1] AS DOUBLE) *
+       |      (CASE WHEN (strpos('0123456789abcdef', substr(md5($j || ':' || d), 1, 1)) - 1) % 2 = 1
+       |            THEN 1.0 ELSE -1.0 END)
+       |      for d in range(0, 64)], (x, y) -> x + y)""".stripMargin
+
+  val q33HyperplaneLsh: Q = Q.sql(
+    "q33_hyperplane_lsh",
+    s"""SELECT vec_id,
+       |  CAST(${(0 until 8).map(j =>
+              s"(CASE WHEN ${duckPlaneDot(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS bucket
+       |FROM embeddings""".stripMargin) { (s, dir) =>
+    val bucket = (0 until 8).map { j =>
+      val signs = array((0 until 64).map(d => lit(planeSign(j, d))): _*)
+      when(Vectors.dot(col("embedding"), signs) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    emb(s, dir).select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh)
 }

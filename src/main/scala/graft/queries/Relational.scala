@@ -457,10 +457,34 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("click_id"))
   }
 
+  // ---------------------------------------------------------------- q19
+  /** Timestamp arithmetic kernel (C8: `duration.between`, `p.start +
+    * p.duration`, `+ duration({milliseconds: …})` —
+    * `/root/reference/src/queries/game.py:446` etc.): interval add,
+    * day difference, epoch extraction, truncation. */
+  val q19TimeArithmetic: Q = Q.sql(
+    "q19_time_arithmetic",
+    """SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 90 DAY AS due_date,
+      |  o_orderdate + INTERVAL 1500 MILLISECOND AS tiebreak_ts,
+      |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
+      |  epoch_us(o_orderdate) AS order_us,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders").select(
+      col("o_orderkey"),
+      expr("timestampadd(DAY, 90, o_orderdate)").as("due_date"),
+      expr("timestampadd(MILLISECOND, 1500, o_orderdate)").as("tiebreak_ts"),
+      expr("timestampdiff(DAY, timestamp_ntz'1995-01-01 00:00:00', o_orderdate)")
+        .cast("long").as("days_since_95"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+      date_trunc("month", col("o_orderdate")).as("order_month"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
-    q18ToleranceAsOf)
+    q18ToleranceAsOf, q19TimeArithmetic)
 }
