@@ -71,6 +71,31 @@ object Domain {
         col("expected"), (col("pm_sum") === col("expected")).as("ok"))
   }
 
+  /** Graph export (SURVEY S10/§3.3): the fixture game's stint graph as
+    * dense-id COO edge frames — NEXT chains between lineup stints and
+    * ON_COURT_WITH membership (player-stint → lineup-stint), the
+    * PyG-consumable layout. */
+  val q64GraphExport: Q = Q.rowsOnly(
+    "q64_graph_export",
+    "dense-id COO edge export of the fixture game graph") { (s, _) =>
+    import graft.graph.GraphExport
+    val p = pipeline(s)
+    val stints = GraphExport.denseIds(p.lineupStints, Seq("stint_id"))
+    val playerStints = GraphExport.denseIds(p.playerStints, Seq("player_stint_id"))
+    val next = GraphExport.cooEdges(
+      graft.nba.Stints.stintChains(p.lineupStints), "stint_id", "next_stint_id",
+      stints, "stint_id", stints, "stint_id")
+      .withColumn("rel_type", lit("NEXT"))
+    val onCourtWith = GraphExport.cooEdges(
+      p.playerStints.select(col("player_stint_id"), explode(col("stint_ids")).as("ls_id")),
+      "player_stint_id", "ls_id",
+      playerStints, "player_stint_id", stints, "stint_id")
+      .withColumn("rel_type", lit("ON_COURT_WITH"))
+    next.unionByName(onCourtWith)
+      .select(col("rel_type"), col("src_idx"), col("dst_idx"))
+  }
+
   val all: Seq[Q] =
-    Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant)
+    Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
+      q64GraphExport)
 }

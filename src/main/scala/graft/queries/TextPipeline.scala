@@ -173,9 +173,16 @@ object TextPipeline {
     val dfCut = sh.groupBy("h").count().filter(col("count") <= 100).select("h")
     val shf = sh.join(dfCut, Seq("h")).cache()
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = shf.as("a")
-      .join(shf.as("b"), col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // lossless prefilter: jaccard >= 0.5 forces |A|,|B| within 2x of each
+    // other (i <= min and i >= (|A|+|B|)/3 => max <= 2*min), so the pair
+    // join can carry sizes and prune dissimilar-size pairs before the
+    // aggregation — same results, smaller shuffle. The oracle keeps the
+    // unfiltered form; outputs are identical.
+    val shz = shf.join(broadcast(sizes), Seq("doc_id"))
+    val inter = shz.as("a")
+      .join(shz.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
