@@ -18,6 +18,10 @@ object Sessionize {
   /** Adds a `session_id` column (1-based, per key group, ordered by
     * `timeCol` then `tieBreak`). A new session starts when the gap from the
     * previous row strictly exceeds `gapMicros`.
+    *
+    * The time axis may be a timestamp column (gap in microseconds) or a
+    * plain numeric column (gap in the column's own units) — detected from
+    * the column type, mirroring [[AsOf.join]].
     */
   def apply(
       df: DataFrame,
@@ -28,12 +32,16 @@ object Sessionize {
     val order = (col(timeCol) +: tieBreak.map(col)): Seq[org.apache.spark.sql.Column]
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTimestamp = df.schema(timeCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    def axis(c: org.apache.spark.sql.Column) =
+      if (isTimestamp) unix_micros(c) else c
     df.withColumn("__prev_t", lag(col(timeCol), 1).over(w))
       .withColumn(
         "__new",
         when(
           col("__prev_t").isNull ||
-            unix_micros(col(timeCol)) - unix_micros(col("__prev_t")) > gapMicros,
+            axis(col(timeCol)) - axis(col("__prev_t")) > gapMicros,
           1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(cum))
       .drop("__prev_t", "__new")
