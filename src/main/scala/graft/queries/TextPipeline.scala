@@ -127,13 +127,27 @@ object TextPipeline {
   /** Shared shingle-hash inverted index: one row per (doc, distinct
     * 3-gram shingle hash). Joining/counting on the 60-bit md5-derived int
     * instead of the shingle string shrinks the shuffle ~5× (the 100 TB
-    * discipline: never shuffle raw text). */
-  private def shingleHashRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    * discipline: never shuffle raw text).
+    *
+    * Shape matters here: the one-liner HOF chain
+    * (`transform(wordShingles(...), baseHash)`) is interpreted per array
+    * element (HOF lambdas don't codegen) and measured 13s at sf0.1; this
+    * explode → window-lead 3-gram → scalar md5 form runs the hash inside
+    * whole-stage codegen and does the same work in ~1s. Same output set —
+    * the oracle SQL is unchanged. */
+  private def shingleHashRows(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          Text.wordShingles(Text.tokens(col("text")), 3),
-          x => Text.baseHash(x)))).as("h"))
+        lead(col("tok"), 2).over(w).as("t2"),
+        concat_ws(" ", col("tok"),
+          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("shingle"))
+      .filter(col("t2").isNotNull) // only full 3-grams
+      .select(col("doc_id"), Text.baseHash(col("shingle")).as("h"))
+      .distinct()
+  }
 
   private val shingleHashSql =
     """SELECT doc_id,
@@ -169,27 +183,31 @@ object TextPipeline {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
-    val sh = shingleHashRows(s, dir).cache()
-    val dfCut = sh.groupBy("h").count().filter(col("count") <= 100).select("h")
-    val shf = sh.join(dfCut, Seq("h")).cache()
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // df cut and set sizes as window counts: one pass over the index, two
+    // key shuffles, no self-join for the cut and no post-aggregation size
+    // joins (sizes ride the pair rows into first() aggregates).
+    val wH = Window.partitionBy(col("h"))
+    val wD = Window.partitionBy(col("doc_id"))
+    val shz = shingleHashRows(s, dir)
+      .withColumn("df", count(lit(1)).over(wH))
+      .filter(col("df") <= 100)
+      .drop("df")
+      .withColumn("sz", count(lit(1)).over(wD))
+      .cache()
     // lossless prefilter: jaccard >= 0.5 forces |A|,|B| within 2x of each
     // other (i <= min and i >= (|A|+|B|)/3 => max <= 2*min), so the pair
-    // join can carry sizes and prune dissimilar-size pairs before the
-    // aggregation — same results, smaller shuffle. The oracle keeps the
-    // unfiltered form; outputs are identical.
-    val shz = shf.join(broadcast(sizes), Seq("doc_id"))
+    // join prunes dissimilar-size pairs before the aggregation — same
+    // results, smaller shuffle. The oracle keeps the unfiltered form;
+    // outputs are identical.
     val inter = shz.as("a")
       .join(shz.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("i"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+    val jac = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
     inter
-      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
