@@ -481,10 +481,32 @@ object Relational {
       date_trunc("month", col("o_orderdate")).as("order_month"))
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Grouping sets via CUBE (beyond the reference's surface — SURVEY
+    * §2.4 notes Spark has it natively): all 4 aggregation levels in one
+    * pass, with GROUPING() flags so null-group rows are unambiguous. */
+  val q34CubeRollup: Q = Q.sql(
+    "q34_cube_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
-    q18ToleranceAsOf, q19TimeArithmetic)
+    q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup)
 }
