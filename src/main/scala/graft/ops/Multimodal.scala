@@ -44,4 +44,29 @@ object Multimodal {
       rows.map(stubDecode)
     }
   }
+
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long, frame_bytes: Array[Byte])
+
+  /** Frame sampling (video-shaped): every `stride` bytes emit a
+    * fixed-size "frame" slice, up to `maxFrames` per payload — the
+    * Spark-side plumbing (one-to-many typed flatMap, bounded output,
+    * offsets deterministic) of a real frame extractor; the slice stands
+    * in for the decoded frame. */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      stride: Int,
+      frameSize: Int,
+      maxFrames: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val n = r.payload.length
+      Iterator.range(0, maxFrames)
+        .map(i => i.toLong * stride)
+        .takeWhile(off => off + frameSize <= n)
+        .map(off => Frame(r.doc_id, off / stride, off,
+          java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + frameSize)))
+        .toSeq
+    }
+  }
 }

@@ -149,6 +149,28 @@ object Embeddings {
     emb(s, dir).select(col("vec_id"), bucket.as("bucket"))
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Per-label centroids — the k-means update step at scale: posexplode
+    * to (label, dim) cells, exact decimal-accumulated means, one shuffle
+    * on (label, dim). Output exploded (no array compare needed). */
+  val q35LabelCentroids: Q = Q.sql(
+    "q35_label_centroids",
+    """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
+      |  CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS centroid,
+      |  COUNT(*) AS n
+      |FROM embeddings, UNNEST(range(1, 65)) r(d)
+      |GROUP BY label, d""".stripMargin) { (s, dir) =>
+    emb(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        (sum(col("v").cast("double").cast("decimal(20,8)")).cast("double") / count(lit(1)))
+          .as("centroid"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] =
-    Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh)
+    Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
+      q35LabelCentroids)
 }
