@@ -48,7 +48,7 @@ object AsOf {
       tolerance: Option[Double] = None): DataFrame = {
 
     require(payload.nonEmpty, "payload columns required")
-    val evStruct = struct(events.columns.map(events(_)): _*)
+    val evStruct = struct(events.columns.toIndexedSeq.map(events(_)): _*)
 
     // Two aligned sides: (keys..., __t, __is_ev, __tb..., __ev, payload...)
     val ev = events.select(
