@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL spelling of representative queries equals the DataFrame
+  * spelling — users can drive the engine entirely through
+  * `spark.sql(...)` over the registered views.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("spark.sql over registered views matches the DataFrame programs") {
+    SqlSurface.registerViews(spark, dir)
+
+    val sqlAgg = SqlSurface.sql(spark,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    val dfAgg = queries.Relational.q01PricingSummary.run(spark, dir)
+    assert(canon(sqlAgg) == canon(dfAgg))
+
+    val sqlSemi = SqlSurface.sql(spark,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    val dfSemi = queries.Relational.q09SemiJoin.run(spark, dir)
+    assert(canon(sqlSemi) == canon(dfSemi))
+
+    val sqlWin = SqlSurface.sql(spark,
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin)
+    val dfWin = queries.Relational.q08TopKPerGroup.run(spark, dir)
+    assert(canon(sqlWin) == canon(dfWin))
+  }
+}
