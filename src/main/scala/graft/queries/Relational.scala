@@ -171,8 +171,12 @@ object Relational {
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
+        // NTZ output: DuckDB's TIMESTAMP is naive, and a tz-aware parquet
+        // column would only compare equal through a DuckDB-side read —
+        // emit the same flavor the oracle produces (session TZ is UTC, so
+        // the wall-time values are unchanged)
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
         dsum(col("value")).as("session_value"))
   }
 
