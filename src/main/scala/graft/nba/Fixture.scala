@@ -61,7 +61,14 @@ object Fixture {
       a(id, period, clock, "substitution", sub = Some(dir),
         team = Some(team), person = Some(person))
     }
-    (subRows ++ Seq(
+    // period bracket rows (A1 inputs): first/second event of each period
+    // carry its start/end — Periods.fromPbp derives bounds + game end
+    val periodRows = Seq(
+      a(900, 1, 0.0, "period", sub = Some("start")),
+      a(901, 1, 720.0, "period", sub = Some("end")),
+      a(902, 2, 720.0, "period", sub = Some("start")),
+      a(903, 2, 1440.0, "period", sub = Some("end")))
+    (subRows ++ periodRows ++ Seq(
       // P1, first lineups on court
       a(1, 1, 60.0, "2pt", res = Some("Made"), team = Some(home), person = Some(1L), assist = Some(2L)),
       a(2, 1, 120.0, "3pt", res = Some("Missed"), team = Some(away), person = Some(11L)),
@@ -91,12 +98,6 @@ object Fixture {
   def gameTeams(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq((gameId, home, away)).toDF("game_id", "home_team_id", "away_team_id")
-  }
-
-  /** (game_id, game_end_clock) — two 720 s periods. */
-  def gameEnd(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq((gameId, 1440.0)).toDF("game_id", "game_end_clock")
   }
 
   // Hand-computed golden facts (see spec):

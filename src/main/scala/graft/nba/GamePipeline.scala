@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 object GamePipeline {
 
   case class Result(
+      periods: DataFrame,
       lineupStints: DataFrame,
       playerStints: DataFrame,
       attributedEvents: DataFrame,
@@ -25,8 +26,14 @@ object GamePipeline {
       spark: SparkSession,
       pbp: Dataset[PbpAction],
       starters: Dataset[Starter],
-      gameTeams: DataFrame,
-      gameEnd: DataFrame): Result = {
+      gameTeams: DataFrame): Result = {
+
+    // 0. periods pipeline (A1/A2): bounds derived from PBP period events —
+    //    the game end clock every stint tiling closes on is DERIVED, never
+    //    a fixture input (reference manager:126-135)
+    val periods = Periods.fromPbp(pbp.toDF())
+    val gameEnd = Periods.gameBounds(periods)
+      .select(col("game_id"), col("game_end_clock"))
 
     // 1. stint engine (W4 fold + W2 tiling + W3 sessionization)
     val subs = Stints.subEvents(spark, pbp)
@@ -46,6 +53,7 @@ object GamePipeline {
     val playerPm = Scores.playerPlusMinus(playerStints, stintPm)
 
     Result(
+      periods = periods,
       lineupStints = lineupStints,
       playerStints = playerStints,
       attributedEvents = attributed,

@@ -61,6 +61,13 @@ object SeasonFixture {
         Some(t), Some(t * 100 + 1 + rnd.nextInt(9)),
         None, None, None, None)
     }
+    // period bracket rows: two 720 s halves (Periods derives bounds)
+    for (p <- 1 to 2) {
+      actions += PbpAction(gameId, nextId(), p, (p - 1) * 720.0, "period",
+        Some("start"), None, None, None, None, None, None, None, None)
+      actions += PbpAction(gameId, nextId(), p, p * 720.0, "period",
+        Some("end"), None, None, None, None, None, None, None, None)
+    }
     (actions.result(), starters)
   }
 
@@ -80,12 +87,7 @@ object SeasonFixture {
       .toDF("game_id", "home_team_id", "away_team_id")
   }
 
-  def gameEnd(spark: SparkSession, nGames: Int): DataFrame = {
-    import spark.implicits._
-    (1 to nGames).map(g => (g.toLong, GameLen)).toDF("game_id", "game_end_clock")
-  }
-
   def pipeline(spark: SparkSession, nGames: Int): GamePipeline.Result =
     GamePipeline.run(spark, pbp(spark, nGames), starters(spark, nGames),
-      gameTeams(spark, nGames), gameEnd(spark, nGames))
+      gameTeams(spark, nGames))
 }

@@ -73,9 +73,9 @@ class FeedIntegrationSpec extends AnyFunSuite {
     ).as[Model.PbpAction]
 
     val fromFeed = GamePipeline.run(spark, typed, Fixture.starters(spark),
-      Fixture.gameTeams(spark), Fixture.gameEnd(spark))
+      Fixture.gameTeams(spark))
     val direct = GamePipeline.run(spark, Fixture.pbp(spark), Fixture.starters(spark),
-      Fixture.gameTeams(spark), Fixture.gameEnd(spark))
+      Fixture.gameTeams(spark))
 
     def stintSet(r: GamePipeline.Result) = r.lineupStints
       .select("team_id", "lineup_id", "start_clock", "end_clock")

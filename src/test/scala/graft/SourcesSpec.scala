@@ -43,8 +43,7 @@ class SourcesSpec extends AnyFunSuite {
       spark,
       graft.nba.Fixture.pbp(spark),
       graft.nba.Fixture.starters(spark),
-      graft.nba.Fixture.gameTeams(spark),
-      graft.nba.Fixture.gameEnd(spark)).lineupStints
+      graft.nba.Fixture.gameTeams(spark)).lineupStints
     Sink.writePartitioned(stints, dir, Seq("game_id"))
     val first = Sink.read(spark, dir).select("stint_id", "lineup_id")
       .collect().map(_.toSeq).toSet

@@ -15,7 +15,7 @@ class GraphExportSpec extends AnyFunSuite {
 
   private lazy val result = GamePipeline.run(
     spark, Fixture.pbp(spark), Fixture.starters(spark),
-    Fixture.gameTeams(spark), Fixture.gameEnd(spark))
+    Fixture.gameTeams(spark))
 
   test("denseIds: contiguous, deterministic, natural-key ordered") {
     val stints = result.lineupStints

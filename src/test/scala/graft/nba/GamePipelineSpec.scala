@@ -15,8 +15,7 @@ class GamePipelineSpec extends AnyFunSuite {
     spark,
     Fixture.pbp(spark),
     Fixture.starters(spark),
-    Fixture.gameTeams(spark),
-    Fixture.gameEnd(spark))
+    Fixture.gameTeams(spark))
 
   test("lineup stints: counts, tiling, same-clock batch rule") {
     val stints = result.lineupStints
@@ -157,7 +156,7 @@ class GamePipelineSpec extends AnyFunSuite {
 
   test("idempotency: re-running the pipeline reproduces identical stints") {
     val again = GamePipeline.run(spark, Fixture.pbp(spark), Fixture.starters(spark),
-      Fixture.gameTeams(spark), Fixture.gameEnd(spark))
+      Fixture.gameTeams(spark))
     val a = result.lineupStints.select("stint_id", "lineup_id", "start_clock", "end_clock")
       .collect().map(_.toSeq).toSet
     val b = again.lineupStints.select("stint_id", "lineup_id", "start_clock", "end_clock")
