@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
   *     (i = (event_id+1)%10); blocks by the opponent on missed shots when
   *     event_id%5=0 (i = (event_id+2)%10); style descriptor =
   *     shotStyles(event_id%14).
-  *   - 'error' → rebound (value < 250; defensive iff event_id even) or
-  *     violation (value >= 250).
+  *   - 'error' → rebound (value < 250; defensive iff event_id even;
+  *     clock shifted -25 s so it falls 5 s after the previous event,
+  *     inside the reference's 10 s rebound window), violation
+  *     (250 <= value < 400), or jumpball (value >= 400; won i =
+  *     event_id%10, lost opponent i = (event_id+1)%10, recovered i =
+  *     (event_id+7)%10).
   *   - 'view' → foul + two drawn free throws (value < 150; committer
   *     i = event_id%10, drawn opponent i = (event_id+3)%10, attempt a
   *     made iff (event_id+a)%2 = 0), turnover (value < 300; stolen when
@@ -80,7 +84,12 @@ object GameFeed {
       .withColumn("opp_id",
         when(col("event_id") % 2 === 0, col("away_team_id"))
           .otherwise(col("home_team_id")))
-      .withColumn("clock", row_number().over(wGame).cast("double") * 30.0)
+      // rebounds land 5 s after the previous event (clock - 25) so the
+      // reference's 10 s rebound->missed-shot window has real matches
+      .withColumn("clock",
+        row_number().over(wGame).cast("double") * 30.0 -
+          when(col("event_type") === "error" && col("value") < 250.0, 25.0)
+            .otherwise(0.0))
       // running count of this team's signups, inclusive: the swap ordinal k
       .withColumn("k",
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).over(wTeam))
@@ -103,14 +112,18 @@ object GameFeed {
 
     def st(a: Column, typ: Column, sub: Column, desc: Column, res: Column,
         tm: Column, p: Column, assist: Column, block: Column, steal: Column,
-        drawn: Column): Column =
+        drawn: Column, jbWon: Column = nulL, jbLost: Column = nulL,
+        jbRec: Column = nulL): Column =
       struct(a.cast("long").as("action_id"), typ.as("action_type"),
         sub.as("sub_type"), desc.as("descriptor"), res.as("shot_result"),
         tm.cast("long").as("team_id"), p.cast("long").as("person_id"),
         assist.cast("long").as("assist_person_id"),
         block.cast("long").as("block_person_id"),
         steal.cast("long").as("steal_person_id"),
-        drawn.cast("long").as("foul_drawn_person_id"))
+        drawn.cast("long").as("foul_drawn_person_id"),
+        jbWon.cast("long").as("jumpball_won_person_id"),
+        jbLost.cast("long").as("jumpball_lost_person_id"),
+        jbRec.cast("long").as("jumpball_recovered_person_id"))
 
     val subOut = st(aid, lit("substitution"), lit("out"), nulS, nulS, team,
       person(team, (col("k") - 1) % 10), nulL, nulL, nulL, nulL)
@@ -127,6 +140,10 @@ object GameFeed {
       team, shooter, nulL, nulL, nulL, nulL)
     val violation = st(aid, lit("violation"), lit("kicked ball"), nulS, nulS,
       team, shooter, nulL, nulL, nulL, nulL)
+    val jumpball = st(aid, lit("jumpball"), lit("recovered"), nulS, nulS,
+      team, person(team, e % 10), nulL, nulL, nulL, nulL,
+      jbWon = person(team, e % 10), jbLost = person(opp, (e + 1) % 10),
+      jbRec = person(team, (e + 7) % 10))
     val foul = st(aid, lit("foul"),
       when(e % 2 === 0, "personal").otherwise("shooting"), nulS, nulS,
       team, shooter, nulL, nulL, nulL, person(opp, (e + 3) % 10))
@@ -146,7 +163,9 @@ object GameFeed {
         .when(col("event_type") === "click", array(shot("2pt")))
         .when(col("event_type") === "purchase", array(shot("3pt")))
         .when(col("event_type") === "error",
-          when(col("value") < 250.0, array(rebound)).otherwise(array(violation)))
+          when(col("value") < 250.0, array(rebound))
+            .when(col("value") < 400.0, array(violation))
+            .otherwise(array(jumpball)))
         .when(col("value") < 150.0, array(foul, ft(1), ft(2)))
         .when(col("value") < 300.0, array(turnover))
         .otherwise(array(timeout))
@@ -160,7 +179,9 @@ object GameFeed {
         col("r.action_type"), col("r.sub_type"), col("r.descriptor"),
         col("r.shot_result"), col("r.team_id"), col("r.person_id"),
         col("r.assist_person_id"), col("r.block_person_id"),
-        col("r.steal_person_id"), col("r.foul_drawn_person_id"))
+        col("r.steal_person_id"), col("r.foul_drawn_person_id"),
+        col("r.jumpball_won_person_id"), col("r.jumpball_lost_person_id"),
+        col("r.jumpball_recovered_person_id"))
 
     // period bracket rows: two per period (start/end), last ends at
     // game_end = max clock + 30 — Periods.fromPbp derives bounds from these
@@ -188,7 +209,9 @@ object GameFeed {
         col("r.sub_type"), nulS.as("descriptor"), nulS.as("shot_result"),
         nulL.as("team_id"), nulL.as("person_id"),
         nulL.as("assist_person_id"), nulL.as("block_person_id"),
-        nulL.as("steal_person_id"), nulL.as("foul_drawn_person_id"))
+        nulL.as("steal_person_id"), nulL.as("foul_drawn_person_id"),
+        nulL.as("jumpball_won_person_id"), nulL.as("jumpball_lost_person_id"),
+        nulL.as("jumpball_recovered_person_id"))
 
     actionRows.unionByName(periodRows).as[PbpAction]
   }

@@ -27,7 +27,12 @@ object Model {
       assist_person_id: Option[Long],
       block_person_id: Option[Long],
       steal_person_id: Option[Long],
-      foul_drawn_person_id: Option[Long])
+      foul_drawn_person_id: Option[Long],
+      // jumpball actor ids (reference game.py:239-259); default None so
+      // non-jumpball construction sites stay positional-14
+      jumpball_won_person_id: Option[Long] = None,
+      jumpball_lost_person_id: Option[Long] = None,
+      jumpball_recovered_person_id: Option[Long] = None)
 
   /** Boxscore starter row (reference `src/fetcher.py:88-96`, filter at
     * `src/managers/game.py:88-90`). */

@@ -36,6 +36,16 @@ object TimeKernel {
   def globalClock(period: Column, clock: Column): Column =
     periodStartOffset(period) + (periodLength(period) - clockSeconds(clock))
 
+  /** Inverse of [[periodStartOffset]]: the period containing a global
+    * clock instant (regulation tiles of 720 s, OT tiles of 300 s). */
+  def periodOfClock(clock: Column): Column =
+    when(clock < 2880.0, floor(clock / 720.0).cast("int") + 1)
+      .otherwise(lit(5) + floor((clock - 2880.0) / 300.0).cast("int"))
+
+  /** Seconds into the containing period (the reference's `local_clock`). */
+  def localClock(clock: Column): Column =
+    clock - periodStartOffset(periodOfClock(clock))
+
   /** Sentinel `-1` → real null (reference F10: `fillna(-1)` at
     * `/root/reference/src/fetcher.py:115` undone at
     * `src/managers/game.py:222-258`). */

@@ -31,7 +31,9 @@ object Domain {
   private val PRELUDE =
     """WITH base AS (
       |  SELECT user_id AS game_id, event_id, event_type, value,
-      |         30.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clock,
+      |         CAST(30.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           - CASE WHEN event_type = 'error' AND value < 250.0 THEN 25.0 ELSE 0.0 END
+      |           AS DOUBLE) AS clock,
       |         user_id % 4 + 1 AS home_team_id,
       |         (user_id + 1) % 4 + 1 AS away_team_id,
       |         CASE WHEN event_id % 2 = 0 THEN user_id % 4 + 1
@@ -244,51 +246,275 @@ object Domain {
         col("expected"), (col("pm_sum") === col("expected")).as("ok"))
   }
 
-  /** Dense-id COO export of the feed's stint graph (S10/§3.3): NEXT
-    * chains + ON_COURT_WITH membership, dense ids ordered by natural key
-    * — the oracle re-derives both edge sets and the id assignment. */
+  /** Shared PyG-export CTEs: period tiling, strict (player-stint-
+    * resolved) action edges, restricted action node sets, the 10 node
+    * tables with dense ids + feature vectors, and all 19 relations the
+    * reference HeteroData carries. PN/PSTART are inlined closed forms of
+    * TimeKernel.periodOfClock / periodStartOffset. */
+  private def pn(c: String): String =
+    s"CASE WHEN $c < 2880 THEN CAST(floor($c / 720) AS INT) + 1 " +
+      s"ELSE 5 + CAST(floor(($c - 2880) / 300) AS INT) END"
+  private def pstart(p: String): String =
+    s"CASE WHEN $p <= 4 THEN CAST($p - 1 AS DOUBLE) * 720 " +
+      s"ELSE 2880 + CAST($p - 5 AS DOUBLE) * 300 END"
+  private def localc(c: String): String = s"$c - (" + pstart("(" + pn(c) + ")") + ")"
+
+  private val PYG =
+    s""", np AS (
+      |  SELECT game_id, game_end,
+      |         ${pn("max_clock")} AS n_periods
+      |  FROM gend
+      |),
+      |pper AS (
+      |  SELECT game_id, p.p AS pnum,
+      |         CAST(game_id AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) AS period_id,
+      |         ${pstart("p.p")} AS pstartc,
+      |         CASE WHEN p.p < n_periods THEN ${pstart("(p.p + 1)")}
+      |              ELSE game_end END AS pendc
+      |  FROM np CROSS JOIN (SELECT unnest(range(1, 13)) AS p) p
+      |  WHERE p.p <= n_periods
+      |),
+      |shotsB AS (
+      |  SELECT game_id, event_id, clock, team_id, opp_id, value, event_type
+      |  FROM base WHERE event_type IN ('click', 'purchase')
+      |),
+      |shooterE AS (
+      |  SELECT b.game_id, b.event_id * 4 AS action_id, b.clock, b.event_type,
+      |         b.value, r.player_stint_id
+      |  FROM shotsB b JOIN runs r ON r.game_id = b.game_id
+      |    AND r.person_id = b.team_id * 100 + b.event_id % 10
+      |    AND r.start_clock <= b.clock AND b.clock < r.end_clock
+      |),
+      |ftB AS (
+      |  SELECT game_id, event_id, clock, opp_id,
+      |         opp_id * 100 + (event_id + 3) % 10 AS shooter
+      |  FROM base WHERE event_type = 'view' AND value < 150.0
+      |),
+      |ftE AS (
+      |  SELECT f.game_id, f.event_id * 4 + a.i AS action_id, f.clock,
+      |         f.event_id, a.i, r.player_stint_id
+      |  FROM ftB f CROSS JOIN (SELECT unnest([1, 2]) AS i) a
+      |  JOIN runs r ON r.game_id = f.game_id AND r.person_id = f.shooter
+      |    AND r.start_clock <= f.clock AND f.clock < r.end_clock
+      |),
+      |foulB AS (
+      |  SELECT game_id, event_id, clock, team_id, opp_id
+      |  FROM base WHERE event_type = 'view' AND value < 150.0
+      |),
+      |foulE AS (
+      |  SELECT f.game_id, f.event_id * 4 AS action_id, f.clock, f.event_id,
+      |         r.player_stint_id
+      |  FROM foulB f JOIN runs r ON r.game_id = f.game_id
+      |    AND r.person_id = f.team_id * 100 + f.event_id % 10
+      |    AND r.start_clock <= f.clock AND f.clock < r.end_clock
+      |),
+      |drewE AS (
+      |  SELECT f.game_id, f.event_id * 4 AS action_id, r.player_stint_id
+      |  FROM foulB f JOIN runs r ON r.game_id = f.game_id
+      |    AND r.person_id = f.opp_id * 100 + (f.event_id + 3) % 10
+      |    AND r.start_clock <= f.clock AND f.clock < r.end_clock
+      |  WHERE f.event_id * 4 IN (SELECT action_id FROM foulE)
+      |),
+      |assistE AS (
+      |  SELECT b.game_id, b.event_id * 4 AS action_id, r.player_stint_id
+      |  FROM shotsB b JOIN runs r ON r.game_id = b.game_id
+      |    AND r.person_id = b.team_id * 100 + (b.event_id + 1) % 10
+      |    AND r.start_clock <= b.clock AND b.clock < r.end_clock
+      |  WHERE b.value >= 100.0 AND b.event_id % 3 = 0
+      |    AND b.event_id * 4 IN (SELECT action_id FROM shooterE)
+      |),
+      |blockE AS (
+      |  SELECT b.game_id, b.event_id * 4 AS action_id, r.player_stint_id
+      |  FROM shotsB b JOIN runs r ON r.game_id = b.game_id
+      |    AND r.person_id = b.opp_id * 100 + (b.event_id + 2) % 10
+      |    AND r.start_clock <= b.clock AND b.clock < r.end_clock
+      |  WHERE b.value < 100.0 AND b.event_id % 5 = 0
+      |    AND b.event_id * 4 IN (SELECT action_id FROM shooterE)
+      |),
+      |causedE AS (
+      |  SELECT f.game_id, f.action_id AS src_action, ft.action_id AS dst_action
+      |  FROM (SELECT DISTINCT game_id, action_id, event_id FROM foulE) f
+      |  JOIN (SELECT DISTINCT game_id, action_id, event_id FROM ftE) ft
+      |    ON ft.game_id = f.game_id AND ft.event_id = f.event_id
+      |),
+      |foulNd AS (SELECT DISTINCT game_id, action_id, clock FROM foulE),
+      |shotNd AS (SELECT DISTINCT game_id, action_id, clock, event_type, value FROM shooterE),
+      |ftNd AS (SELECT DISTINCT game_id, action_id, clock, event_id, i FROM ftE),
+      |nextE AS (
+      |  SELECT a.stint_id AS src, b.stint_id AS dst
+      |  FROM st a JOIN st b
+      |    ON a.game_id = b.game_id AND a.team_id = b.team_id AND b.j = a.j + 1
+      |),
+      |ocwE AS (
+      |  SELECT r.player_stint_id AS src, s.stint_id AS dst, s.game_id, s.start_clock
+      |  FROM runs r JOIN st s
+      |    ON s.game_id = r.game_id AND s.team_id = r.team_id
+      |   AND s.start_clock >= r.start_clock AND s.start_clock < r.end_clock
+      |),
+      |nodes AS (
+      |  SELECT 'game' AS node_type, CAST(game_id AS VARCHAR) AS node_id,
+      |         row_number() OVER (ORDER BY game_id) - 1 AS dense_id,
+      |         [CAST(1 AS DOUBLE)] AS feats
+      |  FROM gend
+      |  UNION ALL
+      |  SELECT 'team', CAST(team_id AS VARCHAR),
+      |         row_number() OVER (ORDER BY team_id) - 1, [CAST(1 AS DOUBLE)]
+      |  FROM (SELECT DISTINCT team_id FROM teams2)
+      |  UNION ALL
+      |  SELECT 'period', period_id, row_number() OVER (ORDER BY period_id) - 1,
+      |         [CAST(pnum AS DOUBLE)]
+      |  FROM pper
+      |  UNION ALL
+      |  SELECT 'lineup', lineup_id, row_number() OVER (ORDER BY lineup_id) - 1,
+      |         [CAST(1 AS DOUBLE)]
+      |  FROM (SELECT DISTINCT lineup_id FROM lu)
+      |  UNION ALL
+      |  SELECT 'player', CAST(person_id AS VARCHAR),
+      |         row_number() OVER (ORDER BY person_id) - 1, [CAST(1 AS DOUBLE)]
+      |  FROM (SELECT DISTINCT person_id FROM mem)
+      |  UNION ALL
+      |  SELECT 'lineup_stint', stint_id, row_number() OVER (ORDER BY stint_id) - 1,
+      |         [CAST(start_clock AS DOUBLE), CAST(${localc("start_clock")} AS DOUBLE),
+      |          CAST(end_clock - start_clock AS DOUBLE)]
+      |  FROM st
+      |  UNION ALL
+      |  SELECT 'player_stint', player_stint_id,
+      |         row_number() OVER (ORDER BY player_stint_id) - 1,
+      |         [CAST(start_clock AS DOUBLE), CAST(${localc("start_clock")} AS DOUBLE),
+      |          CAST(end_clock - start_clock AS DOUBLE)]
+      |  FROM runs
+      |  UNION ALL
+      |  SELECT 'foul', CAST(action_id AS VARCHAR),
+      |         row_number() OVER (ORDER BY action_id) - 1,
+      |         [CAST(clock AS DOUBLE), CAST(${localc("clock")} AS DOUBLE)]
+      |  FROM foulNd
+      |  UNION ALL
+      |  SELECT 'shot', CAST(action_id AS VARCHAR),
+      |         row_number() OVER (ORDER BY action_id) - 1,
+      |         [CAST(clock AS DOUBLE), CAST(${localc("clock")} AS DOUBLE),
+      |          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |          CASE WHEN event_type = 'click' THEN CAST(1 AS DOUBLE) ELSE 0 END,
+      |          CASE WHEN event_type = 'purchase' THEN CAST(1 AS DOUBLE) ELSE 0 END,
+      |          CASE WHEN value >= 100.0 THEN CAST(1 AS DOUBLE) ELSE 0 END]
+      |  FROM shotNd
+      |  UNION ALL
+      |  SELECT 'freethrow', CAST(action_id AS VARCHAR),
+      |         row_number() OVER (ORDER BY action_id) - 1,
+      |         [CAST(clock AS DOUBLE), CAST(${localc("clock")} AS DOUBLE),
+      |          CASE WHEN (event_id + i) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE 0 END]
+      |  FROM ftNd
+      |),
+      |rels AS (
+      |  SELECT 'played_home' AS rel_type, 'team' AS src_type, 'game' AS dst_type,
+      |         CAST(game_id % 4 + 1 AS VARCHAR) AS src_id,
+      |         CAST(game_id AS VARCHAR) AS dst_id
+      |  FROM gend
+      |  UNION ALL
+      |  SELECT 'played_away', 'team', 'game',
+      |         CAST((game_id + 1) % 4 + 1 AS VARCHAR), CAST(game_id AS VARCHAR)
+      |  FROM gend
+      |  UNION ALL
+      |  SELECT 'in_game', 'period', 'game', period_id, CAST(game_id AS VARCHAR)
+      |  FROM pper
+      |  UNION ALL
+      |  SELECT DISTINCT 'has_lineup', 'team', 'lineup',
+      |         CAST(s.team_id AS VARCHAR), l.lineup_id
+      |  FROM st s JOIN lu l USING (stint_id)
+      |  UNION ALL
+      |  SELECT DISTINCT 'member_of', 'player', 'lineup',
+      |         CAST(m.person_id AS VARCHAR), l.lineup_id
+      |  FROM mem m JOIN lu l USING (stint_id)
+      |  UNION ALL
+      |  SELECT 'on_court', 'lineup', 'lineup_stint', l.lineup_id, s.stint_id
+      |  FROM st s JOIN lu l USING (stint_id)
+      |  UNION ALL
+      |  SELECT 'on_court', 'player', 'player_stint',
+      |         CAST(person_id AS VARCHAR), player_stint_id
+      |  FROM runs
+      |  UNION ALL
+      |  SELECT 'on_court_with', 'player_stint', 'lineup_stint', src, dst FROM ocwE
+      |  UNION ALL
+      |  SELECT 'in_period', 'lineup_stint', 'period', stint_id,
+      |         CAST(game_id AS VARCHAR) || '_' ||
+      |           CAST((${pn("start_clock")}) AS VARCHAR)
+      |  FROM st
+      |  UNION ALL
+      |  SELECT DISTINCT 'in_period', 'player_stint', 'period', e.src,
+      |         CAST(e.game_id AS VARCHAR) || '_' ||
+      |           CAST((${pn("e.start_clock")}) AS VARCHAR)
+      |  FROM ocwE e
+      |  UNION ALL
+      |  SELECT 'next', 'lineup_stint', 'lineup_stint', stint_id, nxt FROM (
+      |    SELECT s.stint_id,
+      |           lead(s.stint_id) OVER (PARTITION BY s.game_id, l.lineup_id
+      |             ORDER BY s.start_clock) AS nxt
+      |    FROM st s JOIN lu l USING (stint_id)
+      |  ) WHERE nxt IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'next', 'player_stint', 'player_stint', player_stint_id, nxt FROM (
+      |    SELECT player_stint_id,
+      |           lead(player_stint_id) OVER (PARTITION BY game_id, person_id
+      |             ORDER BY start_clock) AS nxt
+      |    FROM runs
+      |  ) WHERE nxt IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'on_court_next', 'lineup_stint', 'lineup_stint', src, dst FROM nextE
+      |  UNION ALL
+      |  SELECT 'committed_foul', 'player_stint', 'foul',
+      |         player_stint_id, CAST(action_id AS VARCHAR)
+      |  FROM foulE
+      |  UNION ALL
+      |  SELECT 'drew_foul', 'player_stint', 'foul',
+      |         player_stint_id, CAST(action_id AS VARCHAR)
+      |  FROM drewE
+      |  UNION ALL
+      |  SELECT 'took_shot', 'player_stint', 'shot',
+      |         player_stint_id, CAST(action_id AS VARCHAR)
+      |  FROM shooterE
+      |  UNION ALL
+      |  SELECT 'took_shot', 'player_stint', 'freethrow',
+      |         player_stint_id, CAST(action_id AS VARCHAR)
+      |  FROM ftE
+      |  UNION ALL
+      |  SELECT 'assisted', 'player_stint', 'shot',
+      |         player_stint_id, CAST(action_id AS VARCHAR)
+      |  FROM assistE
+      |  UNION ALL
+      |  SELECT 'blocked', 'player_stint', 'shot',
+      |         player_stint_id, CAST(action_id AS VARCHAR)
+      |  FROM blockE
+      |  UNION ALL
+      |  SELECT 'caused', 'foul', 'freethrow',
+      |         CAST(src_action AS VARCHAR), CAST(dst_action AS VARCHAR)
+      |  FROM causedE
+      |)
+      |""".stripMargin
+
+  /** Full `to_pyg` parity (S10/§3.3, manager:324-656): all 19 relations
+    * of the reference HeteroData in dense-id COO form, natural keys kept
+    * alongside so the oracle pins both edge sets and id assignment. */
   val q64GraphExport: Q = Q.sql(
     "q64_graph_export",
-    PRELUDE +
-      """, sid AS (
-        |  SELECT stint_id, row_number() OVER (ORDER BY stint_id) - 1 AS dense_id FROM st
-        |),
-        |pid AS (
-        |  SELECT player_stint_id, row_number() OVER (ORDER BY player_stint_id) - 1 AS dense_id
-        |  FROM runs
-        |),
-        |nextE AS (
-        |  SELECT a.stint_id AS src, b.stint_id AS dst
-        |  FROM st a JOIN st b
-        |    ON a.game_id = b.game_id AND a.team_id = b.team_id AND b.j = a.j + 1
-        |),
-        |ocwE AS (
-        |  SELECT r.player_stint_id AS src, s.stint_id AS dst
-        |  FROM runs r JOIN st s
-        |    ON s.game_id = r.game_id AND s.team_id = r.team_id
-        |   AND s.start_clock >= r.start_clock AND s.start_clock < r.end_clock
-        |)
-        |SELECT 'NEXT' AS rel_type, sa.dense_id AS src_idx, sb.dense_id AS dst_idx
-        |FROM nextE e JOIN sid sa ON sa.stint_id = e.src JOIN sid sb ON sb.stint_id = e.dst
-        |UNION ALL
-        |SELECT 'ON_COURT_WITH', p.dense_id, s.dense_id
-        |FROM ocwE e JOIN pid p ON p.player_stint_id = e.src JOIN sid s ON s.stint_id = e.dst""".stripMargin,
-    "dense-id COO edge export (NEXT + ON_COURT_WITH)") { (s, dir) =>
-    import graft.graph.GraphExport
+    PRELUDE + PYG +
+      """SELECT r.rel_type, r.src_type, r.dst_type, r.src_id, r.dst_id,
+        |       s.dense_id AS src_idx, d.dense_id AS dst_idx
+        |FROM rels r
+        |JOIN nodes s ON s.node_type = r.src_type AND s.node_id = r.src_id
+        |JOIN nodes d ON d.node_type = r.dst_type AND d.node_id = r.dst_id""".stripMargin,
+    "full PyG HeteroData edge export: 19 relations, dense-id COO") { (s, dir) =>
     val p = pipeline(s, dir)
-    val stints = GraphExport.denseIds(p.lineupStints, Seq("stint_id"))
-    val playerStints = GraphExport.denseIds(p.playerStints, Seq("player_stint_id"))
-    val next = GraphExport.cooEdges(
-      graft.nba.Stints.stintChains(p.lineupStints), "stint_id", "next_stint_id",
-      stints, "stint_id", stints, "stint_id")
-      .withColumn("rel_type", lit("NEXT"))
-    val onCourtWith = GraphExport.cooEdges(
-      p.playerStints.select(col("player_stint_id"), explode(col("stint_ids")).as("ls_id")),
-      "player_stint_id", "ls_id",
-      playerStints, "player_stint_id", stints, "stint_id")
-      .withColumn("rel_type", lit("ON_COURT_WITH"))
-    next.unionByName(onCourtWith)
-      .select(col("rel_type"), col("src_idx"), col("dst_idx"))
+    graft.graph.PyGExport.build(p, GameFeed.gameTeams(s, dir))._2
+  }
+
+  /** PyG node tables: the 10 node types with dense ids and the reference
+    * exporter's feature vectors (manager:399-415, 519-653). */
+  val q69PygNodes: Q = Q.sql(
+    "q69_pyg_nodes",
+    PRELUDE + PYG +
+      """SELECT node_type, node_id, dense_id, feats FROM nodes""".stripMargin,
+    "PyG node tables: dense ids + feature vectors per node type") { (s, dir) =>
+    val p = pipeline(s, dir)
+    graft.graph.PyGExport.build(p, GameFeed.gameTeams(s, dir))._1
   }
 
   /** Periods pipeline (reference game.py:11-51 + manager:126-135): bounds
@@ -316,13 +542,14 @@ object Domain {
         |)
         |SELECT game_id, CAST(period AS BIGINT) AS period,
         |       CAST(game_id AS VARCHAR) || '_' || CAST(period AS VARCHAR) AS period_id,
-        |       start_clock, end_clock,
+        |       CAST(start_clock AS DOUBLE) AS start_clock,
+        |       CAST(end_clock AS DOUBLE) AS end_clock,
         |       CASE WHEN period <= 4 THEN 'Q' || CAST(period AS VARCHAR) ELSE 'OT' END AS label,
         |       period > 4 AS is_overtime,
         |       lead(CAST(game_id AS VARCHAR) || '_' || CAST(period AS VARCHAR))
         |         OVER (PARTITION BY game_id ORDER BY period) AS next_period_id,
-        |       lead(start_clock) OVER (PARTITION BY game_id ORDER BY period) - start_clock
-        |         AS time_delta
+        |       CAST(lead(start_clock) OVER (PARTITION BY game_id ORDER BY period) - start_clock
+        |         AS DOUBLE) AS time_delta
         |FROM per""".stripMargin,
     "period bounds/labels/NEXT derived from PBP period events") { (s, dir) =>
     pipeline(s, dir).periods
@@ -356,7 +583,139 @@ object Domain {
     graft.nba.Season.nextGameChain(GameFeed.schedule(s, dir))
   }
 
+  /** The actor-edge inventory (J7+J8+J9 composed): all 13 player-actor
+    * relations resolved to the player stint ON_COURT_WITH the side's live
+    * lineup stint, with the reference's lineup-stint fallback. */
+  val q67ActorEdges: Q = Q.sql(
+    "q67_actor_edges",
+    PRELUDE +
+      """, ecand AS (
+        |  SELECT 'TOOK_SHOT' AS rel_type, game_id, event_id*4 AS action_id, clock,
+        |         team_id AS side, team_id*100 + event_id%10 AS person, FALSE AS fb
+        |  FROM base WHERE event_type IN ('click','purchase')
+        |  UNION ALL
+        |  SELECT 'TOOK_SHOT', game_id, event_id*4 + a.i, clock, opp_id,
+        |         opp_id*100 + (event_id+3)%10, FALSE
+        |  FROM base CROSS JOIN (SELECT unnest([1,2]) AS i) a
+        |  WHERE event_type='view' AND value < 150.0
+        |  UNION ALL
+        |  SELECT 'ASSISTED', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + (event_id+1)%10, FALSE
+        |  FROM base WHERE event_type IN ('click','purchase') AND value >= 100.0
+        |    AND event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'BLOCKED', game_id, event_id*4, clock, opp_id,
+        |         opp_id*100 + (event_id+2)%10, FALSE
+        |  FROM base WHERE event_type IN ('click','purchase') AND value < 100.0
+        |    AND event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'COMMITTED_FOUL', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + event_id%10, TRUE
+        |  FROM base WHERE event_type='view' AND value < 150.0
+        |  UNION ALL
+        |  SELECT 'DREW_FOUL', game_id, event_id*4, clock, opp_id,
+        |         opp_id*100 + (event_id+3)%10, FALSE
+        |  FROM base WHERE event_type='view' AND value < 150.0
+        |  UNION ALL
+        |  SELECT 'REBOUNDED', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + event_id%10, TRUE
+        |  FROM base WHERE event_type='error' AND value < 250.0
+        |  UNION ALL
+        |  SELECT 'LOST_BALL', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + event_id%10, TRUE
+        |  FROM base WHERE event_type='view' AND value >= 150.0 AND value < 300.0
+        |  UNION ALL
+        |  SELECT 'STOLE_BALL', game_id, event_id*4, clock, opp_id,
+        |         opp_id*100 + (event_id+5)%10, FALSE
+        |  FROM base WHERE event_type='view' AND value >= 150.0 AND value < 300.0
+        |    AND event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'COMMITTED_VIOLATION', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + event_id%10, TRUE
+        |  FROM base WHERE event_type='error' AND value >= 250.0 AND value < 400.0
+        |  UNION ALL
+        |  SELECT 'WON_JUMPBALL', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + event_id%10, FALSE
+        |  FROM base WHERE event_type='error' AND value >= 400.0
+        |  UNION ALL
+        |  SELECT 'LOST_JUMPBALL', game_id, event_id*4, clock, opp_id,
+        |         opp_id*100 + (event_id+1)%10, FALSE
+        |  FROM base WHERE event_type='error' AND value >= 400.0
+        |  UNION ALL
+        |  SELECT 'RECOVERED_JUMPBALL', game_id, event_id*4, clock, team_id,
+        |         team_id*100 + (event_id+7)%10, TRUE
+        |  FROM base WHERE event_type='error' AND value >= 400.0
+        |  UNION ALL
+        |  SELECT 'CALLED_TIMEOUT', game_id, event_id*4, clock, team_id,
+        |         CAST(NULL AS BIGINT), TRUE
+        |  FROM base WHERE event_type='view' AND value >= 300.0
+        |),
+        |eres AS (
+        |  SELECT e.*, s.stint_id AS ls_id
+        |  FROM ecand e JOIN st s
+        |    ON s.game_id = e.game_id AND s.team_id = e.side
+        |   AND s.start_clock <= e.clock AND e.clock < s.end_clock
+        |)
+        |SELECT r0.game_id, r0.rel_type,
+        |       coalesce(r.player_stint_id, CASE WHEN r0.fb THEN r0.ls_id END) AS src_id,
+        |       CASE WHEN r.player_stint_id IS NOT NULL THEN 'player_stint'
+        |            ELSE 'lineup_stint' END AS src_kind,
+        |       r0.action_id AS dst_action_id
+        |FROM eres r0 LEFT JOIN runs r
+        |  ON r.game_id = r0.game_id AND r.person_id = r0.person
+        | AND r.start_clock <= r0.clock AND r0.clock < r.end_clock
+        |WHERE coalesce(r.player_stint_id, CASE WHEN r0.fb THEN r0.ls_id END) IS NOT NULL""".stripMargin,
+    "the 13-relation actor-edge inventory via ON_COURT_WITH membership") { (s, dir) =>
+    val p = pipeline(s, dir)
+    graft.nba.Edges.actorEdges(p.attributedEvents, p.playerStints)
+  }
+
+  /** Causal action links: rebound→missed-shot claims (J10) and the
+    * foul→freethrow CAUSED link the reference intended (§2.11). */
+  val q68CausalLinks: Q = Q.sql(
+    "q68_causal_links",
+    PRELUDE +
+      """, reb AS (
+        |  SELECT game_id, event_id*4 AS rebound_id, clock FROM base
+        |  WHERE event_type='error' AND value < 250.0
+        |),
+        |ms AS (
+        |  SELECT game_id, event_id*4 AS shot_id, clock AS sclock FROM base
+        |  WHERE event_type IN ('click','purchase') AND value < 100.0
+        |),
+        |rl0 AS (
+        |  SELECT r.game_id, r.rebound_id, r.clock, max(m.sclock) AS best_clock
+        |  FROM reb r JOIN ms m ON m.game_id = r.game_id
+        |   AND m.sclock <= r.clock AND r.clock - m.sclock <= 10.0
+        |  GROUP BY 1, 2, 3
+        |),
+        |rl1 AS (
+        |  SELECT r0.game_id, r0.rebound_id, r0.clock, m.shot_id
+        |  FROM rl0 r0 JOIN ms m
+        |    ON m.game_id = r0.game_id AND m.sclock = r0.best_clock
+        |),
+        |rl AS (
+        |  SELECT game_id, rebound_id, shot_id,
+        |         row_number() OVER (PARTITION BY shot_id ORDER BY clock, rebound_id) AS cr
+        |  FROM rl1
+        |)
+        |SELECT game_id, 'REBOUND_OF' AS rel_type,
+        |       rebound_id AS src_action_id, shot_id AS dst_action_id
+        |FROM rl WHERE cr = 1
+        |UNION ALL
+        |SELECT game_id, 'CAUSED', event_id*4, event_id*4 + a.i
+        |FROM base CROSS JOIN (SELECT unnest([1,2]) AS i) a
+        |WHERE event_type='view' AND value < 150.0""".stripMargin,
+    "rebound->missed-shot claims + foul->freethrow CAUSED links") { (s, dir) =>
+    val p = pipeline(s, dir)
+    val rebs = p.reboundLinks.select(
+      col("game_id"), lit("REBOUND_OF").as("rel_type"),
+      col("rebound_id").as("src_action_id"), col("shot_id").as("dst_action_id"))
+    rebs.unionByName(graft.nba.Edges.caused(p.attributedEvents))
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
-      q64GraphExport, q65SeasonChain, q66Periods)
+      q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
+      q69PygNodes)
 }

@@ -69,7 +69,10 @@ class FeedIntegrationSpec extends AnyFunSuite {
       lit(null).cast("long").as("assist_person_id"),
       lit(null).cast("long").as("block_person_id"),
       lit(null).cast("long").as("steal_person_id"),
-      lit(null).cast("long").as("foul_drawn_person_id")
+      lit(null).cast("long").as("foul_drawn_person_id"),
+      lit(null).cast("long").as("jumpball_won_person_id"),
+      lit(null).cast("long").as("jumpball_lost_person_id"),
+      lit(null).cast("long").as("jumpball_recovered_person_id")
     ).as[Model.PbpAction]
 
     val fromFeed = GamePipeline.run(spark, typed, Fixture.starters(spark),
