@@ -31,6 +31,27 @@ object GraphExport {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Dense ids for MANY node types in one pass: sort the unioned node
+    * table by (type, naturalKey), zipWithIndex once, then subtract each
+    * type's first global index (a tiny broadcast-joined offset table).
+    * Same per-type 0..n-1 contiguous ids as calling [[denseIds]] per
+    * type, but one sort + one zipWithIndex + one 10-row aggregate
+    * instead of 2 jobs per type — the difference between ~30 and ~4
+    * Spark jobs when an export carries ten node types. */
+  def denseIdsByType(df: DataFrame, typeCol: String, orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy((typeCol +: orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields :+ StructField("__gidx", LongType, nullable = false))
+    val zipped = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema).cache()
+    val offsets = zipped.groupBy(col(typeCol))
+      .agg(min(col("__gidx")).as("__off"))
+    zipped.join(broadcast(offsets), Seq(typeCol))
+      .withColumn("dense_id", col("__gidx") - col("__off"))
+      .drop("__gidx", "__off")
+  }
+
   /** Rewrite an edge list keyed by natural ids into COO dense-index form:
     * `(src_idx, dst_idx)` against the two node tables' dense ids — the
     * PyG `edge_index` layout, one frame per relation. */

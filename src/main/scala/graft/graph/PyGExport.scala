@@ -42,9 +42,13 @@ object PyGExport {
     val ps = p.playerStints
     val ev = p.attributedEvents
 
+    // materialized eagerly: this frame feeds ~8 relation branches of one
+    // final plan — a lazy cache would be recomputed concurrently by each
+    // branch before any of them manages to populate it
     val actor = Edges.actorEdges(ev, ps)
       .filter(col("src_kind") === "player_stint")
       .cache()
+    actor.count()
 
     // exported action-node sets: only actions with a resolved PlayerStint
     // actor (manager:519-653 query heads)
@@ -103,105 +107,123 @@ object PyGExport {
         Seq(when(col("is_made"), 1.0).otherwise(0.0)))
         .select(col("node_id"), col("feats"), col("__ord").cast("double").as("__ord")))
 
-    val nodes = nodeParts.map { case (tpe, df) =>
-      GraphExport.denseIds(
-        df.withColumn("node_type", lit(tpe)), Seq("__ord", "node_id"))
-    }.reduce(_ unionByName _)
+    // one sort + one zipWithIndex for ALL ten types (not 2 jobs per
+    // type), cached: the node table is scanned twice per edge
+    // translation (src + dst side)
+    val nodes = GraphExport.denseIdsByType(
+      nodeParts.map { case (tpe, df) => df.withColumn("node_type", lit(tpe)) }
+        .reduce(_ unionByName _),
+      "node_type", Seq("__ord", "node_id"))
       .select(col("node_type"), col("node_id"), col("dense_id"), col("feats"))
+      .cache()
+    nodes.count() // scanned from both sides of the COO translation
 
     // ---- edge relations (natural keys; COO translation below) ----
+    // Lean assembly: every branch is map-only over a cached frame where
+    // possible; set-semantics dedup happens ONCE on the unioned edge list
+    // (all 19 relations are set-shaped); and the exported-node-set
+    // restrictions (drew/assisted/blocked/caused only into exported
+    // foul/shot/freethrow nodes) are enforced by the final INNER joins
+    // against the node table — no per-relation semi-joins.
     def rel(relType: String, srcType: String, dstType: String,
         df: DataFrame): DataFrame =
       df.select(lit(relType).as("rel_type"), lit(srcType).as("src_type"),
         lit(dstType).as("dst_type"),
         col("src").cast("string").as("src_id"), col("dst").cast("string").as("dst_id"))
 
-    val stintPeriod = stints.select(
-      col("stint_id"),
-      concat_ws("_", col("game_id"),
-        TimeKernel.periodOfClock(col("start_clock"))).as("period_id"))
+    def edgeSt(relType: String, srcType: String, dstType: String,
+        src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column) =
+      struct(lit(relType).as("rel_type"), lit(srcType).as("src_type"),
+        lit(dstType).as("dst_type"), src.cast("string").as("src_id"),
+        dst.cast("string").as("dst_id"))
 
+    // stint-sourced relations in ONE pass: two window leads (per-lineup
+    // NEXT, court-order ON_COURT_NEXT) become columns, then every edge of
+    // the row explodes from one struct array — 7 relations, 1 branch
     val wLineup = Window.partitionBy(col("game_id"), col("lineup_id"))
       .orderBy(col("start_clock"))
+    val wCourt = Window.partitionBy(col("game_id"), col("team_id"))
+      .orderBy(col("stint_index"))
+    val periodId = concat_ws("_", col("game_id"),
+      TimeKernel.periodOfClock(col("start_clock")))
+    val stintEdges = stints
+      .withColumn("next_same_lineup", lead(col("stint_id"), 1).over(wLineup))
+      .withColumn("next_on_court", lead(col("stint_id"), 1).over(wCourt))
+      .select(explode(concat(
+        array(
+          edgeSt("has_lineup", "team", "lineup", col("team_id"), col("lineup_id")),
+          edgeSt("on_court", "lineup", "lineup_stint", col("lineup_id"), col("stint_id")),
+          edgeSt("in_period", "lineup_stint", "period", col("stint_id"), periodId),
+          edgeSt("next", "lineup_stint", "lineup_stint",
+            col("stint_id"), col("next_same_lineup")),
+          edgeSt("on_court_next", "lineup_stint", "lineup_stint",
+            col("stint_id"), col("next_on_court"))),
+        transform(col("player_ids"), p =>
+          edgeSt("member_of", "player", "lineup", p, col("lineup_id"))))).as("e"))
+      .select(col("e.*"))
+      .filter(col("dst_id").isNotNull)
+
+    // player-stint-sourced relations: one window lead + membership explode
     val wPlayer = Window.partitionBy(col("game_id"), col("person_id"))
       .orderBy(col("start_clock"))
+    val psEdges = ps
+      .withColumn("next_ps", lead(col("player_stint_id"), 1).over(wPlayer))
+      .select(explode(concat(
+        array(
+          edgeSt("on_court", "player", "player_stint",
+            col("person_id"), col("player_stint_id")),
+          edgeSt("next", "player_stint", "player_stint",
+            col("player_stint_id"), col("next_ps"))),
+        transform(col("stint_ids"), ls =>
+          edgeSt("on_court_with", "player_stint", "lineup_stint",
+            col("player_stint_id"), ls)))).as("e"))
+      .select(col("e.*"))
+      .filter(col("dst_id").isNotNull)
 
-    def actorRel(relType: String, out: String, dstType: String) =
-      rel(out, "player_stint", dstType,
-        actor.filter(col("rel_type") === relType)
-          .select(col("src_id").as("src"), col("dst_action_id").as("dst")))
+    // actor-sourced relations: rel_type renamed by a when-chain — 4
+    // relations, 1 branch (took_shot needs the shot/freethrow split, so
+    // it keeps its own small join)
+    val actorEdges = actor
+      .filter(col("rel_type").isin("COMMITTED_FOUL", "DREW_FOUL", "ASSISTED", "BLOCKED"))
+      .select(
+        when(col("rel_type") === "COMMITTED_FOUL", "committed_foul")
+          .when(col("rel_type") === "DREW_FOUL", "drew_foul")
+          .when(col("rel_type") === "ASSISTED", "assisted")
+          .otherwise(lit("blocked")).as("rel_type"),
+        lit("player_stint").as("src_type"),
+        when(col("rel_type").isin("COMMITTED_FOUL", "DREW_FOUL"), "foul")
+          .otherwise(lit("shot")).as("dst_type"),
+        col("src_id"),
+        col("dst_action_id").cast("string").as("dst_id"))
 
     val tookShotEdges = actor.filter(col("rel_type") === "TOOK_SHOT")
       .join(ev.select(col("action_id").as("dst_action_id"), col("is_freethrow")),
         Seq("dst_action_id"))
+      .select(lit("took_shot").as("rel_type"), lit("player_stint").as("src_type"),
+        when(col("is_freethrow"), "freethrow").otherwise(lit("shot")).as("dst_type"),
+        col("src_id"), col("dst_action_id").cast("string").as("dst_id"))
+
+    // ps -> period: membership routed through the stint's period
+    val stintPeriod = stints.select(col("stint_id"), periodId.as("period_id"))
+    val psPeriodEdges = rel("in_period", "player_stint", "period", ps
+      .select(col("player_stint_id").as("src"), explode(col("stint_ids")).as("stint_id"))
+      .join(stintPeriod, Seq("stint_id"))
+      .select(col("src"), col("period_id").as("dst")))
 
     val edges: Seq[DataFrame] = Seq(
-      rel("played_home", "team", "game", gameTeams
-        .select(col("home_team_id").as("src"), col("game_id").as("dst"))),
-      rel("played_away", "team", "game", gameTeams
-        .select(col("away_team_id").as("src"), col("game_id").as("dst"))),
+      gameTeams.select(explode(array(
+        edgeSt("played_home", "team", "game", col("home_team_id"), col("game_id")),
+        edgeSt("played_away", "team", "game", col("away_team_id"), col("game_id"))))
+        .as("e")).select(col("e.*")),
       rel("in_game", "period", "game", p.periods
         .select(col("period_id").as("src"), col("game_id").as("dst"))),
-      rel("has_lineup", "team", "lineup", stints
-        .select(col("team_id").as("src"), col("lineup_id").as("dst")).distinct()),
-      rel("member_of", "player", "lineup", stints
-        .select(explode(col("player_ids")).as("src"), col("lineup_id").as("dst"))
-        .distinct()),
-      rel("on_court", "lineup", "lineup_stint", stints
-        .select(col("lineup_id").as("src"), col("stint_id").as("dst"))),
-      rel("on_court", "player", "player_stint", ps
-        .select(col("person_id").as("src"), col("player_stint_id").as("dst"))),
-      rel("on_court_with", "player_stint", "lineup_stint", ps
-        .select(col("player_stint_id").as("src"),
-          explode(col("stint_ids")).as("dst"))),
-      rel("in_period", "lineup_stint", "period", stintPeriod
-        .select(col("stint_id").as("src"), col("period_id").as("dst"))),
-      rel("in_period", "player_stint", "period", ps
-        .select(col("player_stint_id").as("src"), explode(col("stint_ids")).as("stint_id"))
-        .join(stintPeriod, Seq("stint_id"))
-        .select(col("src"), col("period_id").as("dst")).distinct()),
-      rel("next", "lineup_stint", "lineup_stint", stints
-        .select(col("stint_id").as("src"), lead(col("stint_id"), 1).over(wLineup).as("dst"))
-        .filter(col("dst").isNotNull)),
-      rel("next", "player_stint", "player_stint", ps
-        .select(col("player_stint_id").as("src"),
-          lead(col("player_stint_id"), 1).over(wPlayer).as("dst"))
-        .filter(col("dst").isNotNull)),
-      rel("on_court_next", "lineup_stint", "lineup_stint",
-        Stints.stintChains(stints)
-          .select(col("stint_id").as("src"), col("next_stint_id").as("dst"))),
-      actorRel("COMMITTED_FOUL", "committed_foul", "foul"),
-      rel("drew_foul", "player_stint", "foul",
-        actor.filter(col("rel_type") === "DREW_FOUL")
-          .join(foulNodes.select(col("action_id").as("dst_action_id")),
-            Seq("dst_action_id"), "left_semi")
-          .select(col("src_id").as("src"), col("dst_action_id").as("dst"))),
-      rel("took_shot", "player_stint", "shot", tookShotEdges
-        .filter(!col("is_freethrow"))
-        .select(col("src_id").as("src"), col("dst_action_id").as("dst"))),
-      rel("took_shot", "player_stint", "freethrow", tookShotEdges
-        .filter(col("is_freethrow"))
-        .select(col("src_id").as("src"), col("dst_action_id").as("dst"))),
-      rel("assisted", "player_stint", "shot",
-        actor.filter(col("rel_type") === "ASSISTED")
-          .join(shotNodes.select(col("action_id").as("dst_action_id")),
-            Seq("dst_action_id"), "left_semi")
-          .select(col("src_id").as("src"), col("dst_action_id").as("dst"))),
-      rel("blocked", "player_stint", "shot",
-        actor.filter(col("rel_type") === "BLOCKED")
-          .join(shotNodes.select(col("action_id").as("dst_action_id")),
-            Seq("dst_action_id"), "left_semi")
-          .select(col("src_id").as("src"), col("dst_action_id").as("dst"))),
+      stintEdges, psEdges, psPeriodEdges, actorEdges, tookShotEdges,
       rel("caused", "foul", "freethrow",
         Edges.caused(ev)
-          .join(foulNodes.select(col("action_id").as("src_action_id")),
-            Seq("src_action_id"), "left_semi")
-          .join(ftNodes.select(col("action_id").as("dst_action_id")),
-            Seq("dst_action_id"), "left_semi")
           .select(col("src_action_id").as("src"), col("dst_action_id").as("dst"))))
 
     val idx = nodes.select(col("node_type"), col("node_id"), col("dense_id"))
-    val allEdges = edges.reduce(_ unionByName _)
+    val allEdges = edges.reduce(_ unionByName _).distinct()
     val src = idx.select(col("node_type").as("src_type"), col("node_id").as("src_id"),
       col("dense_id").as("src_idx"))
     val dst = idx.select(col("node_type").as("dst_type"), col("node_id").as("dst_id"),

@@ -25,11 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** The reference's 14 shot-style labels (F9, multi-label subtyping —
+    * `/root/reference/src/queries/game.py:378-397`): descriptor CONTAINS
+    * tests, one boolean flag column each. */
+  val shotStyleLabels: Seq[(String, String)] = Seq(
+    "style_driving" -> "driving", "style_pullup" -> "pullup",
+    "style_fadeaway" -> "fadeaway", "style_step_back" -> "step back",
+    "style_alley_oop" -> "alley oop", "style_reverse" -> "reverse",
+    "style_turnaround" -> "turnaround", "style_hook" -> "hook",
+    "style_floating" -> "floating", "style_finger_roll" -> "finger roll",
+    "style_putback" -> "putback", "style_tip" -> "tip",
+    "style_cutting" -> "cutting", "style_running" -> "running")
+
+  /** Per-family subtype labels (game.py:224-228 jumpball descriptors,
+    * 278-284 violations, 318-329 fouls, 488-489 rebounds, 532-541
+    * turnovers — incl. the 'bas pass' typo fixed to 'bad pass' per
+    * SURVEY §2.11 — and 585-586 timeouts): (flag, family, subtype). */
+  val subtypeLabels: Seq[(String, String, String)] = Seq(
+    ("foul_personal", "foul", "personal"),
+    ("foul_shooting", "foul", "shooting"),
+    ("foul_technical", "foul", "technical"),
+    ("foul_offensive", "foul", "offensive"),
+    ("rebound_offensive", "rebound", "offensive"),
+    ("rebound_defensive", "rebound", "defensive"),
+    ("turnover_bad_pass", "turnover", "bad pass"),
+    ("turnover_lost_ball", "turnover", "lost ball"),
+    ("turnover_traveling", "turnover", "traveling"),
+    ("violation_kicked_ball", "violation", "kicked ball"),
+    ("timeout_full", "timeout", "full"),
+    ("timeout_short", "timeout", "short"),
+    ("jumpball_recovered", "jumpball", "recovered"))
+
   /** Single-pass typed extraction (replaces reference F5's 8 dispatch
-    * masks): flag columns per family, FT attempt parse, points. */
+    * masks): flag columns per family, the full multi-label type system
+    * (shot styles + subtype labels), FT attempt parse, points. */
   def enriched(pbp: DataFrame): DataFrame = {
     val t = col("action_type")
-    pbp
+    val base = pbp
       .filter(t =!= "substitution" && t =!= "period")
       .withColumn("is_shot", t.isin("2pt", "3pt"))
       .withColumn("is_made", col("shot_result") === "Made")
@@ -37,6 +69,12 @@ object Events {
       .withColumn("ft_attempt",
         when(col("is_freethrow"),
           split(coalesce(col("sub_type"), lit("")), " ").getItem(0).cast("int")))
+      // "1 of 2" parse (C3, game.py:435-439): total attempts + last-attempt
+      .withColumn("ft_total",
+        when(col("is_freethrow") && coalesce(col("sub_type"), lit("")).contains(" of "),
+          split(col("sub_type"), " ").getItem(2).cast("int")))
+      .withColumn("is_last_ft",
+        col("is_freethrow") && col("ft_attempt") === col("ft_total"))
       .withColumn("points",
         when(t === "2pt" && col("is_made"), 2)
           .when(t === "3pt" && col("is_made"), 3)
@@ -46,6 +84,14 @@ object Events {
       .withColumn("order_clock",
         col("global_clock") +
           when(col("ft_attempt").isNotNull, col("ft_attempt") * 0.1).otherwise(0.0))
+    val withStyles = shotStyleLabels.foldLeft(base) { case (df, (flag, needle)) =>
+      df.withColumn(flag,
+        col("is_shot") && coalesce(col("descriptor"), lit("")).contains(needle))
+    }
+    subtypeLabels.foldLeft(withStyles) { case (df, (flag, family, sub)) =>
+      df.withColumn(flag,
+        t === family && coalesce(col("sub_type"), lit("")).contains(sub))
+    }
   }
 
   /** Timeline priority (reference W6 table, game.py:749-759). */

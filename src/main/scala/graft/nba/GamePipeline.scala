@@ -39,7 +39,7 @@ object GamePipeline {
     val subs = Stints.subEvents(spark, pbp)
     val snapshots = Stints.lineupSnapshots(spark, starters, subs)
     val lineupStints = Stints.lineupStints(snapshots, gameEnd).cache()
-    val playerStints = Stints.playerStints(lineupStints)
+    val playerStints = Stints.playerStints(lineupStints).cache()
 
     // 2. event extraction + attribution (F5 single pass, J5/J6 as-of)
     val events = Events.enriched(pbp.toDF())

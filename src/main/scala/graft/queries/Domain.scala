@@ -19,10 +19,22 @@ object Domain {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GamePipeline.Result]()
 
+  private val pygCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[graft] def pyg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pygCache.computeIfAbsent((s, dir), { case (s2, d2) =>
+      graft.graph.PyGExport.build(pipeline(s2, d2), GameFeed.gameTeams(s2, d2))
+    })
+
   private[graft] def pipeline(s: SparkSession, dir: String): GamePipeline.Result =
     cache.computeIfAbsent((s, dir), { case (s2, d2) =>
+      // cached: the tiny game->teams dim is referenced by attribution, the
+      // season invariant and four export branches — and Spark's cache
+      // manager resolves every identical GameFeed.gameTeams plan to this
+      // one InMemoryRelation
       GamePipeline.run(s2, GameFeed.pbp(s2, d2), GameFeed.starters(s2, d2),
-        GameFeed.gameTeams(s2, d2))
+        GameFeed.gameTeams(s2, d2).cache())
     })
 
   /** Shared oracle CTEs mirroring GameFeed's mapping: the derived event
@@ -502,8 +514,7 @@ object Domain {
         |JOIN nodes s ON s.node_type = r.src_type AND s.node_id = r.src_id
         |JOIN nodes d ON d.node_type = r.dst_type AND d.node_id = r.dst_id""".stripMargin,
     "full PyG HeteroData edge export: 19 relations, dense-id COO") { (s, dir) =>
-    val p = pipeline(s, dir)
-    graft.graph.PyGExport.build(p, GameFeed.gameTeams(s, dir))._2
+    pyg(s, dir)._2
   }
 
   /** PyG node tables: the 10 node types with dense ids and the reference
@@ -513,8 +524,7 @@ object Domain {
     PRELUDE + PYG +
       """SELECT node_type, node_id, dense_id, feats FROM nodes""".stripMargin,
     "PyG node tables: dense ids + feature vectors per node type") { (s, dir) =>
-    val p = pipeline(s, dir)
-    graft.graph.PyGExport.build(p, GameFeed.gameTeams(s, dir))._1
+    pyg(s, dir)._1
   }
 
   /** Periods pipeline (reference game.py:11-51 + manager:126-135): bounds
@@ -714,8 +724,73 @@ object Domain {
     rebs.unionByName(graft.nba.Edges.caused(p.attributedEvents))
   }
 
+  /** The multi-label type system (F9 + SURVEY §1.1): 14 shot-style
+    * flags, 13 per-family subtype flags, FT attempt parsing — flags
+    * generated from the same label tables [[graft.nba.Events]] uses, so
+    * query and engine can't drift. */
+  val q70LabelFlags: Q = {
+    val styleList = GameFeed.shotStyles.map(s => s"'$s'").mkString(", ")
+    val styleFlags = graft.nba.Events.shotStyleLabels.map { case (flag, needle) =>
+      s"(atype IN ('2pt', '3pt') AND contains(coalesce(dsc, ''), '$needle')) AS $flag"
+    }
+    val subFlags = graft.nba.Events.subtypeLabels.map { case (flag, family, sub) =>
+      s"(atype = '$family' AND contains(coalesce(sub, ''), '$sub')) AS $flag"
+    }
+    Q.sql(
+      "q70_label_flags",
+      PRELUDE +
+        s""", acts AS (
+          |  SELECT game_id, event_id * 4 AS action_id,
+          |         CASE WHEN event_type = 'click' THEN '2pt'
+          |              WHEN event_type = 'purchase' THEN '3pt'
+          |              WHEN event_type = 'error' AND value < 250 THEN 'rebound'
+          |              WHEN event_type = 'error' AND value < 400 THEN 'violation'
+          |              WHEN event_type = 'error' THEN 'jumpball'
+          |              WHEN value < 150 THEN 'foul'
+          |              WHEN value < 300 THEN 'turnover'
+          |              ELSE 'timeout' END AS atype,
+          |         CASE WHEN event_type IN ('click', 'purchase')
+          |              THEN list_extract([$styleList], CAST(event_id % 14 AS INT) + 1)
+          |              END AS dsc,
+          |         CASE WHEN event_type = 'error' AND value < 250 THEN
+          |                CASE WHEN event_id % 2 = 0 THEN 'defensive' ELSE 'offensive' END
+          |              WHEN event_type = 'error' AND value < 400 THEN 'kicked ball'
+          |              WHEN event_type = 'error' THEN 'recovered'
+          |              WHEN event_type = 'view' AND value < 150 THEN
+          |                CASE WHEN event_id % 2 = 0 THEN 'personal' ELSE 'shooting' END
+          |              WHEN event_type = 'view' AND value < 300 THEN
+          |                CASE WHEN event_id % 3 = 0 THEN 'bad pass'
+          |                     WHEN event_id % 3 = 1 THEN 'lost ball'
+          |                     ELSE 'traveling' END
+          |              WHEN event_type = 'view' THEN 'full' END AS sub,
+          |         CAST(NULL AS INT) AS att
+          |  FROM base WHERE event_type <> 'signup'
+          |  UNION ALL
+          |  SELECT game_id, event_id * 4 + a.i, 'freethrow', NULL,
+          |         CAST(a.i AS VARCHAR) || ' of 2', a.i
+          |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
+          |  WHERE event_type = 'view' AND value < 150.0
+          |)
+          |SELECT game_id, action_id, atype AS action_type,
+          |  ${(styleFlags ++ subFlags).mkString(",\n          |  ")},
+          |  CAST(att AS BIGINT) AS ft_attempt,
+          |  CAST(CASE WHEN att IS NOT NULL THEN 2 END AS BIGINT) AS ft_total,
+          |  coalesce(atype = 'freethrow' AND att = 2, false) AS is_last_ft
+          |FROM acts""".stripMargin,
+      "multi-label type system: shot styles + subtype flags + FT parse") { (s, dir) =>
+      val p = pipeline(s, dir)
+      val flags = (graft.nba.Events.shotStyleLabels.map(_._1) ++
+        graft.nba.Events.subtypeLabels.map(_._1)).map(col)
+      p.attributedEvents.select(
+        Seq(col("game_id"), col("action_id"), col("action_type")) ++ flags ++
+          Seq(col("ft_attempt").cast("long").as("ft_attempt"),
+            col("ft_total").cast("long").as("ft_total"),
+            col("is_last_ft")): _*)
+    }
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
-      q69PygNodes)
+      q69PygNodes, q70LabelFlags)
 }

@@ -96,22 +96,36 @@ object Embeddings {
   }
 
   // ---------------------------------------------------------------- q32
-  /** Embedding-cosine near-dup pairs within a bucket: cosine ≥ 0.4
-    * (this corpus' max pairwise cosine is ~0.51 — real near-dup
-    * thresholds would sit at 0.9+ on trained embeddings). */
+  /** Embedding-cosine near-dup pairs, candidates through the q33
+    * hyperplane buckets: a pair is considered only when it shares BOTH
+    * the coarse cell (`label`) and the 8-plane LSH bucket, then verified
+    * with exact cosine ≥ 0.2 (this synthetic corpus' pairwise cosines
+    * top out near 0.5, so the verify threshold sits below it; trained
+    * embeddings would use 0.9+). This is the honest 100 TB shape — an
+    * equi-join on (label, bucket), never all-pairs within a cell; like
+    * any vector-LSH dedup it trades recall for that (the oracle mirrors
+    * the same algorithm; q30 remains the exact brute-force baseline). */
   val q32EmbeddingNearDup: Q = Q.sql(
     "q32_embedding_neardup",
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    s"""WITH bk AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${(0 until 8).map(j =>
+              s"(CASE WHEN ${duckPlaneDot(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+              .mkString(" + ")} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${duckCos("a.embedding", "b.embedding")} AS cosine
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4""".stripMargin) { (s, dir) =>
-    val e = emb(s, dir)
+       |FROM bk a JOIN bk b
+       |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.2""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir).withColumn("bucket", hyperplaneBucket)
     val cosine = Vectors.cosine(col("a.embedding"), col("b.embedding"))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") &&
+        col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine >= 0.4)
+      .filter(cosine >= 0.2)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine.as("cosine"))
   }
@@ -135,6 +149,14 @@ object Embeddings {
        |            THEN 1.0 ELSE -1.0 END)
        |      for d in range(0, 64)], (x, y) -> x + y)""".stripMargin
 
+  /** The 8-plane sign-pattern bucket, shared by q33 (the bucketing
+    * query) and q32 (candidate generation). */
+  private def hyperplaneBucket: org.apache.spark.sql.Column =
+    (0 until 8).map { j =>
+      val signs = array((0 until 64).map(d => lit(planeSign(j, d))): _*)
+      when(Vectors.dot(col("embedding"), signs) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
   val q33HyperplaneLsh: Q = Q.sql(
     "q33_hyperplane_lsh",
     s"""SELECT vec_id,
@@ -142,11 +164,7 @@ object Embeddings {
               s"(CASE WHEN ${duckPlaneDot(j)} > 0 THEN ${1 << j} ELSE 0 END)")
               .mkString(" + ")} AS BIGINT) AS bucket
        |FROM embeddings""".stripMargin) { (s, dir) =>
-    val bucket = (0 until 8).map { j =>
-      val signs = array((0 until 64).map(d => lit(planeSign(j, d))): _*)
-      when(Vectors.dot(col("embedding"), signs) > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    emb(s, dir).select(col("vec_id"), bucket.as("bucket"))
+    emb(s, dir).select(col("vec_id"), hyperplaneBucket.as("bucket"))
   }
 
   // ---------------------------------------------------------------- q35

@@ -218,8 +218,15 @@ object TextPipeline {
     * [[Text.minhashSignature]]/[[Text.bandKeys]] but aggregation-shaped:
     * md5 runs once per (doc, shingle) and signatures build in the
     * map-side combine. */
-  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingleHashRows(s, dir)
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame =
+    minhashBandRowsFrom(shingleHashRows(s, dir))
+
+  /** Band rows from an (already materialized) shingle index — q25 shares
+    * ONE cached index between band generation and Jaccard verification
+    * instead of building two lineages over the same posexplode+window
+    * scan (the round-1 bench's single biggest line). */
+  private def minhashBandRowsFrom(shingles: DataFrame): DataFrame = {
+    val hashed = shingles
       .select(col("doc_id"), (col("h") % Text.MinhashP).as("h31"))
     val slots = (0 until 12).map(sd =>
       min((lit(sd * 2 + 1) * col("h31") + lit(sd * 1000003 + 12345)) % Text.MinhashP)
@@ -286,13 +293,13 @@ object TextPipeline {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
-    val bands = minhashBandRows(s, dir).cache()
+    val sh = shingleHashRows(s, dir).cache()
+    val bands = minhashBandRowsFrom(sh).cache()
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingleHashRows(s, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa0"), col("sa0.doc_id") === col("doc_a"))
@@ -347,10 +354,14 @@ object TextPipeline {
   val q26Simhash: Q = Q.sql("q26_simhash", simhashSql)(simhashRows)
 
   // ---------------------------------------------------------------- q27
-  /** SimHash near-dup pairs within a language bucket: hamming distance
-    * ≤ 2 on the 32-bit signatures. The lang equi-key keeps the pair join
-    * partitioned (no global cross product) — the same bucketing discipline
-    * as q25's bands. */
+  /** SimHash near-dup pairs (hamming ≤ 2) via PIGEONHOLE segment
+    * banding: split the 32-bit signature into 3 segments (11/11/10
+    * bits); hamming ≤ 2 means at most 2 segments differ, so every true
+    * pair matches exactly on ≥1 segment — candidates come from a
+    * LOSSLESS equi-join on (lang, segment_index, segment_value), never
+    * an all-pairs compare inside the lang bucket. Output is identical
+    * to the quadratic form (the oracle keeps the all-pairs spelling as
+    * the independent check). */
   val q27SimhashPairs: Q = Q.sql(
     "q27_simhash_pairs",
     s"""WITH sh AS (
@@ -366,13 +377,21 @@ object TextPipeline {
     val sh = simhashRows(s, dir)
     val tagged = docs(s, dir).select(col("doc_id"), col("lang"))
       .join(sh, Seq("doc_id"))
-    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    tagged.as("a")
-      .join(tagged.as("b"), col("a.lang") === col("b.lang") &&
+    val segs = tagged.select(col("doc_id"), col("lang"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(lit(0x7FFL)),
+        shiftright(col("simhash"), 11).bitwiseAND(lit(0x7FFL)),
+        shiftright(col("simhash"), 22))).as(Seq("seg", "segval")))
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    segs.as("a")
+      .join(segs.as("b"), col("a.lang") === col("b.lang") &&
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
         col("a.doc_id") < col("b.doc_id"))
-      .filter(hamming <= 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.cast("long").as("hamming"))
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct() // a pair may collide in 2-3 segments
+      .filter(hamming <= 2)
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
   }
 
   // ---------------------------------------------------------------- q28
