@@ -263,13 +263,7 @@ object TextPipeline {
     "q24_minhash_bands",
     minhashBandsSql)(minhashBandRows)
 
-  // ---------------------------------------------------------------- q25
-  /** MinHash LSH near-dup pairs: candidates = docs sharing ≥1 band key
-    * (equi-join on band_key), verified with exact shingle-hash Jaccard
-    * ≥ 0.5. This is the full scalable dedup: LSH prunes candidates, the
-    * exact check removes false positives. */
-  val q25MinhashDedup: Q = Q.sql(
-    "q25_minhash_dedup",
+  private val minhashDedupSql =
     s"""WITH bands AS (
       |  $minhashBandsSql
       |), cand AS (
@@ -292,7 +286,9 @@ object TextPipeline {
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+
+  private def minhashDedupPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashRows(s, dir).cache()
     val bands = minhashBandRowsFrom(sh).cache()
     val cand = bands.as("a")
@@ -314,6 +310,62 @@ object TextPipeline {
       .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** MinHash LSH near-dup pairs: candidates = docs sharing ≥1 band key
+    * (equi-join on band_key), verified with exact shingle-hash Jaccard
+    * ≥ 0.5. This is the full scalable dedup: LSH prunes candidates, the
+    * exact check removes false positives. */
+  val q25MinhashDedup: Q = Q.sql("q25_minhash_dedup", minhashDedupSql)(minhashDedupPairs)
+
+  // ---------------------------------------------------------------- q29
+  /** Dedup clustering — the last step of a real dedup pipeline: connected
+    * components over the verified near-dup pairs (GraphX, component id =
+    * min doc_id), every document assigned a cluster + a representative
+    * flag. Keep-one-per-cluster is then a single filter. The oracle
+    * re-derives components with a recursive transitive closure. */
+  val q29DedupClusters: Q = Q.sql(
+    "q29_dedup_clusters",
+    s"""WITH RECURSIVE pairs AS (
+       |  $minhashDedupSql
+       |),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |r(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+       |),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id,
+       |           coalesce((SELECT min(b) FROM r WHERE a = d.doc_id), d.doc_id))
+       |           AS cluster_id
+       |  FROM documents d
+       |)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_representative,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM comp""".stripMargin) { (s, dir) =>
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = s
+    import spark.implicits._
+    val edges = minhashDedupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edges, defaultValue = 0)
+      .connectedComponents().vertices
+      .toDF("doc_id", "comp")
+    val w = Window.partitionBy(col("cluster_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp").cast("long"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
   /** Shared SimHash SQL: one md5-derived 60-bit int per token, then 32
@@ -424,5 +476,6 @@ object TextPipeline {
 
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
-    q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint)
+    q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
+    q29DedupClusters)
 }

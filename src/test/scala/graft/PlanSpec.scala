@@ -68,4 +68,25 @@ class PlanSpec extends AnyFunSuite {
       s"as-of fell back to a quadratic join:\n$p")
     assert(p.contains("Window"), s"expected window formulation:\n$p")
   }
+
+  test("q27: simhash pairs join on the pigeonhole segment key, not all-pairs") {
+    val p = plan("q27_simhash_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"pair generation fell back to a quadratic join:\n$p")
+    // the equi-join key must include the segment columns
+    assert(p.contains("seg"), s"segment key missing from the join:\n$p")
+  }
+
+  test("q32: embedding near-dup joins on (label, hyperplane bucket)") {
+    val p = plan("q32_embedding_neardup")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"pair generation fell back to a quadratic join:\n$p")
+    assert(p.contains("bucket"), s"hyperplane bucket key missing:\n$p")
+  }
+
+  test("q67: actor resolution is one equi-join, no per-relation joins") {
+    val p = plan("q67_actor_edges")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"membership resolution fell back to a quadratic join:\n$p")
+  }
 }
