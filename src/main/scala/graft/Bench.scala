@@ -11,6 +11,10 @@ object Bench {
       // frames coalesce to few partitions, huge ones keep parallelism --
       // the scale-adaptive alternative to hand-tuned coalesce() calls
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // coalesce post-shuffle partitions by byte size, not parallelism:
+      // tiny intermediate shuffles collapse to single-task stages while a
+      // 100 TB shuffle still fans out to thousands of partitions
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

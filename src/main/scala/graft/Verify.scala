@@ -14,6 +14,10 @@ object Verify {
       // frames coalesce to few partitions, huge ones keep parallelism --
       // the scale-adaptive alternative to hand-tuned coalesce() calls
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // coalesce post-shuffle partitions by byte size, not parallelism:
+      // tiny intermediate shuffles collapse to single-task stages while a
+      // 100 TB shuffle still fans out to thousands of partitions
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
