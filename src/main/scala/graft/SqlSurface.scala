@@ -17,5 +17,29 @@ object SqlSurface {
       Tables(spark, dir, name).createOrReplaceTempView(name)
     }
 
+  /** Register the domain engine's materializations as temp views: the
+    * whole game pipeline (periods, stints, attribution, scores,
+    * plus-minus, actor edges, PyG export) becomes queryable with plain
+    * `spark.sql` — the SQL-first spelling of `graft.nba` / `graft.graph`.
+    */
+  def registerDomainViews(spark: SparkSession, dir: String): Unit = {
+    val p = queries.Domain.pipeline(spark, dir)
+    val (pygNodes, pygEdges) = queries.Domain.pyg(spark, dir)
+    Seq(
+      "game_periods" -> p.periods,
+      "lineup_stints" -> p.lineupStints,
+      "player_stints" -> p.playerStints,
+      "attributed_events" -> p.attributedEvents,
+      "score_chain" -> p.scoreChain,
+      "stint_plus_minus" -> p.stintPlusMinus,
+      "player_plus_minus" -> p.playerPlusMinus,
+      "rebound_links" -> p.reboundLinks,
+      "game_timeline" -> p.timeline,
+      "actor_edges" -> graft.nba.Edges.actorEdges(p.attributedEvents, p.playerStints),
+      "pyg_nodes" -> pygNodes,
+      "pyg_edges" -> pygEdges
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
+
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }

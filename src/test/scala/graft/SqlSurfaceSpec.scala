@@ -45,4 +45,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val dfWin = queries.Relational.q08TopKPerGroup.run(spark, dir)
     assert(canon(sqlWin) == canon(dfWin))
   }
+
+  test("domain views: the game engine is queryable with plain SQL") {
+    SqlSurface.registerDomainViews(spark, dir)
+
+    // plus-minus reconciliation written as SQL over the domain views
+    val sqlPm = SqlSurface.sql(spark,
+      """SELECT s.game_id, s.team_id, SUM(s.plus_minus) AS pm
+        |FROM stint_plus_minus s GROUP BY s.game_id, s.team_id""".stripMargin)
+    val dfPm = queries.Domain.pipeline(spark, dir).stintPlusMinus
+      .groupBy("game_id", "team_id")
+      .agg(org.apache.spark.sql.functions.sum("plus_minus").as("pm"))
+    assert(canon(sqlPm) == canon(dfPm))
+
+    // actor edges joined back to stints via SQL
+    val n = SqlSurface.sql(spark,
+      """SELECT COUNT(*) FROM actor_edges e
+        |JOIN player_stints ps ON e.src_id = ps.player_stint_id
+        |WHERE e.src_kind = 'player_stint'""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0)
+
+    // PyG COO indices are valid dense ids for their node types
+    val bad = SqlSurface.sql(spark,
+      """SELECT COUNT(*) FROM pyg_edges e
+        |LEFT JOIN pyg_nodes s
+        |  ON s.node_type = e.src_type AND s.dense_id = e.src_idx
+        |WHERE s.node_id IS NULL""".stripMargin)
+      .head().getLong(0)
+    assert(bad == 0)
+  }
 }
