@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *
   * Mapping (mirrored EXACTLY by the oracle SQL — change both or neither):
   *   - game_id = user_id; event order = (ts, event_id); the n-th event of
-  *     a game happens at global_clock = n * 30.0 seconds.
+  *     a game happens at global_clock = n * 45.0 seconds (long games run
+  *     into OT tiles).
   *   - teams are shared across games (so season NEXT chains exist):
   *     home = game_id%4 + 1, away = (game_id+1)%4 + 1; an event acts for
   *     home when event_id is even, away when odd.
@@ -33,7 +34,7 @@ import org.apache.spark.sql.functions._
   *     event_id%5=0 (i = (event_id+2)%10); style descriptor =
   *     shotStyles(event_id%14).
   *   - 'error' → rebound (value < 250; defensive iff event_id even;
-  *     clock shifted -25 s so it falls 5 s after the previous event,
+  *     clock shifted -40 s so it falls 5 s after the previous event,
   *     inside the reference's 10 s rebound window), violation
   *     (250 <= value < 400), or jumpball (value >= 400; won i =
   *     event_id%10, lost opponent i = (event_id+1)%10, recovered i =
@@ -46,7 +47,7 @@ import org.apache.spark.sql.functions._
   *     = event_id*4 + 1 or 2; period rows = 4e9 + game_id*1000 + p*2 (+1).
   *   - periods tile the clock per [[graft.ops.TimeKernel]] (720 s
   *     regulation quarters, 300 s OT); the last period ends at
-  *     game_end = max event clock + 30.
+  *     game_end = max event clock + 45.
   *
   * Scale shape: one window pass over events partitioned by game (and one
   * by (game, team) for the swap ordinal), then a single generator explode
@@ -84,11 +85,13 @@ object GameFeed {
       .withColumn("opp_id",
         when(col("event_id") % 2 === 0, col("away_team_id"))
           .otherwise(col("home_team_id")))
-      // rebounds land 5 s after the previous event (clock - 25) so the
+      // 45 s steps put long games (>64 events) past the 2880 s regulation
+      // horizon, so the OT tiling is exercised at every scale factor;
+      // rebounds land 5 s after the previous event (clock - 40) so the
       // reference's 10 s rebound->missed-shot window has real matches
       .withColumn("clock",
-        row_number().over(wGame).cast("double") * 30.0 -
-          when(col("event_type") === "error" && col("value") < 250.0, 25.0)
+        row_number().over(wGame).cast("double") * 45.0 -
+          when(col("event_type") === "error" && col("value") < 250.0, 40.0)
             .otherwise(0.0))
       // running count of this team's signups, inclusive: the swap ordinal k
       .withColumn("k",
@@ -191,7 +194,7 @@ object GameFeed {
       .otherwise(lit(2880.0) + (col("p") - 4).cast("double") * 300.0)
     val periodRows = b.groupBy(col("game_id"))
       .agg(max(col("clock")).as("max_clock"))
-      .withColumn("game_end", col("max_clock") + 30.0)
+      .withColumn("game_end", col("max_clock") + 45.0)
       .withColumn("n_periods", periodOf(col("max_clock")))
       .withColumn("p", explode(sequence(lit(1), col("n_periods"))))
       .withColumn("pid", lit(4000000000L) + col("game_id") * 1000 + col("p") * 2)

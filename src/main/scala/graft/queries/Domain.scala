@@ -43,8 +43,8 @@ object Domain {
   private val PRELUDE =
     """WITH base AS (
       |  SELECT user_id AS game_id, event_id, event_type, value,
-      |         CAST(30.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |           - CASE WHEN event_type = 'error' AND value < 250.0 THEN 25.0 ELSE 0.0 END
+      |         CAST(45.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           - CASE WHEN event_type = 'error' AND value < 250.0 THEN 40.0 ELSE 0.0 END
       |           AS DOUBLE) AS clock,
       |         user_id % 4 + 1 AS home_team_id,
       |         (user_id + 1) % 4 + 1 AS away_team_id,
@@ -55,7 +55,7 @@ object Domain {
       |  FROM events
       |),
       |gend AS (
-      |  SELECT game_id, max(clock) + 30.0 AS game_end, max(clock) AS max_clock
+      |  SELECT game_id, max(clock) + 45.0 AS game_end, max(clock) AS max_clock
       |  FROM base GROUP BY 1
       |),
       |subk AS (
