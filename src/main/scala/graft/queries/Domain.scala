@@ -518,13 +518,20 @@ object Domain {
   }
 
   /** PyG node tables: the 10 node types with dense ids and the reference
-    * exporter's feature vectors (manager:399-415, 519-653). */
+    * exporter's feature vectors (manager:399-415, 519-653), exploded to
+    * one row per (node, feature index) — scalar cells only, so any
+    * engine's compare can hash them (binary/array cells broke the r1
+    * driver on q41). */
   val q69PygNodes: Q = Q.sql(
     "q69_pyg_nodes",
     PRELUDE + PYG +
-      """SELECT node_type, node_id, dense_id, feats FROM nodes""".stripMargin,
-    "PyG node tables: dense ids + feature vectors per node type") { (s, dir) =>
-    pyg(s, dir)._1
+      """SELECT node_type, node_id, dense_id,
+        |       CAST(u.fi - 1 AS BIGINT) AS feat_idx, feats[u.fi] AS feat_value
+        |FROM nodes, UNNEST(range(1, len(feats) + 1)) AS u(fi)""".stripMargin,
+    "PyG node tables: dense ids + feature vectors, one row per cell") { (s, dir) =>
+    pyg(s, dir)._1.select(col("node_type"), col("node_id"), col("dense_id"),
+      posexplode_outer(col("feats")).as(Seq("feat_idx", "feat_value")))
+      .withColumn("feat_idx", col("feat_idx").cast("long"))
   }
 
   /** Periods pipeline (reference game.py:11-51 + manager:126-135): bounds
