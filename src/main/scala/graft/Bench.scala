@@ -35,8 +35,10 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // escape like Verify.q(): ANY control char would invalidate the JSON
     val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      val clean = m.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+      "\"" + k + "\":\"" + clean + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFail = results.count(_._3.isDefined)

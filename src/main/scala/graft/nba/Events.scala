@@ -74,7 +74,8 @@ object Events {
         when(col("is_freethrow") && coalesce(col("sub_type"), lit("")).contains(" of "),
           split(col("sub_type"), " ").getItem(2).cast("int")))
       .withColumn("is_last_ft",
-        col("is_freethrow") && col("ft_attempt") === col("ft_total"))
+        coalesce(col("is_freethrow") && col("ft_attempt") === col("ft_total"),
+          lit(false)))
       .withColumn("points",
         when(t === "2pt" && col("is_made"), 2)
           .when(t === "3pt" && col("is_made"), 3)

@@ -99,8 +99,7 @@ object GameFeed {
   }
 
   private def periodOf(clock: Column): Column =
-    when(clock < 2880.0, floor(clock / 720.0).cast("int") + 1)
-      .otherwise(lit(5) + floor((clock - 2880.0) / 300.0).cast("int"))
+    graft.ops.TimeKernel.periodOfClock(clock)
 
   /** The derived play-by-play stream (see object doc for the mapping). */
   def pbp(spark: SparkSession, sfDir: String): Dataset[PbpAction] = {
@@ -187,11 +186,9 @@ object GameFeed {
         col("r.jumpball_recovered_person_id"))
 
     // period bracket rows: two per period (start/end), last ends at
-    // game_end = max clock + 30 — Periods.fromPbp derives bounds from these
-    val tileStart = when(col("p") <= 4, (col("p") - 1).cast("double") * 720.0)
-      .otherwise(lit(2880.0) + (col("p") - 5).cast("double") * 300.0)
-    val tileEnd = when(col("p") < 4, col("p").cast("double") * 720.0)
-      .otherwise(lit(2880.0) + (col("p") - 4).cast("double") * 300.0)
+    // game_end = max clock + 45 — Periods.fromPbp derives bounds from these
+    val tileStart = graft.ops.TimeKernel.periodStartOffset(col("p"))
+    val tileEnd = graft.ops.TimeKernel.periodStartOffset(col("p") + 1)
     val periodRows = b.groupBy(col("game_id"))
       .agg(max(col("clock")).as("max_clock"))
       .withColumn("game_end", col("max_clock") + 45.0)

@@ -535,39 +535,21 @@ object Domain {
   }
 
   /** Periods pipeline (reference game.py:11-51 + manager:126-135): bounds
-    * from PBP period events, Q/OT labels, NEXT chain — oracle re-derives
-    * the tiling closed-form from each game's event count. */
+    * from PBP period events, Q/OT labels, NEXT chain. The oracle reuses
+    * the PYG block's `pper` tiling CTE — one closed form, no second
+    * hand-expanded copy to drift. */
   val q66Periods: Q = Q.sql(
     "q66_periods",
-    PRELUDE +
-      """, np AS (
-        |  SELECT game_id, game_end,
-        |         CASE WHEN max_clock < 2880 THEN CAST(floor(max_clock / 720) AS INT) + 1
-        |              ELSE 5 + CAST(floor((max_clock - 2880) / 300) AS INT) END AS n_periods
-        |  FROM gend
-        |),
-        |per AS (
-        |  SELECT game_id, CAST(p.p AS INT) AS period, game_end, n_periods,
-        |         CASE WHEN p.p <= 4 THEN (p.p - 1) * 720.0
-        |              ELSE 2880.0 + (p.p - 5) * 300.0 END AS start_clock,
-        |         CASE WHEN p.p < n_periods THEN
-        |                CASE WHEN p.p < 4 THEN p.p * 720.0
-        |                     ELSE 2880.0 + (p.p - 4) * 300.0 END
-        |              ELSE game_end END AS end_clock
-        |  FROM np CROSS JOIN (SELECT unnest(range(1, 13)) AS p) p
-        |  WHERE p.p <= n_periods
-        |)
-        |SELECT game_id, CAST(period AS BIGINT) AS period,
-        |       CAST(game_id AS VARCHAR) || '_' || CAST(period AS VARCHAR) AS period_id,
-        |       CAST(start_clock AS DOUBLE) AS start_clock,
-        |       CAST(end_clock AS DOUBLE) AS end_clock,
-        |       CASE WHEN period <= 4 THEN 'Q' || CAST(period AS VARCHAR) ELSE 'OT' END AS label,
-        |       period > 4 AS is_overtime,
-        |       lead(CAST(game_id AS VARCHAR) || '_' || CAST(period AS VARCHAR))
-        |         OVER (PARTITION BY game_id ORDER BY period) AS next_period_id,
-        |       CAST(lead(start_clock) OVER (PARTITION BY game_id ORDER BY period) - start_clock
+    PRELUDE + PYG +
+      """SELECT game_id, CAST(pnum AS BIGINT) AS period, period_id,
+        |       CAST(pstartc AS DOUBLE) AS start_clock,
+        |       CAST(pendc AS DOUBLE) AS end_clock,
+        |       CASE WHEN pnum <= 4 THEN 'Q' || CAST(pnum AS VARCHAR) ELSE 'OT' END AS label,
+        |       pnum > 4 AS is_overtime,
+        |       lead(period_id) OVER (PARTITION BY game_id ORDER BY pnum) AS next_period_id,
+        |       CAST(lead(pstartc) OVER (PARTITION BY game_id ORDER BY pnum) - pstartc
         |         AS DOUBLE) AS time_delta
-        |FROM per""".stripMargin,
+        |FROM pper""".stripMargin,
     "period bounds/labels/NEXT derived from PBP period events") { (s, dir) =>
     pipeline(s, dir).periods
       .withColumn("period", col("period").cast("long"))
