@@ -42,5 +42,52 @@ object MultimodalQ {
       .drop("frame_bytes")
   }
 
-  val all: Seq[Q] = Seq(q40MultimodalMeta, q41FrameSample)
+  private def frames(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val media = Multimodal.withPayload(Tables(s, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(s, media, stride = 100, frameSize = 64, maxFrames = 4)
+  }
+
+  /** Shared oracle CTE: the q41 frames with their hex encoding (2 hex
+    * chars per byte) — byte i of the frame is hex positions 2i+1..2i+2. */
+  private val framesSql =
+    """WITH fr AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |    hex(CAST(substr(text, i * 100 + 1, 64) AS BLOB)) AS h
+      |  FROM documents, UNNEST(range(0, 4)) r(i)
+      |  WHERE i * 100 + 64 <= octet_length(encode(text))
+      |)""".stripMargin
+
+  /** Per-frame byte statistics — honest feature extraction over the raw
+    * bytes (the partition-batch slot where an embedding model would run),
+    * re-derived by the oracle from the hex encoding. */
+  val q42FrameFeatures: Q = Q.sql(
+    "q42_frame_features",
+    framesSql +
+      """
+      |SELECT doc_id, frame_idx, CAST(64 AS BIGINT) AS n_bytes,
+      |  list_avg(b) AS byte_mean,
+      |  CAST(list_min(b) AS BIGINT) AS byte_min,
+      |  CAST(list_max(b) AS BIGINT) AS byte_max
+      |FROM (SELECT doc_id, frame_idx,
+      |        [('0x' || substr(h, 2 * i + 1, 2))::INT for i in range(0, 64)] AS b
+      |      FROM fr)""".stripMargin) { (s, dir) =>
+    Multimodal.frameFeatures(s, frames(s, dir)).toDF()
+  }
+
+  /** Stride-subsampled 8-byte thumbnails ("resize" plumbing): byte j of
+    * the thumb is byte 8j of the frame. */
+  val q43FrameResize: Q = Q.sql(
+    "q43_frame_resize",
+    framesSql +
+      """
+      |SELECT doc_id, frame_idx,
+      |  array_to_string([substr(h, 16 * j + 1, 2) for j in range(0, 8)], '') AS thumb_hex
+      |FROM fr""".stripMargin) { (s, dir) =>
+    Multimodal.resizeFrames(s, frames(s, dir), outBytes = 8).toDF()
+      .withColumn("thumb_hex", hex(col("thumb_bytes")))
+      .drop("thumb_bytes")
+  }
+
+  val all: Seq[Q] =
+    Seq(q40MultimodalMeta, q41FrameSample, q42FrameFeatures, q43FrameResize)
 }
