@@ -507,10 +507,29 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- q45
+  /** Skew-safe two-stage (salted) aggregation over the hot event_type
+    * keys (ops.Salt): partials on (key, salt), combine on the key —
+    * identical results to a direct groupBy (decimal accumulation makes
+    * the sum order-independent), one hot key never lands on one reducer.
+    */
+  val q45SaltedAgg: Q = Q.sql(
+    "q45_salted_agg",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .withColumn("v", col("value").cast("decimal(28,10)"))
+    graft.ops.Salt.skewedSumCount(ev, Seq("event_type"), "v", "event_id")
+      .select(col("event_type"),
+        col("sum_v").cast("double").as("sum_value"), col("n"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
-    q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup)
+    q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg)
 }

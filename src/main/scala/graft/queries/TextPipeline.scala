@@ -474,8 +474,48 @@ object TextPipeline {
         size(col("s")).cast("long").as("n_shingles"))
   }
 
+  // ---------------------------------------------------------------- q44
+  /** KMV (K-minimum-values) distinct-count sketch, k = 16: estimate the
+    * distinct-token count per language from the 16th-smallest md5-derived
+    * hash. Unlike HLL, the sketch is a deterministic function of the data
+    * — both engines compute identical hashes, so the ESTIMATE itself is
+    * oracle-checkable, not just the exact count it approximates. The
+    * aggregation shape (per-key k-smallest) is one window + one groupBy —
+    * mergeable partials, the 100 TB sketch discipline. */
+  val q44KmvDistinct: Q = Q.sql(
+    "q44_kmv_distinct",
+    """WITH t AS (
+      |  SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |),
+      |r AS (
+      |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      |  FROM t
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_exact,
+      |  coalesce(
+      |    CAST(15 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |      / max(CASE WHEN rn = 16 THEN h END),
+      |    CAST(count(*) AS DOUBLE)) AS kmv_estimate
+      |FROM r GROUP BY lang""".stripMargin) { (s, dir) =>
+    val toks = docs(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("lang"), Text.baseHash(col("tok")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    toks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_exact"),
+        max(when(col("rn") === 16, col("h"))).as("h_k"))
+      .select(col("lang"), col("n_exact"),
+        coalesce(lit(15.0) * lit(1.152921504606846976e18) / col("h_k"),
+          col("n_exact").cast("double")).as("kmv_estimate"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
-    q29DedupClusters)
+    q29DedupClusters, q44KmvDistinct)
 }
