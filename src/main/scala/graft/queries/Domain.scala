@@ -778,8 +778,93 @@ object Domain {
     }
   }
 
+  /** Priority-ordered action timeline with NEXT links (W6 + W1,
+    * reference MERGE_NEXT_ACTION game.py:744-769): every action of a
+    * game sequenced by (order_clock, family priority, id). */
+  val q71ActionTimeline: Q = Q.sql(
+    "q71_action_timeline",
+    PRELUDE +
+      """, tl AS (
+        |  SELECT game_id, event_id * 4 AS action_id,
+        |         CASE WHEN event_type = 'click' THEN '2pt'
+        |              WHEN event_type = 'purchase' THEN '3pt'
+        |              WHEN event_type = 'error' AND value < 250 THEN 'rebound'
+        |              WHEN event_type = 'error' AND value < 400 THEN 'violation'
+        |              WHEN event_type = 'error' THEN 'jumpball'
+        |              WHEN value < 150 THEN 'foul'
+        |              WHEN value < 300 THEN 'turnover'
+        |              ELSE 'timeout' END AS atype,
+        |         clock AS oclock
+        |  FROM base WHERE event_type <> 'signup'
+        |  UNION ALL
+        |  SELECT game_id, event_id * 4 + a.i, 'freethrow',
+        |         clock + a.i * CAST(0.1 AS DOUBLE)
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
+        |  WHERE event_type = 'view' AND value < 150.0
+        |)
+        |SELECT game_id, action_id, CAST(seq AS BIGINT) AS seq, next_action_id
+        |FROM (
+        |  SELECT game_id, action_id,
+        |         row_number() OVER wt AS seq,
+        |         lead(action_id) OVER wt AS next_action_id
+        |  FROM (
+        |    SELECT *,
+        |           CASE WHEN atype = 'jumpball' THEN 1
+        |                WHEN atype = 'foul' THEN 2
+        |                WHEN atype = 'violation' THEN 3
+        |                WHEN atype IN ('2pt', '3pt') THEN 4
+        |                WHEN atype = 'freethrow' THEN 5
+        |                WHEN atype = 'rebound' THEN 6
+        |                WHEN atype = 'turnover' THEN 7
+        |                WHEN atype = 'timeout' THEN 8
+        |                ELSE 9 END AS prio
+        |    FROM tl)
+        |  WINDOW wt AS (PARTITION BY game_id ORDER BY oclock, prio, action_id)
+        |)""".stripMargin,
+    "priority-ordered per-game action timeline with NEXT links (W6+W1)") { (s, dir) =>
+    pipeline(s, dir).timeline
+      .select(col("game_id"), col("action_id"),
+        col("seq").cast("long").as("seq"), col("next_action_id"))
+  }
+
+  /** Schedule-side static edges (reference team.py:12, season.py:8-16):
+    * HOME_ARENA (team->arena, arena id = team id in the derived world),
+    * IN_SEASON (game->season, season = the game's start year) and AT
+    * (game->the home team's arena). */
+  val q72ScheduleEdges: Q = Q.sql(
+    "q72_schedule_edges",
+    """WITH sched AS (
+      |  SELECT user_id AS game_id, min(ts) AS game_time,
+      |         user_id % 4 + 1 AS home_team_id
+      |  FROM events GROUP BY 1, 3
+      |)
+      |SELECT 'IN_SEASON' AS rel_type, CAST(game_id AS VARCHAR) AS src_id,
+      |       'season_' || CAST(year(game_time) AS VARCHAR) AS dst_id
+      |FROM sched
+      |UNION ALL
+      |SELECT 'AT', CAST(game_id AS VARCHAR),
+      |       'arena_' || CAST(home_team_id AS VARCHAR)
+      |FROM sched
+      |UNION ALL
+      |SELECT DISTINCT 'HOME_ARENA', CAST(home_team_id AS VARCHAR),
+      |       'arena_' || CAST(home_team_id AS VARCHAR)
+      |FROM sched""".stripMargin,
+    "IN_SEASON / AT / HOME_ARENA static schedule edges") { (s, dir) =>
+    val sched = GameFeed.schedule(s, dir)
+    val inSeason = sched.select(lit("IN_SEASON").as("rel_type"),
+      col("game_id").cast("string").as("src_id"),
+      concat(lit("season_"), year(col("game_time"))).as("dst_id"))
+    val at = sched.select(lit("AT").as("rel_type"),
+      col("game_id").cast("string").as("src_id"),
+      concat(lit("arena_"), col("home_team_id")).as("dst_id"))
+    val homeArena = sched.select(lit("HOME_ARENA").as("rel_type"),
+      col("home_team_id").cast("string").as("src_id"),
+      concat(lit("arena_"), col("home_team_id")).as("dst_id")).distinct()
+    inSeason.unionByName(at).unionByName(homeArena)
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
-      q69PygNodes, q70LabelFlags)
+      q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges)
 }
