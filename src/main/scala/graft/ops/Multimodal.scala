@@ -61,8 +61,10 @@ object Multimodal {
       // feature-extractor init would happen here, once per partition
       rows.map { f =>
         val b = f.frame_bytes.map(_ & 0xFF)
-        FrameFeatures(f.doc_id, f.frame_idx, b.length.toLong,
-          b.sum.toDouble / b.length, b.min.toLong, b.max.toLong)
+        if (b.isEmpty) FrameFeatures(f.doc_id, f.frame_idx, 0L, 0.0, 0L, 0L)
+        else FrameFeatures(f.doc_id, f.frame_idx, b.length.toLong,
+          // long accumulation: an int sum wraps negative past ~8 MB of 0xFF
+          b.foldLeft(0L)(_ + _).toDouble / b.length, b.min.toLong, b.max.toLong)
       }
     }
   }
@@ -77,9 +79,12 @@ object Multimodal {
     import spark.implicits._
     frames.mapPartitions { rows =>
       rows.map { f =>
-        val stride = f.frame_bytes.length / outBytes
+        // frames shorter than outBytes keep their own bytes (stride 1,
+        // truncated output) instead of repeating byte 0 / crashing empty
+        val n = math.min(outBytes, f.frame_bytes.length)
+        val stride = math.max(1, f.frame_bytes.length / outBytes)
         Thumb(f.doc_id, f.frame_idx,
-          Array.tabulate(outBytes)(i => f.frame_bytes(i * stride)))
+          Array.tabulate(n)(i => f.frame_bytes(i * stride)))
       }
     }
   }

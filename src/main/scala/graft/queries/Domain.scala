@@ -283,8 +283,7 @@ object Domain {
       |         ${pstart("p.p")} AS pstartc,
       |         CASE WHEN p.p < n_periods THEN ${pstart("(p.p + 1)")}
       |              ELSE game_end END AS pendc
-      |  FROM np CROSS JOIN (SELECT unnest(range(1, 13)) AS p) p
-      |  WHERE p.p <= n_periods
+      |  FROM np, UNNEST(range(1, np.n_periods + 1)) AS p(p)
       |),
       |shotsB AS (
       |  SELECT game_id, event_id, clock, team_id, opp_id, value, event_type
@@ -530,7 +529,7 @@ object Domain {
         |FROM nodes, UNNEST(range(1, len(feats) + 1)) AS u(fi)""".stripMargin,
     "PyG node tables: dense ids + feature vectors, one row per cell") { (s, dir) =>
     pyg(s, dir)._1.select(col("node_type"), col("node_id"), col("dense_id"),
-      posexplode_outer(col("feats")).as(Seq("feat_idx", "feat_value")))
+      posexplode(col("feats")).as(Seq("feat_idx", "feat_value")))
       .withColumn("feat_idx", col("feat_idx").cast("long"))
   }
 
