@@ -23,8 +23,20 @@ object Tables {
       // 2^53 ns). DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates the
       // same way, so both engines see identical microsecond values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // normalize whatever the writer produced to a µs TimestampType:
+      // TIMESTAMP(NANOS) arrives as a long of nanoseconds (the conf
+      // above), NTZ writers (e.g. DuckDB COPY) arrive as TIMESTAMP_NTZ
+      // (identical wall values under the UTC session), ordinary µs
+      // TIMESTAMP needs nothing
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
