@@ -325,9 +325,24 @@ object TextPipeline {
     * min doc_id), every document assigned a cluster + a representative
     * flag. Keep-one-per-cluster is then a single filter. The oracle
     * re-derives components with a recursive transitive closure. */
-  val q29DedupClusters: Q = Q.sql(
-    "q29_dedup_clusters",
-    s"""WITH RECURSIVE pairs AS (
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = s
+    import spark.implicits._
+    val edges = minhashDedupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edges, defaultValue = 0)
+      .connectedComponents().vertices
+      .toDF("doc_id", "comp")
+    docs(s, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp").cast("long"), col("doc_id")).as("cluster_id"))
+  }
+
+  private val clustersSql =
+    s"""pairs AS (
        |  $minhashDedupSql
        |),
        |und AS (
@@ -346,26 +361,52 @@ object TextPipeline {
        |           coalesce((SELECT min(b) FROM r WHERE a = d.doc_id), d.doc_id))
        |           AS cluster_id
        |  FROM documents d
-       |)
+       |)""".stripMargin
+
+  val q29DedupClusters: Q = Q.sql(
+    "q29_dedup_clusters",
+    s"""WITH RECURSIVE $clustersSql
        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_representative,
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM comp""".stripMargin) { (s, dir) =>
-    import org.apache.spark.graphx.{Edge, Graph}
-    val spark = s
-    import spark.implicits._
-    val edges = minhashDedupPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val cc = Graph.fromEdges(edges, defaultValue = 0)
-      .connectedComponents().vertices
-      .toDF("doc_id", "comp")
     val w = Window.partitionBy(col("cluster_id"))
-    docs(s, dir).select(col("doc_id"))
-      .join(cc, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("comp").cast("long"), col("doc_id")).as("cluster_id"))
+    dedupClusters(s, dir)
       .withColumn("is_representative", col("doc_id") === col("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** The end-to-end training-data cleaning pipeline: language-tagged
+    * documents -> quality gate (q20's length/punctuation rule) ->
+    * near-dup removal (one representative per q29 LSH cluster) -> the
+    * clean corpus with its token counts. This is the composite query an
+    * LLM-data pipeline actually ships; every stage is the oracle-gated
+    * operator registered above. */
+  val q46CleanCorpus: Q = Q.sql(
+    "q46_clean_corpus",
+    s"""WITH RECURSIVE $clustersSql,
+       |q AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5
+       |               AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 5 <= length(text)
+       |              THEN 1 ELSE 0 END AS quality
+       |  FROM documents
+       |)
+       |SELECT q.doc_id, q.lang, q.n_tokens, c.cluster_id
+       |FROM q JOIN comp c USING (doc_id)
+       |WHERE q.quality = 1 AND c.cluster_id = q.doc_id""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+    val quality = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      when(size(toks) >= 5 && nPunct * 5 <= length(col("text")), 1L)
+        .otherwise(0L).as("quality"))
+    quality
+      .join(dedupClusters(s, dir), Seq("doc_id"))
+      .filter(col("quality") === 1 && col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cluster_id"))
   }
 
   /** Shared SimHash SQL: one md5-derived 60-bit int per token, then 32
@@ -517,5 +558,5 @@ object TextPipeline {
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
-    q29DedupClusters, q44KmvDistinct)
+    q29DedupClusters, q44KmvDistinct, q46CleanCorpus)
 }
