@@ -89,4 +89,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"membership resolution fell back to a quadratic join:\n$p")
   }
+
+  test("q60: the whole domain pipeline plans without quadratic joins") {
+    val p = plan("q60_stint_plusminus")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"attribution fell back to a quadratic join:\n$p")
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+  }
 }
