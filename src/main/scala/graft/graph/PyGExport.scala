@@ -24,8 +24,7 @@ import org.apache.spark.sql.functions._
   *   - features mirror manager:399-415 + 519-653: period `[n]`, stints
   *     `[global_clock, local_clock, duration]`, foul
   *     `[global_clock, local_clock]`, shot `[global_clock, local_clock,
-  *     x, y, dist, is_2pt, is_3pt, is_made]` (coords null — the derived
-  *     feed carries none), freethrow `[global_clock, local_clock,
+  *     x, y, dist, is_2pt, is_3pt, is_made]`, freethrow `[global_clock, local_clock,
   *     is_made]`, constant `[1.0]` for game/team/lineup/player.
   *
   * Scale shape: every edge set is an equi-join or a single window; dense
@@ -63,7 +62,6 @@ object PyGExport {
       .join(tookShot, Seq("action_id"), "left_semi")
 
     val one = array(lit(1.0))
-    val dNull = lit(null).cast("double")
     def actionFeats(df: DataFrame, extra: Seq[org.apache.spark.sql.Column]) =
       df.select(col("action_id").cast("string").as("node_id"),
         array(Seq(col("global_clock"), TimeKernel.localClock(col("global_clock"))) ++
@@ -98,7 +96,7 @@ object PyGExport {
         lit(0.0).as("__ord")),
       "foul" -> actionFeats(foulNodes, Nil)
         .select(col("node_id"), col("feats"), col("__ord").cast("double").as("__ord")),
-      "shot" -> actionFeats(shotNodes, Seq(dNull, dNull, dNull,
+      "shot" -> actionFeats(shotNodes, Seq(col("x"), col("y"), col("dist"),
         when(col("action_type") === "2pt", 1.0).otherwise(0.0),
         when(col("action_type") === "3pt", 1.0).otherwise(0.0),
         when(col("is_made"), 1.0).otherwise(0.0)))

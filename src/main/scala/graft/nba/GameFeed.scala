@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *     shooter i = event_id%10; assists on made shots when event_id%3=0
   *     (i = (event_id+1)%10); blocks by the opponent on missed shots when
   *     event_id%5=0 (i = (event_id+2)%10); style descriptor =
-  *     shotStyles(event_id%14).
+  *     shotStyles(event_id%14); coords x = event_id%50 - 25,
+  *     y = event_id%35, dist = sqrt(x^2 + y^2).
   *   - 'error' → rebound (value < 250; defensive iff event_id even;
   *     clock shifted -40 s so it falls 5 s after the previous event,
   *     inside the reference's 10 s rebound window), violation
@@ -64,6 +65,7 @@ object GameFeed {
 
   private val nulL = lit(null).cast("long")
   private val nulS = lit(null).cast("string")
+  private val nulD = lit(null).cast("double")
 
   private def person(team: Column, i: Column): Column = team * 100 + i
 
@@ -115,7 +117,7 @@ object GameFeed {
     def st(a: Column, typ: Column, sub: Column, desc: Column, res: Column,
         tm: Column, p: Column, assist: Column, block: Column, steal: Column,
         drawn: Column, jbWon: Column = nulL, jbLost: Column = nulL,
-        jbRec: Column = nulL): Column =
+        jbRec: Column = nulL, sx: Column = nulD, sy: Column = nulD): Column =
       struct(a.cast("long").as("action_id"), typ.as("action_type"),
         sub.as("sub_type"), desc.as("descriptor"), res.as("shot_result"),
         tm.cast("long").as("team_id"), p.cast("long").as("person_id"),
@@ -125,7 +127,9 @@ object GameFeed {
         drawn.cast("long").as("foul_drawn_person_id"),
         jbWon.cast("long").as("jumpball_won_person_id"),
         jbLost.cast("long").as("jumpball_lost_person_id"),
-        jbRec.cast("long").as("jumpball_recovered_person_id"))
+        jbRec.cast("long").as("jumpball_recovered_person_id"),
+        sx.cast("double").as("x"), sy.cast("double").as("y"),
+        sqrt(sx.cast("double") * sx + sy.cast("double") * sy).as("dist"))
 
     val subOut = st(aid, lit("substitution"), lit("out"), nulS, nulS, team,
       person(team, (col("k") - 1) % 10), nulL, nulL, nulL, nulL)
@@ -136,7 +140,8 @@ object GameFeed {
       when(made, "Made").otherwise("Missed"), team, shooter,
       when(made && e % 3 === 0, person(team, (e + 1) % 10)).otherwise(nulL),
       when(!made && e % 5 === 0, person(opp, (e + 2) % 10)).otherwise(nulL),
-      nulL, nulL)
+      nulL, nulL,
+      sx = (e % 50 - 25).cast("double"), sy = (e % 35).cast("double"))
     val rebound = st(aid, lit("rebound"),
       when(e % 2 === 0, "defensive").otherwise("offensive"), nulS, nulS,
       team, shooter, nulL, nulL, nulL, nulL)
@@ -183,7 +188,8 @@ object GameFeed {
         col("r.assist_person_id"), col("r.block_person_id"),
         col("r.steal_person_id"), col("r.foul_drawn_person_id"),
         col("r.jumpball_won_person_id"), col("r.jumpball_lost_person_id"),
-        col("r.jumpball_recovered_person_id"))
+        col("r.jumpball_recovered_person_id"),
+        col("r.x"), col("r.y"), col("r.dist"))
 
     // period bracket rows: two per period (start/end), last ends at
     // game_end = max clock + 45 — Periods.fromPbp derives bounds from these
@@ -211,7 +217,8 @@ object GameFeed {
         nulL.as("assist_person_id"), nulL.as("block_person_id"),
         nulL.as("steal_person_id"), nulL.as("foul_drawn_person_id"),
         nulL.as("jumpball_won_person_id"), nulL.as("jumpball_lost_person_id"),
-        nulL.as("jumpball_recovered_person_id"))
+        nulL.as("jumpball_recovered_person_id"),
+        nulD.as("x"), nulD.as("y"), nulD.as("dist"))
 
     actionRows.unionByName(periodRows).as[PbpAction]
   }

@@ -32,7 +32,11 @@ object Model {
       // non-jumpball construction sites stay positional-14
       jumpball_won_person_id: Option[Long] = None,
       jumpball_lost_person_id: Option[Long] = None,
-      jumpball_recovered_person_id: Option[Long] = None)
+      jumpball_recovered_person_id: Option[Long] = None,
+      // shot coordinates (reference docs/schema.md:110-115)
+      x: Option[Double] = None,
+      y: Option[Double] = None,
+      dist: Option[Double] = None)
 
   /** Boxscore starter row (reference `src/fetcher.py:88-96`, filter at
     * `src/managers/game.py:88-90`). */

@@ -349,7 +349,11 @@ object Domain {
       |    ON ft.game_id = f.game_id AND ft.event_id = f.event_id
       |),
       |foulNd AS (SELECT DISTINCT game_id, action_id, clock FROM foulE),
-      |shotNd AS (SELECT DISTINCT game_id, action_id, clock, event_type, value FROM shooterE),
+      |shotNd AS (
+      |  SELECT DISTINCT game_id, action_id, clock, event_type, value,
+      |         CAST((action_id // 4) % 50 - 25 AS DOUBLE) AS sx,
+      |         CAST((action_id // 4) % 35 AS DOUBLE) AS sy
+      |  FROM shooterE),
       |ftNd AS (SELECT DISTINCT game_id, action_id, clock, event_id, i FROM ftE),
       |nextE AS (
       |  SELECT a.stint_id AS src, b.stint_id AS dst
@@ -403,7 +407,7 @@ object Domain {
       |  SELECT 'shot', CAST(action_id AS VARCHAR),
       |         row_number() OVER (ORDER BY action_id) - 1,
       |         [CAST(clock AS DOUBLE), CAST(${localc("clock")} AS DOUBLE),
-      |          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |          sx, sy, sqrt(sx * sx + sy * sy),
       |          CASE WHEN event_type = 'click' THEN CAST(1 AS DOUBLE) ELSE 0 END,
       |          CASE WHEN event_type = 'purchase' THEN CAST(1 AS DOUBLE) ELSE 0 END,
       |          CASE WHEN value >= 100.0 THEN CAST(1 AS DOUBLE) ELSE 0 END]

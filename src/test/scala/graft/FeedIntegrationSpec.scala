@@ -72,7 +72,10 @@ class FeedIntegrationSpec extends AnyFunSuite {
       lit(null).cast("long").as("foul_drawn_person_id"),
       lit(null).cast("long").as("jumpball_won_person_id"),
       lit(null).cast("long").as("jumpball_lost_person_id"),
-      lit(null).cast("long").as("jumpball_recovered_person_id")
+      lit(null).cast("long").as("jumpball_recovered_person_id"),
+      lit(null).cast("double").as("x"),
+      lit(null).cast("double").as("y"),
+      lit(null).cast("double").as("dist")
     ).as[Model.PbpAction]
 
     val fromFeed = GamePipeline.run(spark, typed, Fixture.starters(spark),
