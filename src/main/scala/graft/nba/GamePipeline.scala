@@ -31,7 +31,9 @@ object GamePipeline {
     // 0. periods pipeline (A1/A2): bounds derived from PBP period events —
     //    the game end clock every stint tiling closes on is DERIVED, never
     //    a fixture input (reference manager:126-135)
-    val periods = Periods.fromPbp(pbp.toDF())
+    // cached: tiny (games × ~4 rows), but each uncached reference would
+    // re-derive it from a full pbp scan (q66 + two export branches)
+    val periods = Periods.fromPbp(pbp.toDF()).cache()
     val gameEnd = Periods.gameBounds(periods)
       .select(col("game_id"), col("game_end_clock"))
 
