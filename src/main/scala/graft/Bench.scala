@@ -15,6 +15,9 @@ object Bench {
       // tiny intermediate shuffles collapse to single-task stages while a
       // 100 TB shuffle still fans out to thousands of partitions
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // same session semantics as Verify: TIMESTAMP_NTZ casts and epoch
+      // math are session-TZ dependent — bench must execute the verified plan
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

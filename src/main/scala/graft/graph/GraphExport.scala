@@ -38,6 +38,11 @@ object GraphExport {
     * type, but one sort + one zipWithIndex + one 10-row aggregate
     * instead of 2 jobs per type — the difference between ~30 and ~4
     * Spark jobs when an export carries ten node types. */
+  /** The returned frame is CACHED and already materialized (callers scan
+    * it at least twice — src + dst side of every COO translation); the
+    * zipWithIndex intermediate is unpersisted before returning, so no
+    * hidden storage outlives the call. Callers own the returned cache and
+    * may `unpersist()` it when the export is consumed. */
   def denseIdsByType(df: DataFrame, typeCol: String, orderCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy((typeCol +: orderCols).map(col): _*)
@@ -47,9 +52,13 @@ object GraphExport {
       schema).cache()
     val offsets = zipped.groupBy(col(typeCol))
       .agg(min(col("__gidx")).as("__off"))
-    zipped.join(broadcast(offsets), Seq(typeCol))
+    val out = zipped.join(broadcast(offsets), Seq(typeCol))
       .withColumn("dense_id", col("__gidx") - col("__off"))
       .drop("__gidx", "__off")
+      .cache()
+    out.count() // fill the result cache while the zip intermediate is warm
+    zipped.unpersist()
+    out
   }
 
   /** Rewrite an edge list keyed by natural ids into COO dense-index form:

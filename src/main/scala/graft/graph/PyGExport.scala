@@ -106,17 +106,14 @@ object PyGExport {
         .select(col("node_id"), col("feats"), col("__ord").cast("double").as("__ord")))
 
     // one sort + one zipWithIndex for ALL ten types (not 2 jobs per
-    // type), cached: the node table is scanned twice per edge
-    // translation (src + dst side)
-    // denseIdsByType caches its zipWithIndex intermediate — the node
-    // table derives from it via a 10-row broadcast join, so a second
-    // cache here would just double the memory footprint
+    // type); denseIdsByType returns a cached, already-materialized frame
+    // (and releases its zipWithIndex intermediate), so the COO
+    // translation's two scans (src + dst side) both hit the cache
     val nodes = GraphExport.denseIdsByType(
       nodeParts.map { case (tpe, df) => df.withColumn("node_type", lit(tpe)) }
         .reduce(_ unionByName _),
       "node_type", Seq("__ord", "node_id"))
       .select(col("node_type"), col("node_id"), col("dense_id"), col("feats"))
-    nodes.count() // materialize before the COO translation scans it twice
 
     // ---- edge relations (natural keys; COO translation below) ----
     // Lean assembly: every branch is map-only over a cached frame where

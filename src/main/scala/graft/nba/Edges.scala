@@ -94,16 +94,32 @@ object Edges {
   /** Foul→FreeThrow `CAUSED` links — the reference commented the MERGE
     * out (game.py:455-461) but its exporter queries it (manager:625); we
     * implement the documented intent: a free throw is caused by the foul
-    * at the same game clock. */
+    * at the same game clock.
+    *
+    * Ambiguity rule (real play-by-play has several fouls at one stopped
+    * clock — double/technical fouls): each free throw links to exactly ONE
+    * foul, the nearest preceding one in action-id order at that clock,
+    * falling back to the clock's first foul. When the clock carries a
+    * single foul (every derived feed and fixture) this is identical to
+    * the plain same-clock join — but it never cross-multiplies. */
   def caused(events: DataFrame): DataFrame = {
-    val fouls = events.filter(col("action_type") === "foul")
-      .select(col("game_id"), col("global_clock"),
-        col("action_id").as("src_action_id"))
-    val fts = events.filter(col("is_freethrow"))
-      .select(col("game_id"), col("global_clock"),
-        col("action_id").as("dst_action_id"))
-    fouls.join(fts, Seq("game_id", "global_clock"))
+    import org.apache.spark.sql.expressions.Window
+    val rows = events
+      .filter(col("action_type") === "foul" || col("is_freethrow"))
+      .select(col("game_id"), col("global_clock"), col("action_id"),
+        (col("action_type") === "foul").as("is_foul"))
+    val clockW = Window.partitionBy(col("game_id"), col("global_clock"))
+    val runW = clockW.orderBy(col("action_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("prev_foul",
+        last(when(col("is_foul"), col("action_id")), ignoreNulls = true).over(runW))
+      .withColumn("first_foul",
+        min(when(col("is_foul"), col("action_id"))).over(clockW))
+      .filter(!col("is_foul"))
       .select(col("game_id"), lit("CAUSED").as("rel_type"),
-        col("src_action_id"), col("dst_action_id"))
+        coalesce(col("prev_foul"), col("first_foul")).as("src_action_id"),
+        col("action_id").as("dst_action_id"))
+      .filter(col("src_action_id").isNotNull)
   }
 }

@@ -170,8 +170,10 @@ object Events {
       eventTime = "global_clock", stateTime = "shot_clock",
       payload = Seq("shot_id", "shot_clock"), tieBreak = Seq("shot_id"),
       tolerance = Some(10.0))
-    // one claim per shot: earliest rebound wins
-    val w = Window.partitionBy(col("shot_id")).orderBy(col("global_clock"), col("rebound_id"))
+    // one claim per shot: earliest rebound wins; keyed (game_id, shot_id)
+    // so the claim holds even under per-game (non-global) action ids
+    val w = Window.partitionBy(col("game_id"), col("shot_id"))
+      .orderBy(col("global_clock"), col("rebound_id"))
     attributed
       .filter(col("shot_id").isNotNull)
       .withColumn("claim_rank", row_number().over(w))

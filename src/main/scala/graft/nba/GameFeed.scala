@@ -45,7 +45,9 @@ import org.apache.spark.sql.functions._
   *     made iff (event_id+a)%2 = 0), turnover (value < 300; stolen when
   *     event_id%4=0 by opponent i = (event_id+5)%10), else timeout.
   *   - action ids: main row = event_id*4, extra rows (sub-IN / FT1 / FT2)
-  *     = event_id*4 + 1 or 2; period rows = 4e9 + game_id*1000 + p*2 (+1).
+  *     = event_id*4 + 1 or 2; period bracket rows use the negative
+  *     per-game keyspace -2p (start) / -2p-1 (end) — structurally
+  *     disjoint from event rows at any volume.
   *   - periods tile the clock per [[graft.ops.TimeKernel]] (720 s
   *     regulation quarters, 300 s OT); the last period ends at
   *     game_end = max event clock + 45.
@@ -200,14 +202,19 @@ object GameFeed {
       .withColumn("game_end", col("max_clock") + 45.0)
       .withColumn("n_periods", periodOf(col("max_clock")))
       .withColumn("p", explode(sequence(lit(1), col("n_periods"))))
-      .withColumn("pid", lit(4000000000L) + col("game_id") * 1000 + col("p") * 2)
+      // structurally disjoint keyspace: period bracket rows get NEGATIVE,
+      // per-game action ids (start = -2p, end = -2p-1). Event rows are
+      // always non-negative (event_id*4 + j), so no event volume can ever
+      // collide — the stream's key is the (game_id, action_id) composite,
+      // same as every other row kind
+      .withColumn("pid", -(col("p") * 2).cast("long"))
       .withColumn("start_clock", tileStart)
       .withColumn("end_clock",
         when(col("p") < col("n_periods"), tileEnd).otherwise(col("game_end")))
       .withColumn("r", explode(array(
         struct(col("pid").as("action_id"), lit("start").as("sub_type"),
           col("start_clock").as("global_clock")),
-        struct((col("pid") + 1).as("action_id"), lit("end").as("sub_type"),
+        struct((col("pid") - 1).as("action_id"), lit("end").as("sub_type"),
           col("end_clock").as("global_clock")))))
       .select(
         col("game_id"), col("r.action_id"), col("p").as("period"),

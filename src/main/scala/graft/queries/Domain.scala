@@ -698,7 +698,7 @@ object Domain {
         |),
         |rl AS (
         |  SELECT game_id, rebound_id, shot_id,
-        |         row_number() OVER (PARTITION BY shot_id ORDER BY clock, rebound_id) AS cr
+        |         row_number() OVER (PARTITION BY game_id, shot_id ORDER BY clock, rebound_id) AS cr
         |  FROM rl1
         |)
         |SELECT game_id, 'REBOUND_OF' AS rel_type,

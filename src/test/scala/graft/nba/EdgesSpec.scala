@@ -57,6 +57,22 @@ class EdgesSpec extends AnyFunSuite {
     assert(caused == Set((5L, 6L), (5L, 7L)))
   }
 
+  test("CAUSED never cross-multiplies when several fouls share one clock") {
+    import spark.implicits._
+    // double-foul clock 100: each FT links to the nearest PRECEDING foul
+    // in action-id order (9 has none -> falls back to the first foul);
+    // clock 200 has a foul-less FT which must drop out
+    val rows = Seq(
+      (1L, 100.0, 10L, "foul", false), (1L, 100.0, 12L, "foul", false),
+      (1L, 100.0, 9L, "freethrow", true), (1L, 100.0, 11L, "freethrow", true),
+      (1L, 100.0, 13L, "freethrow", true), (1L, 200.0, 20L, "freethrow", true))
+      .toDF("game_id", "global_clock", "action_id", "action_type", "is_freethrow")
+    val caused = Edges.caused(rows)
+      .select("src_action_id", "dst_action_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(caused == Set((10L, 9L), (10L, 11L), (12L, 13L)))
+  }
+
   test("periods pipeline: OT period gets the 300 s tile and OT label") {
     import spark.implicits._
     // 5-period game: Q1-Q4 regulation + one OT ending at 3100
