@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Phase profiler for the domain pipeline + PyG export — breaks the
+  * bench's heavy lines (q60/q61/q64) into their constituent actions so
+  * optimization targets measurements, not guesses.
+  *
+  * Usage: runMain graft.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+    def time(label: String)(f: => Long): Unit = {
+      val j0 = sc.statusTracker.getJobIdsForGroup(null).length
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      val jobs = sc.statusTracker.getJobIdsForGroup(null).length - j0
+      println(f"[profile] $label%-34s ${dt}%7.2fs  rows=$n%-9d jobs=$jobs")
+    }
+    // warm up
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val p = queries.Domain.pipeline(spark, sfDir)
+    time("periods (cache fill)")(p.periods.count())
+    time("lineupStints (cache fill)")(p.lineupStints.count())
+    time("playerStints (cache fill)")(p.playerStints.count())
+    time("attributedEvents (cache fill)")(p.attributedEvents.count())
+    time("stintPlusMinus")(p.stintPlusMinus.count())
+    time("scoreChain")(p.scoreChain.count())
+    time("q62 playerPlusMinus")(p.playerPlusMinus.count())
+    time("reboundLinks")(p.reboundLinks.count())
+    time("timeline")(p.timeline.count())
+    time("pyg build + edges count")(queries.Domain.pyg(spark, sfDir)._2.count())
+    time("pyg nodes count (cached)")(queries.Domain.pyg(spark, sfDir)._1.count())
+    time("q64 re-count (all cached)")(queries.Domain.pyg(spark, sfDir)._2.count())
+    spark.stop()
+  }
+}

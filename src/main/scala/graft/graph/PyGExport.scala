@@ -36,6 +36,14 @@ object PyGExport {
   /** (nodes, edges): nodes = (node_type, node_id, dense_id, feats);
     * edges = (rel_type, src_type, dst_type, src_id, dst_id, src_idx,
     * dst_idx). */
+  private def timed[T](label: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_PROFILE")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile]   pyg.$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    } else f
+
   def build(p: GamePipeline.Result, gameTeams: DataFrame): (DataFrame, DataFrame) = {
     val stints = p.lineupStints
     val ps = p.playerStints
@@ -47,7 +55,7 @@ object PyGExport {
     val actor = Edges.actorEdges(ev, ps)
       .filter(col("src_kind") === "player_stint")
       .cache()
-    actor.count()
+    timed("actor.count")(actor.count())
 
     // exported action-node sets: only actions with a resolved PlayerStint
     // actor (manager:519-653 query heads)
@@ -108,12 +116,18 @@ object PyGExport {
     // one sort + one zipWithIndex for ALL ten types (not 2 jobs per
     // type); denseIdsByType returns a cached, already-materialized frame
     // (and releases its zipWithIndex intermediate), so the COO
-    // translation's two scans (src + dst side) both hit the cache
-    val nodes = GraphExport.denseIdsByType(
-      nodeParts.map { case (tpe, df) => df.withColumn("node_type", lit(tpe)) }
-        .reduce(_ unionByName _),
-      "node_type", Seq("__ord", "node_id"))
-      .select(col("node_type"), col("node_id"), col("dense_id"), col("feats"))
+    // translation's two scans (src + dst side) both hit the cache.
+    // The unioned input is cached first: the global orderBy inside
+    // denseIdsByType evaluates its child TWICE (range-partitioner
+    // sampling pass + sort pass), and this child is a 10-branch union
+    // with several joins — worth computing once
+    val nodeInput = nodeParts
+      .map { case (tpe, df) => df.withColumn("node_type", lit(tpe)) }
+      .reduce(_ unionByName _).cache()
+    val nodes = timed("denseIdsByType")(GraphExport.denseIdsByType(
+      nodeInput, "node_type", Seq("__ord", "node_id"))
+      .select(col("node_type"), col("node_id"), col("dense_id"), col("feats")))
+    nodeInput.unpersist() // denseIdsByType materialized its result above
 
     // ---- edge relations (natural keys; COO translation below) ----
     // Lean assembly: every branch is map-only over a cached frame where
