@@ -11,5 +11,6 @@ object Registry {
       queries.Embeddings.all ++
       queries.MultimodalQ.all ++
       queries.Graphs.all ++
-      queries.Domain.all
+      queries.Domain.all ++
+      queries.StreamingQ.all
 }

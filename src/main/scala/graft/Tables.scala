@@ -14,29 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize whatever the writer produced for `ts` to a µs
+    * TimestampType: TIMESTAMP(NANOS) arrives as a long of nanoseconds
+    * (under `nanosAsLong`; integral `div` — a double division would lose
+    * precision above 2^53 ns; DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+    * truncates the same way), NTZ writers (e.g. DuckDB COPY) arrive as
+    * TIMESTAMP_NTZ (identical wall values under the UTC session),
+    * ordinary µs TIMESTAMP needs nothing. Shared by the batch reader and
+    * the streaming feed source. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a long of
-      // nanoseconds and convert to a microsecond TimestampType column
-      // (integral `div` — a double division would lose precision above
-      // 2^53 ns). DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates the
-      // same way, so both engines see identical microsecond values.
+      // nanoseconds and normalize to a microsecond TimestampType column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // normalize whatever the writer produced to a µs TimestampType:
-      // TIMESTAMP(NANOS) arrives as a long of nanoseconds (the conf
-      // above), NTZ writers (e.g. DuckDB COPY) arrive as TIMESTAMP_NTZ
-      // (identical wall values under the UTC session), ordinary µs
-      // TIMESTAMP needs nothing
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-      df.schema("ts").dataType match {
-        case LongType => df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-        case _ => df
-      }
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Q
+import graft.streaming.StreamingFeed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming queries under the oracle gate: the Structured Streaming feed
+  * ingestion (§2.9) is driven to completion over the sf directory with
+  * `Trigger.AvailableNow`, its parquet sink read back, and the result
+  * hash-compared against a closed-form DuckDB recomputation — the same
+  * feed-oracle architecture the batch domain queries use, now proving the
+  * incremental engine end to end (source → stateful fold → sink).
+  */
+object StreamingQ {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Run the ingestion once per (session, sfDir): stream the events
+    * parquet through the stateful feed fold into a parquet sink, wait for
+    * AvailableNow to drain, and hand back the sink directory. */
+  private def ingest(spark: SparkSession, dir: String): DataFrame = {
+    val out = cache.computeIfAbsent((spark, dir), { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-feed-ingest-").toString
+      val q = StreamingFeed.actions(
+        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$tmp/out"
+    })
+    spark.read.parquet(out)
+  }
+
+  private val styleList =
+    graft.nba.GameFeed.shotStyles.map(s => s"'$s'").mkString(", ")
+
+  /** Streaming ingestion parity: the full per-event pbp expansion (every
+    * family, actor ids, coordinates) as produced INCREMENTALLY by the
+    * file-source stream — period bracket rows excluded (they need
+    * end-of-game knowledge a live stream doesn't have). */
+  val q73StreamIngest: Q = Q.sql(
+    "q73_stream_ingest",
+    s"""WITH base AS (
+      |  SELECT user_id AS game_id, event_id AS e, event_type, value,
+      |         CAST(45.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           - CASE WHEN event_type = 'error' AND value < 250.0 THEN 40.0 ELSE 0.0 END
+      |           AS DOUBLE) AS clock,
+      |         CASE WHEN event_id % 2 = 0 THEN user_id % 4 + 1
+      |              ELSE (user_id + 1) % 4 + 1 END AS tm,
+      |         CASE WHEN event_id % 2 = 0 THEN (user_id + 1) % 4 + 1
+      |              ELSE user_id % 4 + 1 END AS op
+      |  FROM events
+      |),
+      |subk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY game_id, tm ORDER BY clock) AS k
+      |  FROM base WHERE event_type = 'signup'
+      |),
+      |acts AS (
+      |  SELECT game_id, e*4 + u.i AS action_id, clock,
+      |         'substitution' AS atype,
+      |         CASE WHEN u.i = 0 THEN 'out' ELSE 'in' END AS stype,
+      |         CAST(NULL AS VARCHAR) AS descr, CAST(NULL AS VARCHAR) AS result,
+      |         tm AS team_id,
+      |         CASE WHEN u.i = 0 THEN tm*100 + (k-1)%10
+      |              ELSE tm*100 + (k+4)%10 END AS person_id,
+      |         CAST(NULL AS BIGINT) AS assist_pid, CAST(NULL AS BIGINT) AS block_pid,
+      |         CAST(NULL AS BIGINT) AS steal_pid, CAST(NULL AS BIGINT) AS drawn_pid,
+      |         CAST(NULL AS BIGINT) AS jw_pid, CAST(NULL AS BIGINT) AS jl_pid,
+      |         CAST(NULL AS BIGINT) AS jr_pid,
+      |         CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS y
+      |  FROM subk CROSS JOIN (SELECT unnest([0, 1]) AS i) u
+      |  UNION ALL
+      |  SELECT game_id, e*4, clock,
+      |         CASE WHEN event_type = 'click' THEN '2pt' ELSE '3pt' END,
+      |         NULL,
+      |         list_extract([$styleList], CAST(e % 14 AS INT) + 1),
+      |         CASE WHEN value >= 100.0 THEN 'Made' ELSE 'Missed' END,
+      |         tm, tm*100 + e%10,
+      |         CASE WHEN value >= 100.0 AND e%3 = 0 THEN tm*100 + (e+1)%10 END,
+      |         CASE WHEN value < 100.0 AND e%5 = 0 THEN op*100 + (e+2)%10 END,
+      |         NULL, NULL, NULL, NULL, NULL,
+      |         CAST(e%50 - 25 AS DOUBLE), CAST(e%35 AS DOUBLE)
+      |  FROM base WHERE event_type IN ('click', 'purchase')
+      |  UNION ALL
+      |  SELECT game_id, e*4, clock,
+      |         CASE WHEN value < 250.0 THEN 'rebound'
+      |              WHEN value < 400.0 THEN 'violation' ELSE 'jumpball' END,
+      |         CASE WHEN value < 250.0 THEN
+      |                CASE WHEN e%2 = 0 THEN 'defensive' ELSE 'offensive' END
+      |              WHEN value < 400.0 THEN 'kicked ball' ELSE 'recovered' END,
+      |         NULL, NULL, tm, tm*100 + e%10,
+      |         NULL, NULL, NULL, NULL,
+      |         CASE WHEN value >= 400.0 THEN tm*100 + e%10 END,
+      |         CASE WHEN value >= 400.0 THEN op*100 + (e+1)%10 END,
+      |         CASE WHEN value >= 400.0 THEN tm*100 + (e+7)%10 END,
+      |         NULL, NULL
+      |  FROM base WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT game_id, e*4, clock, 'foul',
+      |         CASE WHEN e%2 = 0 THEN 'personal' ELSE 'shooting' END,
+      |         NULL, NULL, tm, tm*100 + e%10,
+      |         NULL, NULL, NULL, op*100 + (e+3)%10,
+      |         NULL, NULL, NULL, NULL, NULL
+      |  FROM base
+      |  WHERE event_type NOT IN ('signup','click','purchase','error')
+      |    AND value < 150.0
+      |  UNION ALL
+      |  SELECT game_id, e*4 + a.i, clock, 'freethrow',
+      |         CAST(a.i AS VARCHAR) || ' of 2', NULL,
+      |         CASE WHEN (e + a.i) % 2 = 0 THEN 'Made' ELSE 'Missed' END,
+      |         op, op*100 + (e+3)%10,
+      |         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
+      |  WHERE event_type NOT IN ('signup','click','purchase','error')
+      |    AND value < 150.0
+      |  UNION ALL
+      |  SELECT game_id, e*4, clock, 'turnover',
+      |         CASE WHEN e%3 = 0 THEN 'bad pass'
+      |              WHEN e%3 = 1 THEN 'lost ball' ELSE 'traveling' END,
+      |         NULL, NULL, tm, tm*100 + e%10,
+      |         NULL, NULL,
+      |         CASE WHEN e%4 = 0 THEN op*100 + (e+5)%10 END,
+      |         NULL, NULL, NULL, NULL, NULL, NULL
+      |  FROM base
+      |  WHERE event_type NOT IN ('signup','click','purchase','error')
+      |    AND value >= 150.0 AND value < 300.0
+      |  UNION ALL
+      |  SELECT game_id, e*4, clock, 'timeout', 'full',
+      |         NULL, NULL, tm, CAST(NULL AS BIGINT),
+      |         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      |  FROM base
+      |  WHERE event_type NOT IN ('signup','click','purchase','error')
+      |    AND value >= 300.0
+      |)
+      |SELECT game_id,
+      |       CAST(action_id AS BIGINT) AS action_id,
+      |       CAST(CASE WHEN clock < 2880 THEN floor(clock/720) + 1
+      |                 ELSE 5 + floor((clock - 2880)/300) END AS INT) AS period,
+      |       clock AS global_clock, atype AS action_type, stype AS sub_type,
+      |       descr AS descriptor, result AS shot_result,
+      |       CAST(team_id AS BIGINT) AS team_id,
+      |       CAST(person_id AS BIGINT) AS person_id,
+      |       CAST(assist_pid AS BIGINT) AS assist_person_id,
+      |       CAST(block_pid AS BIGINT) AS block_person_id,
+      |       CAST(steal_pid AS BIGINT) AS steal_person_id,
+      |       CAST(drawn_pid AS BIGINT) AS foul_drawn_person_id,
+      |       CAST(jw_pid AS BIGINT) AS jumpball_won_person_id,
+      |       CAST(jl_pid AS BIGINT) AS jumpball_lost_person_id,
+      |       CAST(jr_pid AS BIGINT) AS jumpball_recovered_person_id,
+      |       x, y, CASE WHEN x IS NOT NULL THEN sqrt(x*x + y*y) END AS dist
+      |FROM acts""".stripMargin,
+    "streaming file-source feed ingestion driven to completion (§2.9)") { (s, dir) =>
+    ingest(s, dir).select(
+      col("game_id"), col("action_id"), col("period"), col("global_clock"),
+      col("action_type"), col("sub_type"), col("descriptor"),
+      col("shot_result"), col("team_id"), col("person_id"),
+      col("assist_person_id"), col("block_person_id"),
+      col("steal_person_id"), col("foul_drawn_person_id"),
+      col("jumpball_won_person_id"), col("jumpball_lost_person_id"),
+      col("jumpball_recovered_person_id"), col("x"), col("y"), col("dist"))
+  }
+
+  val all: Seq[Q] = Seq(q73StreamIngest)
+}
