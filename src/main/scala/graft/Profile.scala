@@ -33,6 +33,15 @@ object Profile {
     // warm up
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    if (args.length > 1 && args(1) == "queries") {
+      // bench-mirror mode: run the registered queries in bench order
+      Registry.all.filter(q => q.name >= "q60").sortBy(_.name).foreach { q =>
+        time(q.name)(q.run(spark, sfDir).count())
+      }
+      spark.stop()
+      return
+    }
+
     val p = queries.Domain.pipeline(spark, sfDir)
     time("periods (cache fill)")(p.periods.count())
     time("lineupStints (cache fill)")(p.lineupStints.count())
