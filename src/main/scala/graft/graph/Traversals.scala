@@ -13,6 +13,25 @@ object Traversals {
     * converge to head-distance. Linear chains converge in chain-length
     * supersteps; on a 1000-executor cluster each superstep is one
     * partitioned join — no driver-side iteration over elements. */
+  /** Multi-source BFS hop depth via Pregel: vertices satisfying
+    * `isSource` start at 0, everything else converges to its minimum hop
+    * distance along DIRECTED edges (pass a graph with both directions
+    * materialized for undirected semantics). Cycle-safe: the min-plus
+    * messages strictly decrease, so convergence takes diameter supersteps
+    * regardless of cycles. Unreached vertices keep Long.MaxValue. */
+  def bfsDepth[V: scala.reflect.ClassTag](
+      graph: Graph[V, String], isSource: V => Boolean): Graph[(V, Long), String] = {
+    val init = graph.mapVertices((_, v) => (v, if (isSource(v)) 0L else Long.MaxValue))
+    init.pregel(Long.MaxValue, activeDirection = EdgeDirection.Out)(
+      (_, attr, msg) => (attr._1, math.min(attr._2, msg)),
+      triplet =>
+        if (triplet.srcAttr._2 != Long.MaxValue &&
+            triplet.srcAttr._2 + 1 < triplet.dstAttr._2)
+          Iterator((triplet.dstId, triplet.srcAttr._2 + 1))
+        else Iterator.empty,
+      math.min)
+  }
+
   def chainDepth[V: scala.reflect.ClassTag](graph: Graph[V, String]): Graph[Long, String] = {
     val inDeg = graph.inDegrees
     val init: Graph[Long, String] = graph

@@ -866,8 +866,79 @@ object Domain {
     inSeason.unionByName(at).unionByName(homeArena)
   }
 
+  /** Multi-source BFS over the exported heterogeneous graph (GraphX
+    * Pregel, BASELINE.json "GraphX for analytics queries"): hop depth of
+    * every node from the even-numbered game nodes, edges undirected. The
+    * oracle unrolls level-synchronous BFS over the same edge set — each
+    * level is a DISTINCT frontier minus the visited set, so no
+    * path-explosion and cycles are safe in plain (non-recursive) SQL. */
+  val q74GraphBfs: Q = {
+    val levels = 8
+    // every level CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and v_k/l_k reference each other recursively — without
+    // materialization the expansion (and its parquet scans) is
+    // exponential in the level count
+    val und =
+      """, und AS MATERIALIZED (
+        |  SELECT src_type AS at, src_id AS ai, dst_type AS bt, dst_id AS bi FROM rels
+        |  UNION
+        |  SELECT dst_type, dst_id, src_type, src_id FROM rels
+        |),
+        |l0 AS MATERIALIZED (
+        |  SELECT 'game' AS t, node_id AS i FROM nodes
+        |  WHERE node_type = 'game' AND CAST(node_id AS BIGINT) % 2 = 0
+        |),
+        |v0 AS MATERIALIZED (SELECT t, i FROM l0)""".stripMargin
+    val levelCtes = (1 to levels).map { k =>
+      s""",
+        |l$k AS MATERIALIZED (
+        |  SELECT DISTINCT u.bt AS t, u.bi AS i
+        |  FROM und u JOIN l${k - 1} f ON u.at = f.t AND u.ai = f.i
+        |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+        |                    WHERE v.t = u.bt AND v.i = u.bi)
+        |),
+        |v$k AS MATERIALIZED (
+        |  SELECT t, i FROM v${k - 1} UNION ALL SELECT t, i FROM l$k)""".stripMargin
+    }.mkString
+    val select = (0 to levels).map(k =>
+      s"SELECT t AS node_type, i AS node_id, CAST($k AS BIGINT) AS depth FROM l$k")
+      .mkString("\n|", "\n|UNION ALL\n|", "")
+    Q.sql(
+      "q74_graph_bfs",
+      PRELUDE + PYG + und + levelCtes + select.stripMargin,
+      "multi-source BFS depth over the hetero graph (Pregel vs unrolled SQL)") { (s, dir) =>
+      import org.apache.spark.graphx.{Edge, Graph}
+      val (nodes, coo) = pyg(s, dir)
+      val types = Seq("game", "team", "period", "lineup", "player",
+        "lineup_stint", "player_stint", "foul", "shot", "freethrow")
+      val ti = types.zipWithIndex.toMap
+      val off = graft.graph.GraphExport.TypeOffset
+      val vs = nodes.select(col("node_type"), col("node_id"), col("dense_id"))
+        .rdd.map { r =>
+          (ti(r.getString(0)).toLong * off + r.getLong(2)) ->
+            ((r.getString(0), r.getString(1)))
+        }
+      val es = coo
+        .select(col("src_type"), col("src_idx"), col("dst_type"), col("dst_idx"))
+        .rdd.flatMap { r =>
+          val sg = ti(r.getString(0)).toLong * off + r.getLong(1)
+          val dg = ti(r.getString(2)).toLong * off + r.getLong(3)
+          Iterator(Edge(sg, dg, ""), Edge(dg, sg, ""))
+        }
+      val depths = graft.graph.Traversals.bfsDepth[(String, String)](
+        Graph(vs, es), v => v._1 == "game" && v._2.toLong % 2 == 0)
+      import s.implicits._
+      depths.vertices
+        .flatMap { case (_, ((t, id), d)) =>
+          if (d == Long.MaxValue) None else Some((t, id, d))
+        }
+        .toDF("node_type", "node_id", "depth")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
-      q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges)
+      q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges,
+      q74GraphBfs)
 }

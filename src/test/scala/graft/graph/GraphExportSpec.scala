@@ -39,6 +39,19 @@ class GraphExportSpec extends AnyFunSuite {
     assert(pairs.forall { case (s, d) => s >= 0 && s < n && d >= 0 && d < n && s != d })
   }
 
+  test("bfsDepth: multi-source min-hop with cycles and unreached vertices") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val sc = spark.sparkContext
+    // 1 -> 2 -> 3 -> 1 cycle, 2 -> 4, isolated 5; sources = {1}
+    val vs = sc.parallelize(Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, i.toString)))
+    val es = sc.parallelize(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L))
+        .flatMap { case (a, b) => Seq(Edge(a, b, ""), Edge(b, a, "")) })
+    val depths = Traversals.bfsDepth[String](Graph(vs, es), _ == "1")
+      .vertices.collect().map { case (id, (_, d)) => id -> d }.toMap
+    assert(depths == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> Long.MaxValue))
+  }
+
   test("GraphX bridge + Pregel chain depth == stint index") {
     val stints = GraphExport.denseIds(result.lineupStints, Seq("stint_id"))
     val edgeRows = graft.nba.Stints.stintChains(result.lineupStints)
