@@ -239,11 +239,15 @@ object PyGExport {
       col("dense_id").as("src_idx"))
     val dst = idx.select(col("node_type").as("dst_type"), col("node_id").as("dst_id"),
       col("dense_id").as("dst_idx"))
+    // cached: the COO frame is the product of the whole edge assembly —
+    // three consumers (edge export, node-feature query, BFS analytics)
+    // each re-deriving it would pay the full union+distinct+join chain
     val coo = allEdges
       .join(src, Seq("src_type", "src_id"))
       .join(dst, Seq("dst_type", "dst_id"))
       .select(col("rel_type"), col("src_type"), col("dst_type"),
         col("src_id"), col("dst_id"), col("src_idx"), col("dst_idx"))
+      .cache()
     (nodes, coo)
   }
 }

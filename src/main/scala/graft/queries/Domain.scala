@@ -918,12 +918,12 @@ object Domain {
           (ti(r.getString(0)).toLong * off + r.getLong(2)) ->
             ((r.getString(0), r.getString(1)))
         }
+      // raw directed edges only — bfsDepth messages both ways per edge
       val es = coo
         .select(col("src_type"), col("src_idx"), col("dst_type"), col("dst_idx"))
-        .rdd.flatMap { r =>
-          val sg = ti(r.getString(0)).toLong * off + r.getLong(1)
-          val dg = ti(r.getString(2)).toLong * off + r.getLong(3)
-          Iterator(Edge(sg, dg, ""), Edge(dg, sg, ""))
+        .rdd.map { r =>
+          Edge(ti(r.getString(0)).toLong * off + r.getLong(1),
+            ti(r.getString(2)).toLong * off + r.getLong(3), "")
         }
       val depths = graft.graph.Traversals.bfsDepth[(String, String)](
         Graph(vs, es), v => v._1 == "game" && v._2.toLong % 2 == 0)

@@ -42,11 +42,13 @@ class GraphExportSpec extends AnyFunSuite {
   test("bfsDepth: multi-source min-hop with cycles and unreached vertices") {
     import org.apache.spark.graphx.{Edge, Graph}
     val sc = spark.sparkContext
-    // 1 -> 2 -> 3 -> 1 cycle, 2 -> 4, isolated 5; sources = {1}
+    // 1 -> 2 -> 3 -> 1 cycle, 2 -> 4, isolated 5; sources = {1}; raw
+    // directed edges — bfsDepth itself is undirected (4 reached through
+    // the 2->4 edge, 3 backwards through 3->1)
     val vs = sc.parallelize(Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, i.toString)))
     val es = sc.parallelize(
       Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L))
-        .flatMap { case (a, b) => Seq(Edge(a, b, ""), Edge(b, a, "")) })
+        .map { case (a, b) => Edge(a, b, "") })
     val depths = Traversals.bfsDepth[String](Graph(vs, es), _ == "1")
       .vertices.collect().map { case (id, (_, d)) => id -> d }.toMap
     assert(depths == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> Long.MaxValue))
