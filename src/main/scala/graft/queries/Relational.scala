@@ -526,10 +526,41 @@ object Relational {
         col("sum_v").cast("double").as("sum_value"), col("n"))
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Exact distribution kernel: interpolated quantiles + extremes per
+    * group (the data-quality profile a training-data pipeline runs before
+    * filtering). Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the (1-f)·a + f·b interpolation on IEEE doubles, so the values are
+    * bit-identical and hash-comparable. Exact percentile sorts per group
+    * inside the aggregate — at extreme scale the drop-in is
+    * `approx_percentile` (t-digest); exact is what the oracle can pin. */
+  val q75Quantiles: Q = Q.sql(
+    "q75_quantiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99,
+      |  CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+      |  CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    val price = col("l_extendedprice").cast("double")
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(price, lit(0.5)).as("p50"),
+        percentile(price, lit(0.95)).as("p95"),
+        percentile(price, lit(0.99)).as("p99"),
+        min(price).as("lo"),
+        max(price).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
-    q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg)
+    q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
+    q75Quantiles)
 }

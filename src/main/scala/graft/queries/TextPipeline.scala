@@ -570,8 +570,36 @@ object TextPipeline {
           col("n_exact").cast("double")).as("kmv_estimate"))
   }
 
+  // ---------------------------------------------------------------- q76
+  /** Deterministic corpus sampling — the subsampling step of a training
+    * run, engine-portable and reproducible: a hash-Bernoulli flag
+    * (md5(doc_id) % 100 < 5 ≈ a seeded 5% sample, map-only — no shuffle,
+    * no RNG state) and a stratified per-language cap (row_number over the
+    * hash order, WindowGroupLimit prunes to the top 20 per class before
+    * the sort completes). */
+  val q76StratifiedSample: Q = Q.sql(
+    "q76_stratified_sample",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM documents
+      |)
+      |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk, hv % 100 < 5 AS in_bernoulli
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      |      FROM h)
+      |WHERE rk <= 20""".stripMargin) { (s, dir) =>
+    val hv = Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"), hv.as("hv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"),
+        (col("hv") % 100 < 5).as("in_bernoulli"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
-    q29DedupClusters, q44KmvDistinct, q46CleanCorpus)
+    q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample)
 }
