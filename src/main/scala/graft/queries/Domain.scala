@@ -936,9 +936,83 @@ object Domain {
     }
   }
 
+  /** Possession segmentation (the reference's DECLARED-but-never-created
+    * `Possession` entity, setup.py:18,32-33 — implemented intent per
+    * §2.11): possessions end at made shots / made last free throws /
+    * turnovers / defensive rebounds and never cross periods. */
+  val q77Possessions: Q = Q.sql(
+    "q77_possessions",
+    PRELUDE +
+      s""", tp AS (
+        |  SELECT game_id, event_id * 4 AS action_id, clock, clock AS oclock,
+        |         CASE WHEN event_type = 'click' THEN '2pt'
+        |              WHEN event_type = 'purchase' THEN '3pt'
+        |              WHEN event_type = 'error' AND value < 250 THEN 'rebound'
+        |              WHEN event_type = 'error' AND value < 400 THEN 'violation'
+        |              WHEN event_type = 'error' THEN 'jumpball'
+        |              WHEN value < 150 THEN 'foul'
+        |              WHEN value < 300 THEN 'turnover'
+        |              ELSE 'timeout' END AS atype,
+        |         CASE WHEN event_type IN ('click', 'purchase') AND value >= 100.0 THEN TRUE
+        |              WHEN event_type = 'error' AND value < 250.0 AND event_id % 2 = 0 THEN TRUE
+        |              WHEN event_type NOT IN ('signup','click','purchase','error')
+        |                   AND value >= 150.0 AND value < 300.0 THEN TRUE
+        |              ELSE FALSE END AS endf,
+        |         CASE WHEN event_type = 'click' AND value >= 100.0 THEN 2
+        |              WHEN event_type = 'purchase' AND value >= 100.0 THEN 3
+        |              ELSE 0 END AS pts,
+        |         team_id AS tm
+        |  FROM base WHERE event_type <> 'signup'
+        |  UNION ALL
+        |  SELECT game_id, event_id * 4 + a.i, clock,
+        |         clock + a.i * CAST(0.1 AS DOUBLE), 'freethrow',
+        |         a.i = 2 AND event_id % 2 = 0,
+        |         CASE WHEN (event_id + a.i) % 2 = 0 THEN 1 ELSE 0 END,
+        |         opp_id
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
+        |  WHERE event_type = 'view' AND value < 150.0
+        |),
+        |tseq AS (
+        |  SELECT *, ${pn("clock")} AS p,
+        |         row_number() OVER wt AS seq
+        |  FROM (
+        |    SELECT *,
+        |           CASE WHEN atype = 'jumpball' THEN 1 WHEN atype = 'foul' THEN 2
+        |                WHEN atype = 'violation' THEN 3
+        |                WHEN atype IN ('2pt', '3pt') THEN 4
+        |                WHEN atype = 'freethrow' THEN 5 WHEN atype = 'rebound' THEN 6
+        |                WHEN atype = 'turnover' THEN 7 WHEN atype = 'timeout' THEN 8
+        |                ELSE 9 END AS prio
+        |    FROM tp)
+        |  WINDOW wt AS (PARTITION BY game_id ORDER BY oclock, prio, action_id)
+        |),
+        |tcut AS (
+        |  SELECT *,
+        |         CASE WHEN coalesce(lag(endf) OVER ws, FALSE)
+        |                   OR p <> lag(p) OVER ws THEN 1 ELSE 0 END AS cut
+        |  FROM tseq
+        |  WINDOW ws AS (PARTITION BY game_id ORDER BY seq)
+        |),
+        |tpid AS (
+        |  SELECT *, 1 + sum(cut) OVER (PARTITION BY game_id ORDER BY seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM tcut
+        |)
+        |SELECT game_id,
+        |       CAST(game_id AS VARCHAR) || '_' || CAST(pid AS VARCHAR) AS possession_id,
+        |       CAST(pid AS BIGINT) AS possession_index,
+        |       CAST(min(p) AS BIGINT) AS period,
+        |       min(oclock) AS start_clock, max(oclock) AS end_clock,
+        |       count(*) AS n_events, CAST(sum(pts) AS BIGINT) AS points,
+        |       CAST(arg_min(tm, seq) AS BIGINT) AS first_team_id
+        |FROM tpid GROUP BY game_id, pid""".stripMargin,
+    "possession segmentation — the reference's declared-but-dead entity") { (s, dir) =>
+    graft.nba.Possessions.segments(pipeline(s, dir).timeline)
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
       q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges,
-      q74GraphBfs)
+      q74GraphBfs, q77Possessions)
 }
