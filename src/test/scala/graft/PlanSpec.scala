@@ -90,6 +90,19 @@ class PlanSpec extends AnyFunSuite {
       s"membership resolution fell back to a quadratic join:\n$p")
   }
 
+  test("q76: stratified sample uses the WindowGroupLimit pushdown") {
+    val p = plan("q76_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-class cap not pushed into the window:\n$p")
+  }
+
+  test("q23: df cut is a broadcast anti-join, not a window sort on the hash") {
+    val p = plan("q23_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      p.contains("LeftAnti BuildRight"),
+      s"heavy-hitter cut is not a broadcast anti-join:\n$p")
+  }
+
   test("q60: the whole domain pipeline plans without quadratic joins") {
     val p = plan("q60_stint_plusminus")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
