@@ -24,8 +24,17 @@ object StreamingQ {
     * AvailableNow to drain, and hand back the sink directory. */
   private def ingest(spark: SparkSession, dir: String): DataFrame = {
     val out = cache.computeIfAbsent((spark, dir), { _ =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-feed-ingest-").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-feed-ingest-")
+      val tmp = tmpPath.toString
+      // the sink + checkpoint are JVM-scoped scratch — clean them up on
+      // exit so repeated Verify/Bench runs don't accumulate under /tmp
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
       val q = StreamingFeed.actions(
         StreamingFeed.eventsStream(spark, dir, glob = "events.parquet"))
         .writeStream.format("parquet")

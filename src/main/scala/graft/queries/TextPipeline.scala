@@ -197,16 +197,18 @@ object TextPipeline {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { (s, dir) =>
-    // df cut via heavy-hitter broadcast anti-join: shingles in >100 docs
-    // are intrinsically FEW (bounded by |index|/100), so the big index
-    // never shuffle-sorts for the cut — a partial-agg count + a broadcast
-    // anti-join replace the former `count over (partition by h)` window.
-    // Set sizes likewise ride in on a partial-agg + join (AQE broadcasts
-    // it while small, shuffles it at scale).
+    // df cut via heavy-hitter anti-join: shingles in >100 docs are few
+    // relative to the index (≤ |index|/100 — small in practice, but NOT
+    // a broadcast-safe bound at the 100 TB target), so the cut is a
+    // partial-agg count + an EQUI anti-join instead of the former
+    // `count over (partition by h)` full window sort. AQE picks the
+    // strategy: broadcast while the heavy set is small, shuffled
+    // anti-join when it isn't — no driver-memory cliff either way. Set
+    // sizes ride in the same way.
     val idx = shingleIndex(s, dir)
     val heavy = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 100).select(col("h"))
-    val cut = idx.join(broadcast(heavy), Seq("h"), "left_anti")
+    val cut = idx.join(heavy, Seq("h"), "left_anti")
     val sizes = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shz = cut.join(sizes, Seq("doc_id"))
     // lossless prefilter: jaccard >= 0.5 forces |A|,|B| within 2x of each

@@ -125,7 +125,6 @@ object StreamingFeed {
       .flatMapGroupsWithState[FeedState, PbpAction](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (gameId: Long, it: Iterator[RawEvent], state: GroupState[FeedState]) =>
-          val home = gameId % 4 + 1
           var st = state.getOption.getOrElse(FeedState(0L, 0L, 0L))
           val out = Seq.newBuilder[PbpAction]
           for (e <- it.toSeq.sortBy(e => (us(e.ts), e.event_id))) {

@@ -96,11 +96,11 @@ class PlanSpec extends AnyFunSuite {
       s"per-class cap not pushed into the window:\n$p")
   }
 
-  test("q23: df cut is a broadcast anti-join, not a window sort on the hash") {
+  test("q23: df cut is an equi anti-join, not a window sort on the hash") {
     val p = plan("q23_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin LeftAnti") ||
-      p.contains("LeftAnti BuildRight"),
-      s"heavy-hitter cut is not a broadcast anti-join:\n$p")
+    assert(p.contains("LeftAnti"), s"heavy-hitter cut lost the anti-join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"anti-join fell back to a quadratic form:\n$p")
   }
 
   test("q60: the whole domain pipeline plans without quadratic joins") {
