@@ -27,34 +27,68 @@ object Events {
 
   /** The reference's 14 shot-style labels (F9, multi-label subtyping —
     * `/root/reference/src/queries/game.py:378-397`): descriptor CONTAINS
-    * tests, one boolean flag column each. */
+    * tests, one boolean flag column each. Vocabulary matches the MERGE
+    * rules exactly ('alley-oop' hyphenated, 'bank' — there is no hook
+    * label in the reference). */
   val shotStyleLabels: Seq[(String, String)] = Seq(
     "style_driving" -> "driving", "style_pullup" -> "pullup",
     "style_fadeaway" -> "fadeaway", "style_step_back" -> "step back",
-    "style_alley_oop" -> "alley oop", "style_reverse" -> "reverse",
-    "style_turnaround" -> "turnaround", "style_hook" -> "hook",
+    "style_alley_oop" -> "alley-oop", "style_reverse" -> "reverse",
+    "style_turnaround" -> "turnaround", "style_bank" -> "bank",
     "style_floating" -> "floating", "style_finger_roll" -> "finger roll",
     "style_putback" -> "putback", "style_tip" -> "tip",
     "style_cutting" -> "cutting", "style_running" -> "running")
 
-  /** Per-family subtype labels (game.py:224-228 jumpball descriptors,
-    * 278-284 violations, 318-329 fouls, 488-489 rebounds, 532-541
-    * turnovers — incl. the 'bas pass' typo fixed to 'bad pass' per
-    * SURVEY §2.11 — and 585-586 timeouts): (flag, family, subtype). */
-  val subtypeLabels: Seq[(String, String, String)] = Seq(
-    ("foul_personal", "foul", "personal"),
-    ("foul_shooting", "foul", "shooting"),
-    ("foul_technical", "foul", "technical"),
-    ("foul_offensive", "foul", "offensive"),
-    ("rebound_offensive", "rebound", "offensive"),
-    ("rebound_defensive", "rebound", "defensive"),
-    ("turnover_bad_pass", "turnover", "bad pass"),
-    ("turnover_lost_ball", "turnover", "lost ball"),
-    ("turnover_traveling", "turnover", "traveling"),
-    ("violation_kicked_ball", "violation", "kicked ball"),
-    ("timeout_full", "timeout", "full"),
-    ("timeout_short", "timeout", "short"),
-    ("jumpball_recovered", "jumpball", "recovered"))
+  /** One multi-label rule: `flag` is set when the family matches and
+    * sub_type equals any of `subEq` OR descriptor equals any of `descEq`
+    * — the reference's FOREACH-SET label semantics (EQUALITY on both
+    * fields; some labels, e.g. turnover LostBall, fire from either
+    * field, game.py:532-541). */
+  final case class LabelRule(
+      flag: String, family: String,
+      subEq: Seq[String] = Nil, descEq: Seq[String] = Nil)
+
+  /** The complete non-shot label inventory of the reference's MERGE
+    * rules (game.py:221-228 jumpballs, 275-284 violations, 315-329
+    * fouls, 488-489 rebounds, 532-541 turnovers — incl. the 'bas pass'
+    * typo fixed to 'bad pass' per SURVEY §2.11 — and 585-586 timeouts):
+    * 31 labels across 6 families. */
+  val labelRules: Seq[LabelRule] = Seq(
+    LabelRule("foul_personal", "foul", subEq = Seq("personal")),
+    LabelRule("foul_offensive", "foul", subEq = Seq("offensive")),
+    LabelRule("foul_technical", "foul", subEq = Seq("technical")),
+    LabelRule("foul_flagrant", "foul", subEq = Seq("flagrant")),
+    LabelRule("foul_shooting", "foul", descEq = Seq("shooting")),
+    LabelRule("foul_loose_ball", "foul", descEq = Seq("loose ball")),
+    LabelRule("foul_take", "foul", descEq = Seq("take")),
+    LabelRule("foul_def_3_sec", "foul", descEq = Seq("defensive-3-second")),
+    LabelRule("foul_charge", "foul", descEq = Seq("charge")),
+    LabelRule("rebound_offensive", "rebound", subEq = Seq("offensive")),
+    LabelRule("rebound_defensive", "rebound", subEq = Seq("defensive")),
+    LabelRule("violation_kicked_ball", "violation", subEq = Seq("kicked ball")),
+    LabelRule("violation_delay_of_game", "violation", subEq = Seq("delay-of-game")),
+    LabelRule("violation_lane", "violation", subEq = Seq("lane")),
+    LabelRule("violation_goaltending", "violation", subEq = Seq("goaltending")),
+    LabelRule("violation_defensive_goaltending", "violation",
+      subEq = Seq("defensive goaltending")),
+    LabelRule("violation_double_dribble", "violation", subEq = Seq("double dribble")),
+    LabelRule("violation_jump_ball", "violation", subEq = Seq("jump ball")),
+    LabelRule("turnover_bad_pass", "turnover",
+      subEq = Seq("bad pass"), descEq = Seq("bad pass")),
+    LabelRule("turnover_lost_ball", "turnover",
+      subEq = Seq("lost ball"), descEq = Seq("lost ball")),
+    LabelRule("turnover_traveling", "turnover", subEq = Seq("traveling")),
+    LabelRule("turnover_out_of_bounds", "turnover", subEq = Seq("out-of-bounds")),
+    LabelRule("turnover_offensive_foul", "turnover", subEq = Seq("offensive foul")),
+    LabelRule("turnover_shot_clock", "turnover", subEq = Seq("shot clock")),
+    LabelRule("turnover_step", "turnover", descEq = Seq("step")),
+    LabelRule("timeout_full", "timeout", subEq = Seq("full")),
+    LabelRule("timeout_short", "timeout", subEq = Seq("short")),
+    LabelRule("jumpball_recovered", "jumpball", subEq = Seq("recovered")),
+    LabelRule("jumpball_startperiod", "jumpball", descEq = Seq("startperiod")),
+    LabelRule("jumpball_heldball", "jumpball", descEq = Seq("heldball")),
+    LabelRule("jumpball_unclearpass", "jumpball", descEq = Seq("unclearpass")))
+
 
   /** Single-pass typed extraction (replaces reference F5's 8 dispatch
     * masks): flag columns per family, the full multi-label type system
@@ -89,9 +123,12 @@ object Events {
       df.withColumn(flag,
         col("is_shot") && coalesce(col("descriptor"), lit("")).contains(needle))
     }
-    subtypeLabels.foldLeft(withStyles) { case (df, (flag, family, sub)) =>
-      df.withColumn(flag,
-        t === family && coalesce(col("sub_type"), lit("")).contains(sub))
+    labelRules.foldLeft(withStyles) { case (df, r) =>
+      val subHit = r.subEq.foldLeft(lit(false))((acc, v) =>
+        acc || coalesce(col("sub_type"), lit("")) === v)
+      val descHit = r.descEq.foldLeft(lit(false))((acc, v) =>
+        acc || coalesce(col("descriptor"), lit("")) === v)
+      df.withColumn(r.flag, t === r.family && (subHit || descHit))
     }
   }
 

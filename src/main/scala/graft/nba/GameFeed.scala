@@ -34,16 +34,20 @@ import org.apache.spark.sql.functions._
   *     event_id%5=0 (i = (event_id+2)%10); style descriptor =
   *     shotStyles(event_id%14); coords x = event_id%50 - 25,
   *     y = event_id%35, dist = sqrt(x^2 + y^2).
-  *   - 'error' → rebound (value < 250; defensive iff event_id even;
+  *   - 'error' → rebound (value < 100; defensive iff event_id even;
   *     clock shifted -40 s so it falls 5 s after the previous event,
   *     inside the reference's 10 s rebound window), violation
-  *     (250 <= value < 400), or jumpball (value >= 400; won i =
-  *     event_id%10, lost opponent i = (event_id+1)%10, recovered i =
-  *     (event_id+7)%10).
-  *   - 'view' → foul + two drawn free throws (value < 150; committer
-  *     i = event_id%10, drawn opponent i = (event_id+3)%10, attempt a
-  *     made iff (event_id+a)%2 = 0), turnover (value < 300; stolen when
-  *     event_id%4=0 by opponent i = (event_id+5)%10), else timeout.
+  *     (100 <= value < 180; sub_type = violationSubs(event_id%7)), or
+  *     jumpball (value >= 180; won i = event_id%10, lost opponent
+  *     i = (event_id+1)%10, recovered i = (event_id+7)%10;
+  *     descriptor = jumpballDescs(event_id%3)).
+  *   - 'view' → foul + two drawn free throws (value < 80; committer
+  *     i = event_id%10, drawn opponent i = (event_id+3)%10, sub_type =
+  *     foulSubs(event_id%4), descriptor = foulDescs(event_id%5),
+  *     attempt a made iff (event_id+a)%2 = 0), turnover (value < 160;
+  *     sub_type = turnoverSubs(event_id%6), descriptor =
+  *     turnoverDescs(event_id%3), stolen when event_id%4=0 by opponent
+  *     i = (event_id+5)%10), else timeout (full iff event_id even).
   *   - action ids: main row = event_id*4, extra rows (sub-IN / FT1 / FT2)
   *     = event_id*4 + 1 or 2; period bracket rows use the negative
   *     per-game keyspace -2p (start) / -2p-1 (end) — structurally
@@ -59,11 +63,27 @@ import org.apache.spark.sql.functions._
 object GameFeed {
 
   /** Reference shot-style descriptor vocabulary (F9,
-    * `/root/reference/src/queries/game.py:378-397`). */
+    * `/root/reference/src/queries/game.py:378-397` — exact needle set,
+    * incl. the hyphenated 'alley-oop' and 'bank'). */
   val shotStyles: Seq[String] = Seq(
-    "driving", "pullup", "fadeaway", "step back", "alley oop", "reverse",
-    "turnaround", "hook", "floating", "finger roll", "putback", "tip",
+    "driving", "pullup", "fadeaway", "step back", "alley-oop", "reverse",
+    "turnaround", "bank", "floating", "finger roll", "putback", "tip",
     "cutting", "running")
+
+  /** Per-family subtype/descriptor vocabularies (the reference's full
+    * FOREACH-SET label inventory, game.py:221-586), cycled by event id
+    * so every label is exercised at every scale factor. */
+  val foulSubs: Seq[String] = Seq("personal", "offensive", "technical", "flagrant")
+  val foulDescs: Seq[String] =
+    Seq("shooting", "loose ball", "take", "defensive-3-second", "charge")
+  val violationSubs: Seq[String] = Seq(
+    "kicked ball", "delay-of-game", "lane", "goaltending",
+    "defensive goaltending", "double dribble", "jump ball")
+  val turnoverSubs: Seq[String] = Seq(
+    "bad pass", "lost ball", "traveling", "out-of-bounds",
+    "offensive foul", "shot clock")
+  val turnoverDescs: Seq[String] = Seq("lost ball", "bad pass", "step")
+  val jumpballDescs: Seq[String] = Seq("startperiod", "heldball", "unclearpass")
 
   private val nulL = lit(null).cast("long")
   private val nulS = lit(null).cast("string")
@@ -95,7 +115,7 @@ object GameFeed {
       // reference's 10 s rebound->missed-shot window has real matches
       .withColumn("clock",
         row_number().over(wGame).cast("double") * 45.0 -
-          when(col("event_type") === "error" && col("value") < 250.0, 40.0)
+          when(col("event_type") === "error" && col("value") < 100.0, 40.0)
             .otherwise(0.0))
       // running count of this team's signups, inclusive: the swap ordinal k
       .withColumn("k",
@@ -144,27 +164,30 @@ object GameFeed {
       when(!made && e % 5 === 0, person(opp, (e + 2) % 10)).otherwise(nulL),
       nulL, nulL,
       sx = (e % 50 - 25).cast("double"), sy = (e % 35).cast("double"))
+    def cyc(vocab: Seq[String]): Column =
+      element_at(typedLit(vocab), (e % vocab.size).cast("int") + 1)
+
     val rebound = st(aid, lit("rebound"),
       when(e % 2 === 0, "defensive").otherwise("offensive"), nulS, nulS,
       team, shooter, nulL, nulL, nulL, nulL)
-    val violation = st(aid, lit("violation"), lit("kicked ball"), nulS, nulS,
+    val violation = st(aid, lit("violation"), cyc(violationSubs), nulS, nulS,
       team, shooter, nulL, nulL, nulL, nulL)
-    val jumpball = st(aid, lit("jumpball"), lit("recovered"), nulS, nulS,
+    val jumpball = st(aid, lit("jumpball"), lit("recovered"),
+      cyc(jumpballDescs), nulS,
       team, person(team, e % 10), nulL, nulL, nulL, nulL,
       jbWon = person(team, e % 10), jbLost = person(opp, (e + 1) % 10),
       jbRec = person(team, (e + 7) % 10))
-    val foul = st(aid, lit("foul"),
-      when(e % 2 === 0, "personal").otherwise("shooting"), nulS, nulS,
+    val foul = st(aid, lit("foul"), cyc(foulSubs), cyc(foulDescs), nulS,
       team, shooter, nulL, nulL, nulL, person(opp, (e + 3) % 10))
     def ft(a: Int) = st(aid + a, lit("freethrow"), lit(s"$a of 2"), nulS,
       when((e + a) % 2 === 0, "Made").otherwise("Missed"), opp,
       person(opp, (e + 3) % 10), nulL, nulL, nulL, nulL)
-    val turnover = st(aid, lit("turnover"),
-      when(e % 3 === 0, "bad pass").when(e % 3 === 1, "lost ball")
-        .otherwise(lit("traveling")), nulS, nulS, team, shooter,
+    val turnover = st(aid, lit("turnover"), cyc(turnoverSubs),
+      cyc(turnoverDescs), nulS, team, shooter,
       nulL, nulL,
       when(e % 4 === 0, person(opp, (e + 5) % 10)).otherwise(nulL), nulL)
-    val timeout = st(aid, lit("timeout"), lit("full"), nulS, nulS, team,
+    val timeout = st(aid, lit("timeout"),
+      when(e % 2 === 0, "full").otherwise("short"), nulS, nulS, team,
       nulL, nulL, nulL, nulL, nulL)
 
     val rows =
@@ -172,11 +195,11 @@ object GameFeed {
         .when(col("event_type") === "click", array(shot("2pt")))
         .when(col("event_type") === "purchase", array(shot("3pt")))
         .when(col("event_type") === "error",
-          when(col("value") < 250.0, array(rebound))
-            .when(col("value") < 400.0, array(violation))
+          when(col("value") < 100.0, array(rebound))
+            .when(col("value") < 180.0, array(violation))
             .otherwise(array(jumpball)))
-        .when(col("value") < 150.0, array(foul, ft(1), ft(2)))
-        .when(col("value") < 300.0, array(turnover))
+        .when(col("value") < 80.0, array(foul, ft(1), ft(2)))
+        .when(col("value") < 160.0, array(turnover))
         .otherwise(array(timeout))
 
     val actionRows = b

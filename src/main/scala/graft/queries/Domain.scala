@@ -44,7 +44,7 @@ object Domain {
     """WITH base AS (
       |  SELECT user_id AS game_id, event_id, event_type, value,
       |         CAST(45.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |           - CASE WHEN event_type = 'error' AND value < 250.0 THEN 40.0 ELSE 0.0 END
+      |           - CASE WHEN event_type = 'error' AND value < 100.0 THEN 40.0 ELSE 0.0 END
       |           AS DOUBLE) AS clock,
       |         user_id % 4 + 1 AS home_team_id,
       |         (user_id + 1) % 4 + 1 AS away_team_id,
@@ -102,7 +102,7 @@ object Domain {
       |  SELECT game_id, home_team_id, away_team_id, opp_id, clock,
       |         1, event_id * 4 + a.i, clock + a.i * CAST(0.1 AS DOUBLE)
       |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
-      |  WHERE event_type = 'view' AND value < 150.0 AND (event_id + a.i) % 2 = 0
+      |  WHERE event_type = 'view' AND value < 80.0 AND (event_id + a.i) % 2 = 0
       |),
       |spm AS (
       |  SELECT st.game_id, st.team_id, st.stint_id, st.j, st.start_clock, st.end_clock,
@@ -299,7 +299,7 @@ object Domain {
       |ftB AS (
       |  SELECT game_id, event_id, clock, opp_id,
       |         opp_id * 100 + (event_id + 3) % 10 AS shooter
-      |  FROM base WHERE event_type = 'view' AND value < 150.0
+      |  FROM base WHERE event_type = 'view' AND value < 80.0
       |),
       |ftE AS (
       |  SELECT f.game_id, f.event_id * 4 + a.i AS action_id, f.clock,
@@ -310,7 +310,7 @@ object Domain {
       |),
       |foulB AS (
       |  SELECT game_id, event_id, clock, team_id, opp_id
-      |  FROM base WHERE event_type = 'view' AND value < 150.0
+      |  FROM base WHERE event_type = 'view' AND value < 80.0
       |),
       |foulE AS (
       |  SELECT f.game_id, f.event_id * 4 AS action_id, f.clock, f.event_id,
@@ -599,7 +599,7 @@ object Domain {
         |  SELECT 'TOOK_SHOT', game_id, event_id*4 + a.i, clock, opp_id,
         |         opp_id*100 + (event_id+3)%10, FALSE
         |  FROM base CROSS JOIN (SELECT unnest([1,2]) AS i) a
-        |  WHERE event_type='view' AND value < 150.0
+        |  WHERE event_type='view' AND value < 80.0
         |  UNION ALL
         |  SELECT 'ASSISTED', game_id, event_id*4, clock, team_id,
         |         team_id*100 + (event_id+1)%10, FALSE
@@ -613,44 +613,44 @@ object Domain {
         |  UNION ALL
         |  SELECT 'COMMITTED_FOUL', game_id, event_id*4, clock, team_id,
         |         team_id*100 + event_id%10, TRUE
-        |  FROM base WHERE event_type='view' AND value < 150.0
+        |  FROM base WHERE event_type='view' AND value < 80.0
         |  UNION ALL
         |  SELECT 'DREW_FOUL', game_id, event_id*4, clock, opp_id,
         |         opp_id*100 + (event_id+3)%10, FALSE
-        |  FROM base WHERE event_type='view' AND value < 150.0
+        |  FROM base WHERE event_type='view' AND value < 80.0
         |  UNION ALL
         |  SELECT 'REBOUNDED', game_id, event_id*4, clock, team_id,
         |         team_id*100 + event_id%10, TRUE
-        |  FROM base WHERE event_type='error' AND value < 250.0
+        |  FROM base WHERE event_type='error' AND value < 100.0
         |  UNION ALL
         |  SELECT 'LOST_BALL', game_id, event_id*4, clock, team_id,
         |         team_id*100 + event_id%10, TRUE
-        |  FROM base WHERE event_type='view' AND value >= 150.0 AND value < 300.0
+        |  FROM base WHERE event_type='view' AND value >= 80.0 AND value < 160.0
         |  UNION ALL
         |  SELECT 'STOLE_BALL', game_id, event_id*4, clock, opp_id,
         |         opp_id*100 + (event_id+5)%10, FALSE
-        |  FROM base WHERE event_type='view' AND value >= 150.0 AND value < 300.0
+        |  FROM base WHERE event_type='view' AND value >= 80.0 AND value < 160.0
         |    AND event_id % 4 = 0
         |  UNION ALL
         |  SELECT 'COMMITTED_VIOLATION', game_id, event_id*4, clock, team_id,
         |         team_id*100 + event_id%10, TRUE
-        |  FROM base WHERE event_type='error' AND value >= 250.0 AND value < 400.0
+        |  FROM base WHERE event_type='error' AND value >= 100.0 AND value < 180.0
         |  UNION ALL
         |  SELECT 'WON_JUMPBALL', game_id, event_id*4, clock, team_id,
         |         team_id*100 + event_id%10, FALSE
-        |  FROM base WHERE event_type='error' AND value >= 400.0
+        |  FROM base WHERE event_type='error' AND value >= 180.0
         |  UNION ALL
         |  SELECT 'LOST_JUMPBALL', game_id, event_id*4, clock, opp_id,
         |         opp_id*100 + (event_id+1)%10, FALSE
-        |  FROM base WHERE event_type='error' AND value >= 400.0
+        |  FROM base WHERE event_type='error' AND value >= 180.0
         |  UNION ALL
         |  SELECT 'RECOVERED_JUMPBALL', game_id, event_id*4, clock, team_id,
         |         team_id*100 + (event_id+7)%10, TRUE
-        |  FROM base WHERE event_type='error' AND value >= 400.0
+        |  FROM base WHERE event_type='error' AND value >= 180.0
         |  UNION ALL
         |  SELECT 'CALLED_TIMEOUT', game_id, event_id*4, clock, team_id,
         |         CAST(NULL AS BIGINT), TRUE
-        |  FROM base WHERE event_type='view' AND value >= 300.0
+        |  FROM base WHERE event_type='view' AND value >= 160.0
         |),
         |eres AS (
         |  SELECT e.*, s.stint_id AS ls_id
@@ -679,7 +679,7 @@ object Domain {
     PRELUDE +
       """, reb AS (
         |  SELECT game_id, event_id*4 AS rebound_id, clock FROM base
-        |  WHERE event_type='error' AND value < 250.0
+        |  WHERE event_type='error' AND value < 100.0
         |),
         |ms AS (
         |  SELECT game_id, event_id*4 AS shot_id, clock AS sclock FROM base
@@ -707,7 +707,7 @@ object Domain {
         |UNION ALL
         |SELECT game_id, 'CAUSED', event_id*4, event_id*4 + a.i
         |FROM base CROSS JOIN (SELECT unnest([1,2]) AS i) a
-        |WHERE event_type='view' AND value < 150.0""".stripMargin,
+        |WHERE event_type='view' AND value < 80.0""".stripMargin,
     "rebound->missed-shot claims + foul->freethrow CAUSED links") { (s, dir) =>
     val p = pipeline(s, dir)
     val rebs = p.reboundLinks.select(
@@ -716,17 +716,26 @@ object Domain {
     rebs.unionByName(graft.nba.Edges.caused(p.attributedEvents))
   }
 
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+  private def cycSql(xs: Seq[String]): String =
+    s"list_extract([${sqlList(xs)}], CAST(event_id % ${xs.size} AS INT) + 1)"
+
   /** The multi-label type system (F9 + SURVEY §1.1): 14 shot-style
-    * flags, 13 per-family subtype flags, FT attempt parsing — flags
-    * generated from the same label tables [[graft.nba.Events]] uses, so
-    * query and engine can't drift. */
+    * flags + the complete 31-label per-family inventory (subtype AND
+    * descriptor sourced, equality semantics like the reference's
+    * FOREACH-SET rules) + FT attempt parsing — flags generated from the
+    * same label tables [[graft.nba.Events]] uses, so query and engine
+    * can't drift. */
   val q70LabelFlags: Q = {
-    val styleList = GameFeed.shotStyles.map(s => s"'$s'").mkString(", ")
     val styleFlags = graft.nba.Events.shotStyleLabels.map { case (flag, needle) =>
       s"(atype IN ('2pt', '3pt') AND contains(coalesce(dsc, ''), '$needle')) AS $flag"
     }
-    val subFlags = graft.nba.Events.subtypeLabels.map { case (flag, family, sub) =>
-      s"(atype = '$family' AND contains(coalesce(sub, ''), '$sub')) AS $flag"
+    val famFlags = graft.nba.Events.labelRules.map { r =>
+      val conds =
+        r.subEq.map(v => s"coalesce(sub, '') = '$v'") ++
+          r.descEq.map(v => s"coalesce(dsc, '') = '$v'")
+      s"(atype = '${r.family}' AND (${conds.mkString(" OR ")})) AS ${r.flag}"
     }
     Q.sql(
       "q70_label_flags",
@@ -735,44 +744,52 @@ object Domain {
           |  SELECT game_id, event_id * 4 AS action_id,
           |         CASE WHEN event_type = 'click' THEN '2pt'
           |              WHEN event_type = 'purchase' THEN '3pt'
-          |              WHEN event_type = 'error' AND value < 250 THEN 'rebound'
-          |              WHEN event_type = 'error' AND value < 400 THEN 'violation'
+          |              WHEN event_type = 'error' AND value < 100 THEN 'rebound'
+          |              WHEN event_type = 'error' AND value < 180 THEN 'violation'
           |              WHEN event_type = 'error' THEN 'jumpball'
-          |              WHEN value < 150 THEN 'foul'
-          |              WHEN value < 300 THEN 'turnover'
+          |              WHEN value < 80 THEN 'foul'
+          |              WHEN value < 160 THEN 'turnover'
           |              ELSE 'timeout' END AS atype,
           |         CASE WHEN event_type IN ('click', 'purchase')
-          |              THEN list_extract([$styleList], CAST(event_id % 14 AS INT) + 1)
+          |              THEN list_extract([${sqlList(GameFeed.shotStyles)}],
+          |                                CAST(event_id % 14 AS INT) + 1)
+          |              WHEN event_type = 'error' AND value >= 180 THEN
+          |                ${cycSql(GameFeed.jumpballDescs)}
+          |              WHEN event_type = 'view' AND value < 80 THEN
+          |                ${cycSql(GameFeed.foulDescs)}
+          |              WHEN event_type = 'view' AND value < 160 THEN
+          |                ${cycSql(GameFeed.turnoverDescs)}
           |              END AS dsc,
-          |         CASE WHEN event_type = 'error' AND value < 250 THEN
+          |         CASE WHEN event_type = 'error' AND value < 100 THEN
           |                CASE WHEN event_id % 2 = 0 THEN 'defensive' ELSE 'offensive' END
-          |              WHEN event_type = 'error' AND value < 400 THEN 'kicked ball'
+          |              WHEN event_type = 'error' AND value < 180 THEN
+          |                ${cycSql(GameFeed.violationSubs)}
           |              WHEN event_type = 'error' THEN 'recovered'
-          |              WHEN event_type = 'view' AND value < 150 THEN
-          |                CASE WHEN event_id % 2 = 0 THEN 'personal' ELSE 'shooting' END
-          |              WHEN event_type = 'view' AND value < 300 THEN
-          |                CASE WHEN event_id % 3 = 0 THEN 'bad pass'
-          |                     WHEN event_id % 3 = 1 THEN 'lost ball'
-          |                     ELSE 'traveling' END
-          |              WHEN event_type = 'view' THEN 'full' END AS sub,
+          |              WHEN event_type = 'view' AND value < 80 THEN
+          |                ${cycSql(GameFeed.foulSubs)}
+          |              WHEN event_type = 'view' AND value < 160 THEN
+          |                ${cycSql(GameFeed.turnoverSubs)}
+          |              WHEN event_type = 'view' THEN
+          |                CASE WHEN event_id % 2 = 0 THEN 'full' ELSE 'short' END
+          |              END AS sub,
           |         CAST(NULL AS INT) AS att
           |  FROM base WHERE event_type <> 'signup'
           |  UNION ALL
           |  SELECT game_id, event_id * 4 + a.i, 'freethrow', NULL,
           |         CAST(a.i AS VARCHAR) || ' of 2', a.i
           |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
-          |  WHERE event_type = 'view' AND value < 150.0
+          |  WHERE event_type = 'view' AND value < 80.0
           |)
           |SELECT game_id, action_id, atype AS action_type,
-          |  ${(styleFlags ++ subFlags).mkString(",\n          |  ")},
+          |  ${(styleFlags ++ famFlags).mkString(",\n          |  ")},
           |  CAST(att AS BIGINT) AS ft_attempt,
           |  CAST(CASE WHEN att IS NOT NULL THEN 2 END AS BIGINT) AS ft_total,
           |  coalesce(atype = 'freethrow' AND att = 2, false) AS is_last_ft
           |FROM acts""".stripMargin,
-      "multi-label type system: shot styles + subtype flags + FT parse") { (s, dir) =>
+      "multi-label type system: 14 shot styles + 31 family labels + FT parse") { (s, dir) =>
       val p = pipeline(s, dir)
       val flags = (graft.nba.Events.shotStyleLabels.map(_._1) ++
-        graft.nba.Events.subtypeLabels.map(_._1)).map(col)
+        graft.nba.Events.labelRules.map(_.flag)).map(col)
       p.attributedEvents.select(
         Seq(col("game_id"), col("action_id"), col("action_type")) ++ flags ++
           Seq(col("ft_attempt").cast("long").as("ft_attempt"),
@@ -791,11 +808,11 @@ object Domain {
         |  SELECT game_id, event_id * 4 AS action_id,
         |         CASE WHEN event_type = 'click' THEN '2pt'
         |              WHEN event_type = 'purchase' THEN '3pt'
-        |              WHEN event_type = 'error' AND value < 250 THEN 'rebound'
-        |              WHEN event_type = 'error' AND value < 400 THEN 'violation'
+        |              WHEN event_type = 'error' AND value < 100 THEN 'rebound'
+        |              WHEN event_type = 'error' AND value < 180 THEN 'violation'
         |              WHEN event_type = 'error' THEN 'jumpball'
-        |              WHEN value < 150 THEN 'foul'
-        |              WHEN value < 300 THEN 'turnover'
+        |              WHEN value < 80 THEN 'foul'
+        |              WHEN value < 160 THEN 'turnover'
         |              ELSE 'timeout' END AS atype,
         |         clock AS oclock
         |  FROM base WHERE event_type <> 'signup'
@@ -803,7 +820,7 @@ object Domain {
         |  SELECT game_id, event_id * 4 + a.i, 'freethrow',
         |         clock + a.i * CAST(0.1 AS DOUBLE)
         |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
-        |  WHERE event_type = 'view' AND value < 150.0
+        |  WHERE event_type = 'view' AND value < 80.0
         |)
         |SELECT game_id, action_id, CAST(seq AS BIGINT) AS seq, next_action_id
         |FROM (
@@ -947,16 +964,16 @@ object Domain {
         |  SELECT game_id, event_id * 4 AS action_id, clock, clock AS oclock,
         |         CASE WHEN event_type = 'click' THEN '2pt'
         |              WHEN event_type = 'purchase' THEN '3pt'
-        |              WHEN event_type = 'error' AND value < 250 THEN 'rebound'
-        |              WHEN event_type = 'error' AND value < 400 THEN 'violation'
+        |              WHEN event_type = 'error' AND value < 100 THEN 'rebound'
+        |              WHEN event_type = 'error' AND value < 180 THEN 'violation'
         |              WHEN event_type = 'error' THEN 'jumpball'
-        |              WHEN value < 150 THEN 'foul'
-        |              WHEN value < 300 THEN 'turnover'
+        |              WHEN value < 80 THEN 'foul'
+        |              WHEN value < 160 THEN 'turnover'
         |              ELSE 'timeout' END AS atype,
         |         CASE WHEN event_type IN ('click', 'purchase') AND value >= 100.0 THEN TRUE
-        |              WHEN event_type = 'error' AND value < 250.0 AND event_id % 2 = 0 THEN TRUE
+        |              WHEN event_type = 'error' AND value < 100.0 AND event_id % 2 = 0 THEN TRUE
         |              WHEN event_type NOT IN ('signup','click','purchase','error')
-        |                   AND value >= 150.0 AND value < 300.0 THEN TRUE
+        |                   AND value >= 80.0 AND value < 160.0 THEN TRUE
         |              ELSE FALSE END AS endf,
         |         CASE WHEN event_type = 'click' AND value >= 100.0 THEN 2
         |              WHEN event_type = 'purchase' AND value >= 100.0 THEN 3
@@ -970,7 +987,7 @@ object Domain {
         |         CASE WHEN (event_id + a.i) % 2 = 0 THEN 1 ELSE 0 END,
         |         opp_id
         |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
-        |  WHERE event_type = 'view' AND value < 150.0
+        |  WHERE event_type = 'view' AND value < 80.0
         |),
         |tseq AS (
         |  SELECT *, ${pn("clock")} AS p,

@@ -48,8 +48,12 @@ object StreamingQ {
     spark.read.parquet(out)
   }
 
-  private val styleList =
-    graft.nba.GameFeed.shotStyles.map(s => s"'$s'").mkString(", ")
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+  private def cycSql(xs: Seq[String]): String =
+    s"list_extract([${sqlList(xs)}], CAST(e % ${xs.size} AS INT) + 1)"
+  private val styleList = sqlList(graft.nba.GameFeed.shotStyles)
+  private val gf = graft.nba.GameFeed
 
   /** Streaming ingestion parity: the full per-event pbp expansion (every
     * family, actor ids, coordinates) as produced INCREMENTALLY by the
@@ -60,7 +64,7 @@ object StreamingQ {
     s"""WITH base AS (
       |  SELECT user_id AS game_id, event_id AS e, event_type, value,
       |         CAST(45.0 * row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |           - CASE WHEN event_type = 'error' AND value < 250.0 THEN 40.0 ELSE 0.0 END
+      |           - CASE WHEN event_type = 'error' AND value < 100.0 THEN 40.0 ELSE 0.0 END
       |           AS DOUBLE) AS clock,
       |         CASE WHEN event_id % 2 = 0 THEN user_id % 4 + 1
       |              ELSE (user_id + 1) % 4 + 1 END AS tm,
@@ -100,27 +104,30 @@ object StreamingQ {
       |  FROM base WHERE event_type IN ('click', 'purchase')
       |  UNION ALL
       |  SELECT game_id, e*4, clock,
-      |         CASE WHEN value < 250.0 THEN 'rebound'
-      |              WHEN value < 400.0 THEN 'violation' ELSE 'jumpball' END,
-      |         CASE WHEN value < 250.0 THEN
+      |         CASE WHEN value < 100.0 THEN 'rebound'
+      |              WHEN value < 180.0 THEN 'violation' ELSE 'jumpball' END,
+      |         CASE WHEN value < 100.0 THEN
       |                CASE WHEN e%2 = 0 THEN 'defensive' ELSE 'offensive' END
-      |              WHEN value < 400.0 THEN 'kicked ball' ELSE 'recovered' END,
-      |         NULL, NULL, tm, tm*100 + e%10,
+      |              WHEN value < 180.0 THEN ${cycSql(gf.violationSubs)}
+      |              ELSE 'recovered' END,
+      |         CASE WHEN value >= 180.0 THEN ${cycSql(gf.jumpballDescs)} END,
+      |         NULL, tm, tm*100 + e%10,
       |         NULL, NULL, NULL, NULL,
-      |         CASE WHEN value >= 400.0 THEN tm*100 + e%10 END,
-      |         CASE WHEN value >= 400.0 THEN op*100 + (e+1)%10 END,
-      |         CASE WHEN value >= 400.0 THEN tm*100 + (e+7)%10 END,
+      |         CASE WHEN value >= 180.0 THEN tm*100 + e%10 END,
+      |         CASE WHEN value >= 180.0 THEN op*100 + (e+1)%10 END,
+      |         CASE WHEN value >= 180.0 THEN tm*100 + (e+7)%10 END,
       |         NULL, NULL
       |  FROM base WHERE event_type = 'error'
       |  UNION ALL
       |  SELECT game_id, e*4, clock, 'foul',
-      |         CASE WHEN e%2 = 0 THEN 'personal' ELSE 'shooting' END,
-      |         NULL, NULL, tm, tm*100 + e%10,
+      |         ${cycSql(gf.foulSubs)},
+      |         ${cycSql(gf.foulDescs)},
+      |         NULL, tm, tm*100 + e%10,
       |         NULL, NULL, NULL, op*100 + (e+3)%10,
       |         NULL, NULL, NULL, NULL, NULL
       |  FROM base
       |  WHERE event_type NOT IN ('signup','click','purchase','error')
-      |    AND value < 150.0
+      |    AND value < 80.0
       |  UNION ALL
       |  SELECT game_id, e*4 + a.i, clock, 'freethrow',
       |         CAST(a.i AS VARCHAR) || ' of 2', NULL,
@@ -129,25 +136,26 @@ object StreamingQ {
       |         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
       |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS i) a
       |  WHERE event_type NOT IN ('signup','click','purchase','error')
-      |    AND value < 150.0
+      |    AND value < 80.0
       |  UNION ALL
       |  SELECT game_id, e*4, clock, 'turnover',
-      |         CASE WHEN e%3 = 0 THEN 'bad pass'
-      |              WHEN e%3 = 1 THEN 'lost ball' ELSE 'traveling' END,
-      |         NULL, NULL, tm, tm*100 + e%10,
+      |         ${cycSql(gf.turnoverSubs)},
+      |         ${cycSql(gf.turnoverDescs)},
+      |         NULL, tm, tm*100 + e%10,
       |         NULL, NULL,
       |         CASE WHEN e%4 = 0 THEN op*100 + (e+5)%10 END,
       |         NULL, NULL, NULL, NULL, NULL, NULL
       |  FROM base
       |  WHERE event_type NOT IN ('signup','click','purchase','error')
-      |    AND value >= 150.0 AND value < 300.0
+      |    AND value >= 80.0 AND value < 160.0
       |  UNION ALL
-      |  SELECT game_id, e*4, clock, 'timeout', 'full',
+      |  SELECT game_id, e*4, clock, 'timeout',
+      |         CASE WHEN e%2 = 0 THEN 'full' ELSE 'short' END,
       |         NULL, NULL, tm, CAST(NULL AS BIGINT),
       |         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
       |  FROM base
       |  WHERE event_type NOT IN ('signup','click','purchase','error')
-      |    AND value >= 300.0
+      |    AND value >= 160.0
       |)
       |SELECT game_id,
       |       CAST(action_id AS BIGINT) AS action_id,

@@ -52,7 +52,7 @@ object StreamingFeed {
     val ev = e.event_id
     val aid = ev * 4
     val clock = n * 45.0 -
-      (if (e.event_type == "error" && e.value < 250.0) 40.0 else 0.0)
+      (if (e.event_type == "error" && e.value < 100.0) 40.0 else 0.0)
     val p = periodOf(clock)
 
     def pa(a: Long, typ: String, sub: Option[String], desc: Option[String],
@@ -83,36 +83,41 @@ object StreamingFeed {
           block = if (!made && ev % 5 == 0) Some(opp * 100 + (ev + 2) % 10) else None,
           x = Some((ev % 50 - 25).toDouble), y = Some((ev % 35).toDouble)))
       case "error" =>
-        if (e.value < 250.0)
+        if (e.value < 100.0)
           Seq(pa(aid, "rebound",
             Some(if (ev % 2 == 0) "defensive" else "offensive"), None, None,
             Some(team), Some(team * 100 + ev % 10)))
-        else if (e.value < 400.0)
-          Seq(pa(aid, "violation", Some("kicked ball"), None, None,
+        else if (e.value < 180.0)
+          Seq(pa(aid, "violation",
+            Some(GameFeed.violationSubs((ev % 7).toInt)), None, None,
             Some(team), Some(team * 100 + ev % 10)))
         else
-          Seq(pa(aid, "jumpball", Some("recovered"), None, None,
+          Seq(pa(aid, "jumpball", Some("recovered"),
+            Some(GameFeed.jumpballDescs((ev % 3).toInt)), None,
             Some(team), Some(team * 100 + ev % 10),
             jbWon = Some(team * 100 + ev % 10),
             jbLost = Some(opp * 100 + (ev + 1) % 10),
             jbRec = Some(team * 100 + (ev + 7) % 10)))
       case _ =>
-        if (e.value < 150.0) {
+        if (e.value < 80.0) {
           val drawn = opp * 100 + (ev + 3) % 10
           pa(aid, "foul",
-            Some(if (ev % 2 == 0) "personal" else "shooting"), None, None,
+            Some(GameFeed.foulSubs((ev % 4).toInt)),
+            Some(GameFeed.foulDescs((ev % 5).toInt)), None,
             Some(team), Some(team * 100 + ev % 10), drawn = Some(drawn)) +:
             (1 to 2).map(a => pa(aid + a, "freethrow", Some(s"$a of 2"), None,
               Some(if ((ev + a) % 2 == 0) "Made" else "Missed"),
               Some(opp), Some(drawn)))
-        } else if (e.value < 300.0)
+        } else if (e.value < 160.0)
           Seq(pa(aid, "turnover",
-            Some(if (ev % 3 == 0) "bad pass"
-            else if (ev % 3 == 1) "lost ball" else "traveling"), None, None,
+            Some(GameFeed.turnoverSubs((ev % 6).toInt)),
+            Some(GameFeed.turnoverDescs((ev % 3).toInt)), None,
             Some(team), Some(team * 100 + ev % 10),
             steal = if (ev % 4 == 0) Some(opp * 100 + (ev + 5) % 10) else None))
         else
-          Seq(pa(aid, "timeout", Some("full"), None, None, Some(team), None))
+          Seq(pa(aid, "timeout",
+            Some(if (ev % 2 == 0) "full" else "short"), None, None,
+            Some(team), None))
     }
   }
 
