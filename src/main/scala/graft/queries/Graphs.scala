@@ -76,5 +76,90 @@ object Graphs {
       col("component_raw").cast("long").as("component"))
   }
 
-  val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents)
+  // ---------------------------------------------------------------- q78
+  /** Fixed-point iterations the PageRank runs (unrolled identically in
+    * the DuckDB oracle — both engines execute the same recurrence). */
+  val PageRankIters = 5
+
+  private def pagerankOracle: String = {
+    val steps = (1 to PageRankIters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.id,
+         |    CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(r.rank // o.outdeg) AS s
+         |    FROM edges e
+         |    JOIN outdeg o ON o.src = e.src
+         |    JOIN r${k - 1} r ON r.id = e.src
+         |    GROUP BY 1) c ON c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT 1000000 + c_custkey AS src, CAST(c_nationkey AS BIGINT) AS dst FROM customer
+       |  UNION ALL
+       |  SELECT 2000000 + s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT), 1000 + CAST(n_regionkey AS BIGINT) FROM nation),
+       |verts AS (
+       |  SELECT DISTINCT id
+       |  FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges) u),
+       |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM verts),
+       |$steps
+       |SELECT id AS node_id, rank AS rank_micro FROM r$PageRankIters""".stripMargin
+  }
+
+  /** Iterative PageRank over the customer/supplier→nation→region graph,
+    * oracle-gated — the capability the reference's graph store advertises
+    * for "centrality over the ingested entity graph" but never ships
+    * (`/root/reference/ROADMAP.md` analytics items; the store itself only
+    * materializes the edges).
+    *
+    * Hash-parity trick: double-precision PageRank can never hash-match
+    * across engines (iterated sums are order-sensitive), so the rank is
+    * kept in integer micro-units and the recurrence uses only integer
+    * `div` — exact, associative, identical in Spark and DuckDB:
+    *
+    *   rank₀(v)   = 1_000_000
+    *   rankₖ(v)   = 150_000 + (850_000 · Σ_{u→v} rankₖ₋₁(u) div outdeg(u)) div 1_000_000
+    *
+    * (damping 0.85 in micro-units; dangling mass is absorbed, both sides
+    * implement the same choice). Scale shape: each iteration is one
+    * shuffle join (edges ⋈ ranks on src) + one partial-aggregated groupBy
+    * on dst — the canonical distributed PageRank step. The edge and
+    * vertex frames are cached (they feed every iteration); at real scale
+    * an iterative job would additionally `localCheckpoint` each rankₖ to
+    * truncate lineage growth — at 5 unrolled iterations Catalyst handles
+    * the composed plan directly. */
+  val q78PageRank: Q = Q.sql("q78_pagerank", pagerankOracle) { (s, dir) =>
+    val customer = Tables(s, dir, "customer")
+    val supplier = Tables(s, dir, "supplier")
+    val nation = Tables(s, dir, "nation")
+    val edges = customer
+      .select((col("c_custkey") + lit(1000000L)).as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .unionByName(supplier.select((col("s_suppkey") + lit(2000000L)).as("src"),
+        col("s_nationkey").cast("long").as("dst")))
+      .unionByName(nation.select(col("n_nationkey").cast("long").as("src"),
+        (col("n_regionkey").cast("long") + lit(1000L)).as("dst")))
+      .cache()
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().cache()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val contribEdges = edges.join(outdeg, Seq("src"))
+    var ranks = verts.select(col("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = contribEdges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = verts.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"), (lit(150000L) +
+          expr("(850000 * coalesce(s, CAST(0 AS BIGINT))) div 1000000")).as("rank"))
+    }
+    ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
+  }
+
+  val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank)
 }

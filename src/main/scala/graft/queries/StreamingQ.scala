@@ -185,5 +185,81 @@ object StreamingQ {
       col("jumpball_recovered_person_id"), col("x"), col("y"), col("dist"))
   }
 
-  val all: Seq[Q] = Seq(q73StreamIngest)
+  private val windowCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Run the watermarked window aggregation once per (session, sfDir):
+    * stream the events parquet through a tumbling-window count/sum with a
+    * 10-minute watermark into a parquet sink (append mode — only
+    * FINALIZED windows are emitted), wait for AvailableNow + the trailing
+    * no-data batch to drain the state store, and hand back the sink. */
+  private def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = windowCache.computeIfAbsent((spark, dir), { _ =>
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-window-")
+      val tmp = tmpPath.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val q = StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+        .toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"))
+        .select(
+          unix_timestamp(col("window.start")).as("bucket_start"),
+          col("event_type"), col("n_events"),
+          col("sv").cast("double").as("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$tmp/out"
+    })
+    spark.read.parquet(out)
+  }
+
+  /** Watermarked event-time tumbling-window aggregation — the canonical
+    * Structured Streaming operator (§2.9: readStream → watermark →
+    * windowed agg → append sink), under the oracle gate.
+    *
+    * Append mode emits a window only once its end has passed the
+    * watermark (max event time − 10 min), so the DuckDB oracle recomputes
+    * the same cutoff in closed form: hour buckets over all events,
+    * restricted to buckets whose end ≤ final watermark. Bucket keys and
+    * the cutoff are computed in integer microseconds on both sides
+    * (epoch_us // 3_600_000_000 vs Spark's `window()`), and the double
+    * sum goes through DECIMAL(28,10) — exact, order-independent — per the
+    * [[graft.Q]] determinism rules. Scale shape: the stream is one
+    * partial-aggregated shuffle on (window, event_type) with O(#open
+    * windows) state; late data past 10 minutes is dropped identically on
+    * a 1000-executor cluster. */
+  val q80StreamWindow: Q = Q.sql(
+    "q80_stream_window",
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         event_type, value
+      |  FROM events
+      |)
+      |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM b
+      |WHERE (bucket_start + 3600) * 1000000 <=
+      |      (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)
+      |GROUP BY 1, 2""".stripMargin,
+    "streaming watermarked tumbling-window aggregation (§2.9)") { (s, dir) =>
+    windowedAgg(s, dir).select(
+      col("bucket_start"), col("event_type"), col("n_events"),
+      col("sum_value"))
+  }
+
+  val all: Seq[Q] = Seq(q73StreamIngest, q80StreamWindow)
 }

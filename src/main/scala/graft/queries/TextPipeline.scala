@@ -600,8 +600,67 @@ object TextPipeline {
         (col("hv") % 100 < 5).as("in_bernoulli"))
   }
 
+  // ---------------------------------------------------------------- q79
+  /** TF-IDF top-3 terms per document — the term-weighting stage of a
+    * corpus pipeline (keyword extraction / relevance features).
+    *
+    * Weighting uses the raw-ratio idf `N / df` instead of `log(N / df)`:
+    * transcendentals are NOT bit-identical across engines (DuckDB's libm
+    * vs the JVM's Math.log can differ in the last ulp), while IEEE-754
+    * `*` and `/` are correctly rounded everywhere — so
+    * `CAST(tf AS DOUBLE) * N / df`, evaluated in that exact operation
+    * order on both sides, hash-matches. Scale shape: tokenize→explode is
+    * map-only; tf is one partial-aggregated groupBy on (doc, term); df
+    * reuses the tf frame with a second groupBy on term; N joins in as a
+    * 1-row broadcast; top-3 per doc is a rank window the optimizer prunes
+    * with WindowGroupLimit before the full sort. */
+  val q79Tfidf: Q = Q.sql(
+    "q79_tfidf",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, lower(t) AS term FROM tk WHERE length(t) > 0
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+      |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |      FROM scored) s
+      |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val toks = d
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), lower(col("t")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfTbl, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
-    q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample)
+    q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
+    q79Tfidf)
 }

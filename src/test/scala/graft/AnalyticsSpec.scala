@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.{Graphs, StreamingQ, TextPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-3 analytics additions: the
+  * fixed-point PageRank (q78), TF-IDF top-k (q79), and the watermarked
+  * streaming window aggregation (q80). Value-level correctness is the
+  * DuckDB oracle gate; these pin the invariants the oracle can't see.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q78: source-only vertices keep the teleport rank exactly") {
+    val ranks = Graphs.q78PageRank.run(spark, dir).cache()
+    // customers (1e6+) and suppliers (2e6+) have no in-edges: their rank
+    // is exactly the teleport term 150_000 after every iteration
+    val sources = ranks.filter(col("node_id") >= 1000000L)
+    assert(sources.filter(col("rank_micro") =!= 150000L).count() == 0)
+    // every rank carries at least the teleport mass
+    assert(ranks.filter(col("rank_micro") < 150000L).count() == 0)
+    // regions (1000..1004) accumulate more than any single nation feeding
+    // them: rank flows down the customer→nation→region hierarchy
+    val minRegion = ranks.filter(col("node_id").between(1000L, 1004L))
+      .agg(min("rank_micro")).head.getLong(0)
+    assert(minRegion > 150000L)
+    ranks.unpersist()
+  }
+
+  test("q78: vertex set is complete and ranks are deterministic") {
+    val a = Graphs.q78PageRank.run(spark, dir)
+    val b = Graphs.q78PageRank.run(spark, dir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val nVerts = Tables(spark, dir, "customer").count() +
+      Tables(spark, dir, "supplier").count() +
+      Tables(spark, dir, "nation").count() +
+      Tables(spark, dir, "region").count()
+    assert(a.count() == nVerts)
+  }
+
+  test("q79: top-3 per doc, rank bounds, and the score identity") {
+    val t = TextPipeline.q79Tfidf.run(spark, dir).cache()
+    assert(t.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    assert(t.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    val nDocs = Tables(spark, dir, "documents").count()
+    // tfidf column is exactly tf * N / df in that operation order
+    val broken = t.filter(
+      col("tfidf") =!= col("tf").cast("double") * lit(nDocs) / col("df"))
+    assert(broken.count() == 0)
+    // df counts documents, so never exceeds N and never undercuts 1
+    assert(t.filter(col("df") < 1 || col("df") > nDocs).count() == 0)
+    t.unpersist()
+  }
+
+  test("q80: streaming windowed agg equals the batch cutoff computation") {
+    val got = StreamingQ.q80StreamWindow.run(spark, dir)
+    val ev = Tables(spark, dir, "events")
+    val wmUs = ev.agg(max(expr("unix_micros(ts)"))).head.getLong(0) - 600000000L
+    val batch = ev
+      .withColumn("bucket_start", expr("unix_micros(ts) div 3600000000") * 3600)
+      .filter((col("bucket_start") + lit(3600L)) * lit(1000000L) <= wmUs)
+      .groupBy("bucket_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(col("bucket_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+}
