@@ -110,10 +110,9 @@ object Graphs {
   }
 
   /** Iterative PageRank over the customer/supplier→nation→region graph,
-    * oracle-gated — the capability the reference's graph store advertises
-    * for "centrality over the ingested entity graph" but never ships
-    * (`/root/reference/ROADMAP.md` analytics items; the store itself only
-    * materializes the edges).
+    * oracle-gated — an analytics extension beyond the reference surface
+    * (the reference materializes a property graph but ships no centrality
+    * query; this is the standard one a graph engine is expected to run).
     *
     * Hash-parity trick: double-precision PageRank can never hash-match
     * across engines (iterated sums are order-sensitive), so the rank is

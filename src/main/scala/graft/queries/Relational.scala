@@ -556,11 +556,43 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- q82
+  /** Sliding (overlapping) event-time windows: 2-hour windows sliding by
+    * 1 hour, so every event lands in exactly two buckets — the rate/
+    * rolling-feature shape a training pipeline computes over event
+    * streams. Distinct from q80's tumbling windows: Spark's `window(ts,
+    * size, slide)` replicates each row into size/slide buckets BEFORE the
+    * shuffle (map-side explode, partial-aggregated), which the oracle
+    * mirrors with an explicit unnest of the two bucket starts. Bucket
+    * keys are integer epoch seconds on both sides; sums go through
+    * DECIMAL(28,10) per the [[graft.Q]] rules. */
+  val q82SlidingWindow: Q = Q.sql(
+    "q82_sliding_window",
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hb, event_type, value
+      |  FROM events
+      |), e AS (
+      |  SELECT unnest([hb, hb - 3600]) AS bucket_start, event_type, value
+      |  FROM b
+      |)
+      |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
-    q75Quantiles)
+    q75Quantiles, q82SlidingWindow)
 }

@@ -261,5 +261,120 @@ object StreamingQ {
       col("sum_value"))
   }
 
-  val all: Seq[Q] = Seq(q73StreamIngest, q80StreamWindow)
+  private val dedupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Run the streaming corpus dedup once per (session, sfDir): stream the
+    * documents parquet through `dropDuplicates` on the content hash into
+    * a parquet sink and drain with AvailableNow. */
+  private def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = dedupCache.computeIfAbsent((spark, dir), { _ =>
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-")
+      val tmp = tmpPath.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val schema = spark.read
+        .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(md5(col("text")).as("content_hash"))
+        .dropDuplicates("content_hash")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$tmp/out"
+    })
+    spark.read.parquet(out)
+  }
+
+  /** Streaming exact corpus deduplication — the incremental twin of the
+    * batch q22 exact dedup: documents arrive through a file-source
+    * stream, `dropDuplicates` on md5(text) keeps state per content hash
+    * across micro-batches, and only first occurrences reach the sink.
+    *
+    * Only the KEY column is emitted: which physical row survives a
+    * same-batch collision is a partition race (the state store keeps the
+    * first row it happens to see), but the surviving key SET is exact —
+    * so the query projects to the hash and the oracle is the closed-form
+    * DISTINCT. State is O(#distinct hashes), the exact-dedup cost by
+    * definition; a 100 TB ingestion bounds it with
+    * `dropDuplicatesWithinWatermark` once re-crawls carry event time
+    * (accepting re-emission past the horizon). md5 is bit-identical
+    * across engines ([[graft.ops.Text.baseHash]] rationale). */
+  val q81StreamDedup: Q = Q.sql(
+    "q81_stream_dedup",
+    "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    "streaming exact dedup on content hash (dedup family x §2.9)") { (s, dir) =>
+    dedupStream(s, dir).select(col("content_hash"))
+  }
+
+  private val enrichCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Run the stream-static enrichment once per (session, sfDir). */
+  private def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = enrichCache.computeIfAbsent((spark, dir), { _ =>
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-enrich-")
+      val tmp = tmpPath.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val nation = spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("nkey"),
+          col("n_name"), col("n_regionkey"))
+      val region = spark.read.parquet(s"$dir/region.parquet")
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+      val dim = nation.join(region, Seq("n_regionkey"))
+        .select(col("nkey"), col("n_name"), col("r_name"))
+      val q = StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+        .toDF()
+        .withColumn("nkey", col("user_id") % 25)
+        .join(dim, Seq("nkey"))
+        .select(col("event_id"), col("user_id"), col("n_name"), col("r_name"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$tmp/out"
+    })
+    spark.read.parquet(out)
+  }
+
+  /** Stream-static broadcast join — the enrichment shape of a streaming
+    * ingestion (every incoming event decorated with dimension attributes
+    * before landing): the events stream joins the nation⋈region dimension
+    * on a derived key. Stateless (no watermark, no state store): the
+    * static side is planned as a broadcast hash join inside each
+    * micro-batch, which is exactly the 1000-executor form — the dimension
+    * ships once per executor, the stream never shuffles. Oracle is the
+    * same join closed-form in DuckDB. */
+  val q83StreamEnrich: Q = Q.sql(
+    "q83_stream_enrich",
+    """SELECT e.event_id, e.user_id, n.n_name, r.r_name
+      |FROM events e
+      |JOIN nation n ON n.n_nationkey = e.user_id % 25
+      |JOIN region r ON r.r_regionkey = n.n_regionkey""".stripMargin,
+    "stream-static broadcast enrichment join (§2.9)") { (s, dir) =>
+    enrichStream(s, dir).select(
+      col("event_id"), col("user_id"), col("n_name"), col("r_name"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich)
 }

@@ -54,6 +54,15 @@ class AnalyticsSpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("q81: streaming dedup emits exactly the batch-distinct hash set") {
+    val got = StreamingQ.q81StreamDedup.run(spark, dir)
+    val batch = Tables(spark, dir, "documents")
+      .select(md5(col("text")).as("content_hash")).distinct()
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // no duplicate emissions across micro-batches
+    assert(got.count() == got.distinct().count())
+  }
+
   test("q80: streaming windowed agg equals the batch cutoff computation") {
     val got = StreamingQ.q80StreamWindow.run(spark, dir)
     val ev = Tables(spark, dir, "events")

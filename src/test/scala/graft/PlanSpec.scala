@@ -109,4 +109,20 @@ class PlanSpec extends AnyFunSuite {
       s"attribution fell back to a quadratic join:\n$p")
     assert(p.contains("Window"), s"expected window-based as-of:\n$p")
   }
+
+  test("q79: top-3 terms per doc uses the WindowGroupLimit pushdown") {
+    val p = plan("q79_tfidf")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
+    // the 1-row corpus count joins in as a broadcast, never a shuffle
+    assert(!p.contains("CartesianProduct"), s"N joined non-broadcast:\n$p")
+  }
+
+  test("q78: every PageRank iteration is an equi-join, never quadratic") {
+    val p = plan("q78_pagerank")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"rank propagation fell back to a quadratic join:\n$p")
+    // partial aggregation (map-side combine) on the contribution sums
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"contribution aggregation is not partial:\n$p")
+  }
 }
