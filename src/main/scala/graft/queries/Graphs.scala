@@ -160,5 +160,133 @@ object Graphs {
     ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
   }
 
-  val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank)
+  // ---------------------------------------------------------------- q84
+  /** Per-vertex triangle counting via GraphX `triangleCount` over the
+    * same-region nation graph (nations sharing a region are adjacent —
+    * each region's clique), checked against the closed-form relational
+    * spelling: triangles through `a` = pairs `(b, c)` of distinct
+    * same-region neighbours with `b < c`. The graph is dimension-scale
+    * (triangle counting on a fact-scale graph is cubic in the worst case
+    * and wants the clique-free orientation algorithms GraphX implements —
+    * the operator here is the parity surface, the oracle is the spec). */
+  val q84Triangles: Q = Q.sql(
+    "q84_triangles",
+    """WITH t AS (
+      |  SELECT a.n_nationkey AS k, COUNT(*) AS n
+      |  FROM nation a
+      |  JOIN nation b ON b.n_regionkey = a.n_regionkey
+      |    AND b.n_nationkey <> a.n_nationkey
+      |  JOIN nation c ON c.n_regionkey = a.n_regionkey
+      |    AND c.n_nationkey > b.n_nationkey
+      |    AND c.n_nationkey <> a.n_nationkey
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+      |  CAST(COALESCE(t.n, 0) AS BIGINT) AS triangles
+      |FROM nation LEFT JOIN t ON t.k = n_nationkey""".stripMargin) { (s, dir) =>
+    val spark = s
+    val nation = Tables(s, dir, "nation")
+    // canonical orientation (src < dst), one edge per unordered pair —
+    // the form triangleCount requires
+    val a = nation.select(col("n_nationkey").cast("long").as("src"),
+      col("n_regionkey").as("rk"))
+    val b = nation.select(col("n_nationkey").cast("long").as("dst"),
+      col("n_regionkey").as("rk"))
+    val pairEdges = a.join(b, Seq("rk")).filter(col("src") < col("dst"))
+      .rdd.map(r => Edge(r.getLong(1), r.getLong(2), ""))
+    val graph = Graph.fromEdges(pairEdges, defaultValue = "")
+    val tri = graph.triangleCount().vertices
+    import spark.implicits._
+    val triDf = tri.toDF("nationkey", "tri")
+    nation.select(col("n_nationkey").cast("long").as("nationkey"))
+      .join(triDf, Seq("nationkey"), "left_outer")
+      .select(col("nationkey"),
+        coalesce(col("tri").cast("long"), lit(0L)).as("triangles"))
+  }
+
+  // ---------------------------------------------------------------- q85
+  /** Relaxation steps for the Bellman-Ford shortest path (the graph is a
+    * 4-level DAG, so 4 rounds reach the fixpoint; the oracle unrolls the
+    * identical recurrence). */
+  val BellmanFordIters = 4
+
+  private def shortestPathOracle: String = {
+    val steps = (1 to BellmanFordIters).map { k =>
+      s"""r$k AS (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, r.dist + e.w AS dist
+         |    FROM edges e JOIN r${k - 1} r ON r.id = e.src
+         |  ) u GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT 1000000000000 + o_custkey AS src,
+       |         2000000000000 + o_orderkey AS dst, CAST(1 AS BIGINT) AS w
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 2000000000000 + l_orderkey, 3000000000000 + l_suppkey,
+       |         CAST(l_quantity AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 3000000000000 + s_suppkey, CAST(s_nationkey AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  FROM supplier
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT), 1000 + CAST(n_regionkey AS BIGINT),
+       |         CAST(1 AS BIGINT)
+       |  FROM nation),
+       |r0 AS (
+       |  SELECT 1000000000000 + c_custkey AS id, CAST(0 AS BIGINT) AS dist
+       |  FROM customer),
+       |$steps
+       |SELECT id AS node_id, dist FROM r$BellmanFordIters""".stripMargin
+  }
+
+  /** Single-source-set weighted shortest paths (Bellman-Ford) — the
+    * min-plus complement to q78's sum-semiring iteration: distances from
+    * the customer set through order (hop cost 1), lineitem (hop cost =
+    * quantity), supplier and nation edges to the region roots.
+    *
+    * Same hash-parity discipline as q78: integer weights and integer
+    * mins are exact and order-independent, so Spark and the unrolled
+    * DuckDB recurrence agree bit-for-bit (float distances would not).
+    * Absent rows ARE the infinities — the frontier frame only carries
+    * reached vertices, so no sentinel arithmetic. Scale shape: each round
+    * is one shuffle join (edges ⋈ dists on src) + one partial-aggregated
+    * min per dst; the id space uses 1e12 type offsets so key ranges stay
+    * disjoint at any realistic scale factor. Multi-edges (an order with
+    * many lineitems to one supplier) need no dedup — min absorbs them. */
+  val q85ShortestPath: Q = Q.sql("q85_shortest_path", shortestPathOracle) { (s, dir) =>
+    val edges = Tables(s, dir, "orders")
+      .select((col("o_custkey") + lit(1000000000000L)).as("src"),
+        (col("o_orderkey") + lit(2000000000000L)).as("dst"),
+        lit(1L).as("w"))
+      .unionByName(Tables(s, dir, "lineitem")
+        .select((col("l_orderkey") + lit(2000000000000L)).as("src"),
+          (col("l_suppkey") + lit(3000000000000L)).as("dst"),
+          col("l_quantity").cast("long").as("w")))
+      .unionByName(Tables(s, dir, "supplier")
+        .select((col("s_suppkey") + lit(3000000000000L)).as("src"),
+          col("s_nationkey").cast("long").as("dst"), lit(1L).as("w")))
+      .unionByName(Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("src"),
+          (col("n_regionkey").cast("long") + lit(1000L)).as("dst"),
+          lit(1L).as("w")))
+      .cache()
+    var dists = Tables(s, dir, "customer")
+      .select((col("c_custkey") + lit(1000000000000L)).as("id"),
+        lit(0L).as("dist"))
+    for (_ <- 1 to BellmanFordIters) {
+      val relaxed = edges
+        .join(dists.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dists = dists.unionByName(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+    }
+    dists.select(col("id").as("node_id"), col("dist"))
+  }
+
+  val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
+    q84Triangles, q85ShortestPath)
 }

@@ -54,6 +54,34 @@ class AnalyticsSpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("q84: triangles through a nation = C(regionSize-1, 2)") {
+    val got = Graphs.q84Triangles.run(spark, dir)
+    val expect = Tables(spark, dir, "nation")
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("n_regionkey"))))
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        ((col("k") - 1) * (col("k") - 2) / 2).cast("long").as("triangles"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("q85: distances layer monotonically down the DAG") {
+    val d = Graphs.q85ShortestPath.run(spark, dir).cache()
+    def layerMin(lo: Long, hi: Long) = d
+      .filter(col("node_id") >= lo && col("node_id") < hi)
+      .agg(min("dist")).head.getLong(0)
+    // customers are the 0-distance source set
+    assert(d.filter(col("node_id") >= 1000000000000L &&
+      col("node_id") < 2000000000000L && col("dist") =!= 0L).count() == 0)
+    // every order is exactly one hop from its customer
+    assert(d.filter(col("node_id") >= 2000000000000L &&
+      col("node_id") < 3000000000000L && col("dist") =!= 1L).count() == 0)
+    // suppliers sit at 1 + min quantity (>= 2), nations/regions one more hop
+    assert(layerMin(3000000000000L, 4000000000000L) >= 2L)
+    assert(layerMin(0L, 1000L) >= 3L)
+    assert(layerMin(1000L, 2000L) >= 4L)
+    d.unpersist()
+  }
+
   test("q81: streaming dedup emits exactly the batch-distinct hash set") {
     val got = StreamingQ.q81StreamDedup.run(spark, dir)
     val batch = Tables(spark, dir, "documents")
