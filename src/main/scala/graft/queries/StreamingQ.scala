@@ -375,6 +375,87 @@ object StreamingQ {
       col("event_id"), col("user_id"), col("n_name"), col("r_name"))
   }
 
+  private val sessionCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Run the session-window aggregation once per (session, sfDir). */
+  private def sessionStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = sessionCache.computeIfAbsent((spark, dir), { _ =>
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-session-")
+      val tmp = tmpPath.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val q = StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+        .toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sv").cast("double").as("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$tmp/out"
+    })
+    spark.read.parquet(out)
+  }
+
+  /** Streaming sessionization with the BUILT-IN `session_window` (gap =
+    * 1 hour) under the oracle gate — the merging-window stateful operator
+    * (sessions extend while events keep arriving within the gap; state
+    * merges adjacent windows) that complements the hand-rolled
+    * `flatMapGroupsWithState` sessionizer of `StreamingSessionize`.
+    *
+    * Append mode emits a session once the watermark passes its end
+    * (last event + gap), so the oracle recomputes the identical set
+    * closed-form: per-user gap-and-island in integer microseconds (new
+    * session when the gap to the previous event is ≥ 1 h — Spark merges
+    * strictly-overlapping windows only), session end = last event + gap,
+    * kept where end ≤ max event time − 10 min. */
+  val q86StreamSessions: Q = Q.sql(
+    "q86_stream_sessions",
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, value FROM events
+      |), s AS (
+      |  SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+      |                   OR tu - lag(tu) OVER w >= 3600000000
+      |                 THEN 1 ELSE 0 END AS new
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+      |), g AS (
+      |  SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY tu
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s
+      |), agg AS (
+      |  SELECT user_id, MIN(tu) AS start_us, MAX(tu) + 3600000000 AS end_us,
+      |         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,10))) AS sv
+      |  FROM g GROUP BY user_id, sid
+      |)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(start_us AS BIGINT) AS session_start_us,
+      |  CAST(end_us AS BIGINT) AS session_end_us,
+      |  CAST(n AS BIGINT) AS n_events,
+      |  CAST(sv AS DOUBLE) AS sum_value
+      |FROM agg
+      |WHERE end_us <= (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)""".stripMargin,
+    "streaming session_window aggregation (§2.9 merging-window state)") { (s, dir) =>
+    sessionStream(s, dir).select(
+      col("user_id"), col("session_start_us"), col("session_end_us"),
+      col("n_events"), col("sum_value"))
+  }
+
   val all: Seq[Q] = Seq(
-    q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich)
+    q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
+    q86StreamSessions)
 }
