@@ -658,9 +658,51 @@ object TextPipeline {
         col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Sequence packing — the training-batch assembly stage: concatenate
+    * each language shard's token stream in deterministic (doc_id) order
+    * and cut it into fixed 4096-token context windows, mapping every
+    * document to its `[start_tok, end_tok)` span and the chunk range it
+    * lands in (documents may straddle a boundary — that's the GPT-style
+    * pack-then-chunk discipline, no padding waste).
+    *
+    * Scale shape: the cumsum window partitions by the SHARD (`lang`), not
+    * globally — shards are the unit of parallelism, so no single-
+    * partition global sort exists; within a shard the prefix sum is one
+    * sort + one running window. At 100 TB shards are (lang, shard_id)
+    * buckets of bounded size; the math is unchanged. */
+  val q87SeqPack: Q = Q.sql(
+    "q87_seq_pack",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, n_tokens,
+      |  start_tok,
+      |  start_tok + n_tokens AS end_tok,
+      |  start_tok // 4096 AS start_chunk,
+      |  (start_tok + n_tokens - 1) // 4096 AS end_chunk
+      |FROM c""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"),
+        (col("start_tok") + col("n_tokens")).as("end_tok"),
+        expr("start_tok div 4096").as("start_chunk"),
+        expr("(start_tok + n_tokens - 1) div 4096").as("end_chunk"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
-    q79Tfidf)
+    q79Tfidf, q87SeqPack)
 }
