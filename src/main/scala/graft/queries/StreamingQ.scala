@@ -16,18 +16,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQ {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val sinkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
 
-  /** Run the ingestion once per (session, sfDir): stream the events
-    * parquet through the stateful feed fold into a parquet sink, wait for
-    * AvailableNow to drain, and hand back the sink directory. */
-  private def ingest(spark: SparkSession, dir: String): DataFrame = {
-    val out = cache.computeIfAbsent((spark, dir), { _ =>
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft-feed-ingest-")
+  /** Drive a streaming frame to completion once per (session, sfDir,
+    * tag): parquet sink + checkpoint live in JVM-scoped scratch (cleaned
+    * up on exit so repeated Verify/Bench runs don't accumulate under
+    * /tmp), `Trigger.AvailableNow` plus the trailing no-data batch drain
+    * the source AND any watermark-dependent state, and the sink is read
+    * back as a batch frame. Every streaming query shares this one
+    * scaffold — the tag keys the cache and names the scratch dir. */
+  private def streamOnce(tag: String, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val out = sinkCache.computeIfAbsent((spark, dir, tag), { _ =>
+      val tmpPath = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
       val tmp = tmpPath.toString
-      // the sink + checkpoint are JVM-scoped scratch — clean them up on
-      // exit so repeated Verify/Bench runs don't accumulate under /tmp
       sys.addShutdownHook {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
@@ -35,8 +38,7 @@ object StreamingQ {
           Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
             .forEach(p => Files.deleteIfExists(p))
       }
-      val q = StreamingFeed.actions(
-        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet"))
+      val q = build
         .writeStream.format("parquet")
         .option("path", s"$tmp/out")
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -47,6 +49,14 @@ object StreamingQ {
     })
     spark.read.parquet(out)
   }
+
+  /** The feed ingestion: the events parquet streamed through the
+    * stateful per-game fold (see [[StreamingFeed.actions]]). */
+  private def ingest(spark: SparkSession, dir: String): DataFrame =
+    streamOnce("feed-ingest", spark, dir) {
+      StreamingFeed.actions(
+        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
+    }
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
@@ -185,27 +195,12 @@ object StreamingQ {
       col("jumpball_recovered_person_id"), col("x"), col("y"), col("dist"))
   }
 
-  private val windowCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
-  /** Run the watermarked window aggregation once per (session, sfDir):
-    * stream the events parquet through a tumbling-window count/sum with a
-    * 10-minute watermark into a parquet sink (append mode — only
-    * FINALIZED windows are emitted), wait for AvailableNow + the trailing
-    * no-data batch to drain the state store, and hand back the sink. */
+  /** The watermarked tumbling-window aggregation: append mode, so only
+    * FINALIZED windows (end past the watermark) reach the sink. */
   private def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val out = windowCache.computeIfAbsent((spark, dir), { _ =>
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-window-")
-      val tmp = tmpPath.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(tmpPath))
-          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }
-      val q = StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+    streamOnce("stream-window", spark, dir) {
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
         .toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -215,15 +210,7 @@ object StreamingQ {
           unix_timestamp(col("window.start")).as("bucket_start"),
           col("event_type"), col("n_events"),
           col("sv").cast("double").as("sum_value"))
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s"$tmp/out"
-    })
-    spark.read.parquet(out)
+    }
   }
 
   /** Watermarked event-time tumbling-window aggregation — the canonical
@@ -231,10 +218,12 @@ object StreamingQ {
     * windowed agg → append sink), under the oracle gate.
     *
     * Append mode emits a window only once its end has passed the
-    * watermark (max event time − 10 min), so the DuckDB oracle recomputes
-    * the same cutoff in closed form: hour buckets over all events,
-    * restricted to buckets whose end ≤ final watermark. Bucket keys and
-    * the cutoff are computed in integer microseconds on both sides
+    * watermark (max event time − 10 min; Spark accumulates max event time
+    * in MILLISECONDS, so the oracle truncates to ms before subtracting —
+    * a µs-exact cutoff would keep windows Spark still holds back), so the
+    * DuckDB oracle recomputes the same cutoff in closed form: hour
+    * buckets over all events, restricted to buckets whose end ≤ final
+    * watermark. Bucket keys are integer microseconds on both sides
     * (epoch_us // 3_600_000_000 vs Spark's `window()`), and the double
     * sum goes through DECIMAL(28,10) — exact, order-independent — per the
     * [[graft.Q]] determinism rules. Scale shape: the stream is one
@@ -253,7 +242,7 @@ object StreamingQ {
       |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM b
       |WHERE (bucket_start + 3600) * 1000000 <=
-      |      (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)
       |GROUP BY 1, 2""".stripMargin,
     "streaming watermarked tumbling-window aggregation (§2.9)") { (s, dir) =>
     windowedAgg(s, dir).select(
@@ -261,39 +250,15 @@ object StreamingQ {
       col("sum_value"))
   }
 
-  private val dedupCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
-  /** Run the streaming corpus dedup once per (session, sfDir): stream the
-    * documents parquet through `dropDuplicates` on the content hash into
-    * a parquet sink and drain with AvailableNow. */
+  /** The streaming corpus dedup: `dropDuplicates` on the content hash
+    * over a documents file-stream. */
   private def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val out = dedupCache.computeIfAbsent((spark, dir), { _ =>
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-")
-      val tmp = tmpPath.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(tmpPath))
-          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }
-      val schema = spark.read
-        .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
-      val q = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    streamOnce("stream-dedup", spark, dir) {
+      StreamingFeed.fileSource(spark, dir, "documents.parquet")
         .select(md5(col("text")).as("content_hash"))
         .dropDuplicates("content_hash")
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s"$tmp/out"
-    })
-    spark.read.parquet(out)
+    }
   }
 
   /** Streaming exact corpus deduplication — the incremental twin of the
@@ -317,22 +282,11 @@ object StreamingQ {
     dedupStream(s, dir).select(col("content_hash"))
   }
 
-  private val enrichCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
-  /** Run the stream-static enrichment once per (session, sfDir). */
+  /** The stream-static enrichment: events decorated with nation⋈region
+    * dimension attributes inside each micro-batch. */
   private def enrichStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val out = enrichCache.computeIfAbsent((spark, dir), { _ =>
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-enrich-")
-      val tmp = tmpPath.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(tmpPath))
-          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }
+    streamOnce("stream-enrich", spark, dir) {
       val nation = spark.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").cast("long").as("nkey"),
           col("n_name"), col("n_regionkey"))
@@ -340,20 +294,12 @@ object StreamingQ {
         .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
       val dim = nation.join(region, Seq("n_regionkey"))
         .select(col("nkey"), col("n_name"), col("r_name"))
-      val q = StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
         .toDF()
         .withColumn("nkey", col("user_id") % 25)
         .join(dim, Seq("nkey"))
         .select(col("event_id"), col("user_id"), col("n_name"), col("r_name"))
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s"$tmp/out"
-    })
-    spark.read.parquet(out)
+    }
   }
 
   /** Stream-static broadcast join — the enrichment shape of a streaming
@@ -375,23 +321,11 @@ object StreamingQ {
       col("event_id"), col("user_id"), col("n_name"), col("r_name"))
   }
 
-  private val sessionCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
-  /** Run the session-window aggregation once per (session, sfDir). */
+  /** The session-window aggregation: merging-window state, append mode. */
   private def sessionStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val out = sessionCache.computeIfAbsent((spark, dir), { _ =>
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stream-session-")
-      val tmp = tmpPath.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(tmpPath))
-          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }
-      val q = StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+    streamOnce("stream-session", spark, dir) {
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
         .toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
@@ -401,15 +335,7 @@ object StreamingQ {
           unix_micros(col("session_window.start")).as("session_start_us"),
           unix_micros(col("session_window.end")).as("session_end_us"),
           col("n_events"), col("sv").cast("double").as("sum_value"))
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s"$tmp/out"
-    })
-    spark.read.parquet(out)
+    }
   }
 
   /** Streaming sessionization with the BUILT-IN `session_window` (gap =
@@ -423,7 +349,8 @@ object StreamingQ {
     * closed-form: per-user gap-and-island in integer microseconds (new
     * session when the gap to the previous event is ≥ 1 h — Spark merges
     * strictly-overlapping windows only), session end = last event + gap,
-    * kept where end ≤ max event time − 10 min. */
+    * kept where end ≤ the ms-truncated watermark (same truncation rule
+    * as q80: Spark tracks max event time in milliseconds). */
   val q86StreamSessions: Q = Q.sql(
     "q86_stream_sessions",
     """WITH t AS (
@@ -448,7 +375,8 @@ object StreamingQ {
       |  CAST(n AS BIGINT) AS n_events,
       |  CAST(sv AS DOUBLE) AS sum_value
       |FROM agg
-      |WHERE end_us <= (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)""".stripMargin,
+      |WHERE end_us <=
+      |  (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
     "streaming session_window aggregation (§2.9 merging-window state)") { (s, dir) =>
     sessionStream(s, dir).select(
       col("user_id"), col("session_start_us"), col("session_end_us"),

@@ -160,12 +160,20 @@ object StreamingFeed {
       glob: String = "*.parquet"): Dataset[RawEvent] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val refSchema = spark.read
-      .option("pathGlobFilter", glob).parquet(dir).schema
-    val raw = spark.readStream.schema(refSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
-    graft.Tables.normalizeTs(raw)
+    graft.Tables.normalizeTs(fileSource(spark, dir, glob))
       .select("user_id", "event_id", "event_type", "value", "ts")
       .as[RawEvent]
+  }
+
+  /** Schema-probed file-source stream over one parquet table of the sf
+    * directory (`readStream` requires an explicit schema; the batch read
+    * supplies it) — the single source-construction path every streaming
+    * query shares. */
+  def fileSource(spark: SparkSession, dir: String,
+      glob: String): org.apache.spark.sql.DataFrame = {
+    val refSchema = spark.read
+      .option("pathGlobFilter", glob).parquet(dir).schema
+    spark.readStream.schema(refSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
   }
 }

@@ -15,9 +15,9 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("q78: source-only vertices keep the teleport rank exactly") {
     val ranks = Graphs.q78PageRank.run(spark, dir).cache()
-    // customers (1e6+) and suppliers (2e6+) have no in-edges: their rank
-    // is exactly the teleport term 150_000 after every iteration
-    val sources = ranks.filter(col("node_id") >= 1000000L)
+    // customers (1e12+) and suppliers (2e12+) have no in-edges: their
+    // rank is exactly the teleport term 150_000 after every iteration
+    val sources = ranks.filter(col("node_id") >= 1000000000000L)
     assert(sources.filter(col("rank_micro") =!= 150000L).count() == 0)
     // every rank carries at least the teleport mass
     assert(ranks.filter(col("rank_micro") < 150000L).count() == 0)
@@ -94,7 +94,10 @@ class AnalyticsSpec extends AnyFunSuite {
   test("q80: streaming windowed agg equals the batch cutoff computation") {
     val got = StreamingQ.q80StreamWindow.run(spark, dir)
     val ev = Tables(spark, dir, "events")
-    val wmUs = ev.agg(max(expr("unix_micros(ts)"))).head.getLong(0) - 600000000L
+    // Spark's event-time watermark is MILLISECOND-truncated (max event
+    // time is accumulated in ms), so the batch twin truncates too
+    val wmUs =
+      (ev.agg(max(expr("unix_micros(ts)"))).head.getLong(0) / 1000L - 600000L) * 1000L
     val batch = ev
       .withColumn("bucket_start", expr("unix_micros(ts) div 3600000000") * 3600)
       .filter((col("bucket_start") + lit(3600L)) * lit(1000000L) <= wmUs)
