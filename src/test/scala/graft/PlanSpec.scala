@@ -125,4 +125,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"),
       s"contribution aggregation is not partial:\n$p")
   }
+
+  test("q85: every relaxation round is an equi-join, never quadratic") {
+    val p = plan("q85_shortest_path")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"relaxation fell back to a quadratic join:\n$p")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"distance min is not partial-aggregated:\n$p")
+  }
+
+  test("q87: the packing cumsum is shard-partitioned, never a global window") {
+    val p = plan("q87_seq_pack")
+    // a Window with an empty partition spec would plan Exchange
+    // SinglePartition — the one shape that cannot scale
+    assert(!p.contains("SinglePartition"),
+      s"packing collapsed to a single partition:\n$p")
+    assert(p.contains("Window"), s"expected a running-sum window:\n$p")
+  }
 }
