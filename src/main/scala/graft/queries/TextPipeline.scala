@@ -700,9 +700,69 @@ object TextPipeline {
         expr("(start_tok + n_tokens - 1) div 4096").as("end_chunk"))
   }
 
+  // ---------------------------------------------------------------- q88
+  /** Intra-document repetition scoring (the Gopher-style quality rule
+    * "fraction of the document that is its most common n-gram"): per doc,
+    * the count of every word 2-gram WITH multiplicity (unlike the
+    * [[graft.ops.Text.wordShingles]] dedup-set used by the similarity
+    * pipeline), the max single-gram count, their ratio, and a repetitive
+    * flag at 0.1. Docs under 2 tokens carry zero grams and a false flag.
+    * Scale shape: explode → two partial-aggregated groupBys on (doc,
+    * gram) then (doc) — the same inverted-index discipline as q23, no
+    * text leaves the executor un-hashed... here grams stay as strings
+    * only within the per-doc aggregation, which is bounded by doc
+    * length. */
+  val q88Repetition: Q = Q.sql(
+    "q88_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_extract(toks, CAST(i AS INT)) || ' ' ||
+      |      list_extract(toks, CAST(i AS INT) + 1) AS gram
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+      |  WHERE len(toks) >= 2
+      |), c AS (
+      |  SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2
+      |), a AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+      |         CAST(MAX(n) AS BIGINT) AS max_gram
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_grams, 0) AS n_grams,
+      |  COALESCE(a.max_gram, 0) AS max_gram,
+      |  CASE WHEN a.n_grams IS NULL THEN CAST(0.0 AS DOUBLE)
+      |       ELSE CAST(a.max_gram AS DOUBLE) / a.n_grams END AS rep_ratio,
+      |  CASE WHEN a.n_grams IS NULL THEN FALSE
+      |       ELSE CAST(a.max_gram AS DOUBLE) / a.n_grams > 0.1 END AS repetitive
+      |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val d = docs(s, dir)
+    val agg = d
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(col("n")).cast("long").as("n_grams"),
+        max(col("n")).cast("long").as("max_gram"))
+    val ratio = col("max_gram").cast("double") / col("n_grams")
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_gram"), lit(0L)).as("max_gram"),
+        when(col("n_grams").isNull, 0.0).otherwise(ratio).as("rep_ratio"),
+        when(col("n_grams").isNull, false).otherwise(ratio > 0.1).as("repetitive"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
-    q79Tfidf, q87SeqPack)
+    q79Tfidf, q87SeqPack, q88Repetition)
 }
