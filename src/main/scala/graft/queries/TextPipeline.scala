@@ -760,9 +760,70 @@ object TextPipeline {
         when(col("n_grams").isNull, false).otherwise(ratio > 0.1).as("repetitive"))
   }
 
+  // ---------------------------------------------------------------- q89
+  /** Eval-set decontamination — test/train overlap detection, the stage
+    * every training pipeline runs before holding out an eval set: the
+    * deterministic 5% Bernoulli split of q76 partitions the corpus, and
+    * every (test doc, train doc) pair sharing a rare character 8-gram is
+    * reported with its shared-gram count.
+    *
+    * Scale discipline (same as q23): grams are hashed to 60-bit ints
+    * before any shuffle, and grams in more than 20 documents are cut —
+    * ultra-common substrings are contamination noise AND the skew that
+    * would quadratic-blow the gram equi-join. The pair join is test-side
+    * × train-side on the gram hash: both sides are document-frequency-
+    * bounded, so candidate fan-out is capped at df per gram. */
+  val q89Contamination: Q = Q.sql(
+    "q89_contamination",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 < 5 AS is_test
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([substr(text, i, 8)
+      |      for i in range(1, length(text) - 6)])) AS gram
+      |  FROM documents WHERE length(text) >= 8
+      |), sh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+      |  FROM sh0
+      |), dfc AS (
+      |  SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 20
+      |), kept AS (
+      |  SELECT sh.doc_id, sh.g FROM sh JOIN dfc USING (g)
+      |), te AS (
+      |  SELECT kept.doc_id AS test_doc, g
+      |  FROM kept JOIN h ON h.doc_id = kept.doc_id WHERE h.is_test
+      |), tr AS (
+      |  SELECT kept.doc_id AS train_doc, g
+      |  FROM kept JOIN h ON h.doc_id = kept.doc_id WHERE NOT h.is_test
+      |)
+      |SELECT te.test_doc, tr.train_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM te JOIN tr USING (g)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val isTest =
+      Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
+    val sh = docs(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), isTest.as("is_test"),
+        explode(Text.charShingles(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), col("is_test"), Text.baseHash(col("gram")).as("g"))
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("g"))
+    val kept = sh.join(rare, Seq("g"))
+    val te = kept.filter(col("is_test"))
+      .select(col("g"), col("doc_id").as("test_doc"))
+    val tr = kept.filter(!col("is_test"))
+      .select(col("g"), col("doc_id").as("train_doc"))
+    te.join(tr, Seq("g"))
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
-    q79Tfidf, q87SeqPack, q88Repetition)
+    q79Tfidf, q87SeqPack, q88Repetition, q89Contamination)
 }
