@@ -91,6 +91,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.count() == got.distinct().count())
   }
 
+  test("q87: token spans tile each language shard without gaps") {
+    val t = graft.queries.TextPipeline.q87SeqPack.run(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val broken = t
+      .withColumn("prev_end", lag(col("end_tok"), 1, 0L).over(w))
+      .filter(col("start_tok") =!= col("prev_end"))
+    assert(broken.count() == 0)
+    // chunk ids are consistent with the spans
+    assert(t.filter(col("start_chunk") =!= expr("start_tok div 4096") ||
+      col("end_chunk") =!= expr("(end_tok - 1) div 4096")).count() == 0)
+  }
+
   test("q80: streaming windowed agg equals the batch cutoff computation") {
     val got = StreamingQ.q80StreamWindow.run(spark, dir)
     val ev = Tables(spark, dir, "events")
