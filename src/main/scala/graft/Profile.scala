@@ -17,6 +17,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // measurement toggle ONLY (never set in Bench/Verify): quantify how
+      // much of a heavy line is AQE per-stage job-scheduling overhead
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("GRAFT_NO_AQE")).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
