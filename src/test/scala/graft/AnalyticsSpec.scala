@@ -104,6 +104,29 @@ class AnalyticsSpec extends AnyFunSuite {
       col("end_chunk") =!= expr("(end_tok - 1) div 4096")).count() == 0)
   }
 
+  test("q89: near-dup pairs straddling the split surface as contamination") {
+    // a planted near-duplicate with one side in the 5% test split and the
+    // other in train shares many RARE 8-grams — the decontamination query
+    // must report exactly that pair (one such pair exists at sf0.001)
+    val isTest = graft.ops.Text.baseHash(
+      concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
+    val split = Tables(spark, dir, "documents")
+      .select(col("doc_id"), isTest.as("is_test"))
+    val dup = graft.queries.TextPipeline.q25MinhashDedup.run(spark, dir)
+    val straddling = dup
+      .join(split.select(col("doc_id").as("doc_a"), col("is_test").as("ta")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("is_test").as("tb")), "doc_b")
+      .filter(col("ta") =!= col("tb"))
+      .select(
+        when(col("ta"), col("doc_a")).otherwise(col("doc_b")).as("test_doc"),
+        when(col("ta"), col("doc_b")).otherwise(col("doc_a")).as("train_doc"))
+    assert(straddling.count() > 0, "fixture lost its straddling near-dup pair")
+    val flagged = graft.queries.TextPipeline.q89Contamination.run(spark, dir)
+      .select(col("test_doc"), col("train_doc"))
+    assert(straddling.exceptAll(flagged).isEmpty,
+      "a straddling near-dup pair was not reported as contamination")
+  }
+
   test("q80: streaming windowed agg equals the batch cutoff computation") {
     val got = StreamingQ.q80StreamWindow.run(spark, dir)
     val ev = Tables(spark, dir, "events")
