@@ -678,8 +678,9 @@ object TextPipeline {
       |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents
       |), c AS (
-      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+      |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |    AS BIGINT) AS start_tok
       |  FROM t
       |)
       |SELECT doc_id, lang, n_tokens,
