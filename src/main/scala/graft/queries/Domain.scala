@@ -947,7 +947,15 @@ object Domain {
       import s.implicits._
       depths.vertices
         .flatMap { case (_, ((t, id), d)) =>
-          if (d == Long.MaxValue) None else Some((t, id, d))
+          if (d == Long.MaxValue) None
+          else {
+            // the oracle unrolls exactly `levels` BFS rounds while Pregel
+            // runs to convergence — a node deeper than the unroll bound
+            // must fail loudly here, not as an unexplained hash mismatch
+            require(d <= levels,
+              s"BFS depth $d at ($t, $id) exceeds the oracle's $levels-level unroll")
+            Some((t, id, d))
+          }
         }
         .toDF("node_type", "node_id", "depth")
     }

@@ -171,9 +171,15 @@ object Graphs {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("rank div outdeg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
+      // damping product in DECIMAL(38,0): a Long 850000*s wraps once the
+      // incoming rank mass s exceeds ~1.08e13 micro-units (~SF 70), while
+      // the DuckDB oracle computes it in HUGEINT — decimal keeps the two
+      // engines bit-identical at any scale factor; `div` (IntegralDivide)
+      // accepts decimal operands and returns BIGINT, so the schema is
+      // unchanged
       ranks = verts.join(contrib, Seq("id"), "left_outer")
         .select(col("id"), (lit(150000L) +
-          expr("(850000 * coalesce(s, CAST(0 AS BIGINT))) div 1000000")).as("rank"))
+          expr("(CAST(850000 AS DECIMAL(38,0)) * coalesce(s, CAST(0 AS BIGINT))) div 1000000")).as("rank"))
     }
     ranks.select(col("id").as("node_id"), col("rank").as("rank_micro"))
   }
