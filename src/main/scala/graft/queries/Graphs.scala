@@ -275,12 +275,24 @@ object Graphs {
     * Same hash-parity discipline as q78: integer weights and integer
     * mins are exact and order-independent, so Spark and the unrolled
     * DuckDB recurrence agree bit-for-bit (float distances would not).
-    * Absent rows ARE the infinities — the frontier frame only carries
-    * reached vertices, so no sentinel arithmetic. Scale shape: each round
-    * is one shuffle join (edges ⋈ dists on src) + one partial-aggregated
-    * min per dst; the id space uses 1e12 type offsets so key ranges stay
+    * Absent rows ARE the infinities — the dist frame only carries
+    * reached vertices, so no sentinel arithmetic. Scale shape: FRONTIER
+    * (delta) iteration — each round relaxes only edges out of vertices
+    * whose distance improved LAST round, not the whole reached set, so
+    * round k's relax join is proportional to the k-th level of the
+    * graph rather than everything reached so far (on a high-diameter
+    * graph the non-delta form re-relaxes the entire settled prefix every
+    * round — quadratic in rounds×reached). Each round is one shuffle
+    * join (edges ⋈ frontier on src) + one partial-aggregated min per
+    * dst; `localCheckpoint` truncates the per-iteration lineage so the
+    * plan stays O(1) deep at any diameter (without it round k's plan
+    * nests k copies of the join tree and the optimizer re-walks all of
+    * them). The id space uses 1e12 type offsets so key ranges stay
     * disjoint at any realistic scale factor. Multi-edges (an order with
-    * many lineitems to one supplier) need no dedup — min absorbs them. */
+    * many lineitems to one supplier) need no dedup — min absorbs them.
+    * The fixpoint is identical to the dense form (a vertex re-enters the
+    * frontier whenever it improves), so the unrolled oracle is
+    * unchanged. */
   val q85ShortestPath: Q = Q.sql("q85_shortest_path", shortestPathOracle) { (s, dir) =>
     // floor() before the long cast on BOTH sides: DuckDB's CAST(double ->
     // BIGINT) rounds half away from zero while Spark's cast truncates —
@@ -305,12 +317,24 @@ object Graphs {
     var dists = Tables(s, dir, "customer")
       .select((col("c_custkey") + lit(1000000000000L)).as("id"),
         lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dists
     for (_ <- 1 to BellmanFordIters) {
-      val relaxed = edges
-        .join(dists.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dists = dists.unionByName(relaxed)
+      val candidates = edges
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("cand"))
+      // a vertex enters the next frontier iff this round strictly
+      // improved it (or reached it for the first time) — everything
+      // already settled stays out of the next relax join
+      frontier = candidates
+        .join(dists.withColumnRenamed("dist", "old"), Seq("id"), "left_outer")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("id"), col("cand").as("dist"))
+        .localCheckpoint()
+      dists = dists.unionByName(frontier)
         .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     dists.select(col("id").as("node_id"), col("dist"))
   }
