@@ -293,6 +293,22 @@ object Graphs {
     * The fixpoint is identical to the dense form (a vertex re-enters the
     * frontier whenever it improves), so the unrolled oracle is
     * unchanged. */
+  /** One Bellman-Ford frontier round, pre-checkpoint (factored out so
+    * PlanSpec can assert the per-round plan shape — after
+    * `localCheckpoint` the composed plan is an opaque `Scan ExistingRDD`
+    * by design): relax edges out of the frontier, keep only vertices the
+    * round strictly improved (or reached for the first time) — everything
+    * already settled stays out of the next relax join. */
+  private[graft] def relaxRound(
+      edges: DataFrame, dists: DataFrame, frontier: DataFrame): DataFrame =
+    edges
+      .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+      .groupBy("id").agg(min(col("cand")).as("cand"))
+      .join(dists.withColumnRenamed("dist", "old"), Seq("id"), "left_outer")
+      .filter(col("old").isNull || col("cand") < col("old"))
+      .select(col("id"), col("cand").as("dist"))
+
   val q85ShortestPath: Q = Q.sql("q85_shortest_path", shortestPathOracle) { (s, dir) =>
     // floor() before the long cast on BOTH sides: DuckDB's CAST(double ->
     // BIGINT) rounds half away from zero while Spark's cast truncates —
@@ -320,18 +336,8 @@ object Graphs {
       .localCheckpoint()
     var frontier = dists
     for (_ <- 1 to BellmanFordIters) {
-      val candidates = edges
-        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
-        .groupBy("id").agg(min(col("cand")).as("cand"))
-      // a vertex enters the next frontier iff this round strictly
-      // improved it (or reached it for the first time) — everything
-      // already settled stays out of the next relax join
-      frontier = candidates
-        .join(dists.withColumnRenamed("dist", "old"), Seq("id"), "left_outer")
-        .filter(col("old").isNull || col("cand") < col("old"))
-        .select(col("id"), col("cand").as("dist"))
-        .localCheckpoint()
+      val improved = relaxRound(edges, dists, frontier).localCheckpoint()
+      frontier = improved
       dists = dists.unionByName(frontier)
         .groupBy("id").agg(min(col("dist")).as("dist"))
         .localCheckpoint()

@@ -404,7 +404,82 @@ object StreamingQ {
       col("n_events"), col("sum_value"))
   }
 
+  /** The stream-stream interval join: two independent file-source streams
+    * over the events table — purchases on one side, clicks on the other —
+    * joined per user within a two-hour attribution band. */
+  private def joinStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-join", spark, dir) {
+      val purchases = StreamingFeed
+        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("value").as("p_value"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = StreamingFeed
+        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user_id"),
+          col("value").as("c_value"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("user_id"), col("p_event_id"), col("c_event_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("c_ts")).as("c_ts_us"),
+          col("p_value"), col("c_value"))
+    }
+  }
+
+  /** Watermarked stream-stream interval join (§2.9's last canonical
+    * shape: two unbounded sides, symmetric hash-join state, time-range
+    * condition): every purchase joined to the same user's clicks from the
+    * preceding two hours — the classic streaming attribution join.
+    *
+    * Semantics under the gate: an INNER stream-stream join emits a pair
+    * the moment both rows are present — the watermark bounds the JOIN
+    * STATE (each side holds only rows still inside the other side's
+    * reachable band: state watermark = global watermark − 2 h on the
+    * purchase side), never the output, so unlike the append-mode
+    * aggregations (q80/q86) no rows are held back at drain time and the
+    * closed-form oracle is the full interval join with no watermark
+    * cutoff term. The sf directory's events land as one file = one
+    * micro-batch under `Trigger.AvailableNow`, so no pair can be lost to
+    * cross-batch eviction either (the batch≡stream pin in StreamJoinSpec
+    * drives the same join through multiple chronologically-ordered
+    * micro-batches, where matching survives because arrival order is
+    * monotone — the append-only poll-loop contract the feed already
+    * documents). Band arithmetic compares at integer MICROSECONDS on
+    * both engines: Spark normalizes the nanos-parquet ts to µs on read
+    * ([[graft.Tables]]), so the oracle joins on `epoch_us(ts)` rather
+    * than raw TIMESTAMP_NS arithmetic — at ns precision DuckDB would
+    * disagree about pairs sitting exactly on the band edge. Scale shape:
+    * one shuffle per side on user_id, per-key state bounded by the
+    * two-hour band × arrival rate, eviction driven by the watermark —
+    * the 1000-executor form of a streaming attribution pipeline. */
+  val q90StreamJoin: Q = Q.sql(
+    "q90_stream_join",
+    """SELECT CAST(p.user_id AS BIGINT) AS user_id,
+      |  CAST(p.event_id AS BIGINT) AS p_event_id,
+      |  CAST(c.event_id AS BIGINT) AS c_event_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+      |  CAST(epoch_us(c.ts) AS BIGINT) AS c_ts_us,
+      |  p.value AS p_value, c.value AS c_value
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+    "watermarked stream-stream interval join (§2.9 attribution band)") { (s, dir) =>
+    joinStream(s, dir).select(
+      col("user_id"), col("p_event_id"), col("c_event_id"),
+      col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
-    q86StreamSessions)
+    q86StreamSessions, q90StreamJoin)
 }
