@@ -78,4 +78,54 @@ class GameFeedPropertySpec extends AnyFunSuite {
       assert(s.player_ids == want, s"swap $k")
     }
   }
+
+  // --- action-id keyspace (round-2 ADVICE / round-3 VERDICT item 5) ---
+  //
+  // Every pbp row is keyed by the (game_id, action_id) composite. Event
+  // rows occupy the non-negative ids {event_id*4 + j | j in 0..2}; period
+  // bracket rows occupy the negative per-game ids {-2p, -2p-1 | p >= 1}.
+  // The two keyspaces must stay disjoint and each injective at ANY event
+  // volume, or downstream as-of joins / NEXT chains silently merge rows.
+
+  test("id formulas: event and period keyspaces disjoint and injective at adversarial counts") {
+    val evId = Gen.choose(0L, 1L << 40) // far past any real feed volume
+    val per = Gen.choose(1, 1000000)
+    check(Prop.forAll(Gen.listOfN(50, evId), Gen.listOfN(50, per)) {
+      (evs, pers) =>
+        val eventIds = evs.distinct.flatMap(e => Seq(e * 4, e * 4 + 1, e * 4 + 2))
+        val periodIds = pers.distinct.flatMap(p => Seq(-2L * p, -2L * p - 1))
+        eventIds.forall(_ >= 0) && periodIds.forall(_ < 0) &&
+          eventIds.distinct.size == eventIds.size &&
+          periodIds.distinct.size == periodIds.size
+    })
+  }
+
+  test("real pbp on an adversarial feed: (game_id, action_id) is a key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 games x ~300 events each, cycling every event family including the
+    // max-fan-out one (foul + 2 FTs = 3 rows/event) and enough 45 s clock
+    // steps to tile multiple OT periods — the shapes that would collide
+    // first if the keyspace scheme regressed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_keyspace").toString
+    val types = Seq("signup", "click", "purchase", "error", "view")
+    (0 until 900).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        (i % 3).toLong, types(i % 5), (i * 7 % 200).toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val pbp = GameFeed.pbp(spark, dir).cache()
+    try {
+      val total = pbp.count()
+      val distinctKeys =
+        pbp.select(col("game_id"), col("action_id")).distinct().count()
+      assert(total == distinctKeys, s"key collision: $total rows, $distinctKeys keys")
+      // and the structural split that makes collisions impossible:
+      assert(pbp.filter(col("action_type") =!= "period" && col("action_id") < 0).isEmpty)
+      assert(pbp.filter(col("action_type") === "period" && col("action_id") >= 0).isEmpty)
+      // multiple OT periods actually reached (the adversarial part)
+      assert(pbp.agg(max(col("period"))).as[Int].head() > 4)
+    } finally pbp.unpersist()
+  }
 }
