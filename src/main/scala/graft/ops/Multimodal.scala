@@ -69,6 +69,33 @@ object Multimodal {
     }
   }
 
+  case class FramePHash(doc_id: Long, frame_idx: Long, phash: Long)
+
+  /** Perceptual (average-)hash of a frame: 32 blocks of 2 bytes; bit j is
+    * set iff block j's byte sum exceeds the frame average (integer form:
+    * `32 * blockSum > totalSum`, no division rounding). Visually-similar
+    * frames — same payload shifted/re-encoded a little — land within a
+    * small hamming radius, so near-dup detection becomes the same banded
+    * equi-join the simhash text dedup uses. Pure integer function of the
+    * bytes, so the whole path stays oracle-checkable without codecs. */
+  def perceptualHash(spark: SparkSession, frames: Dataset[Frame]): Dataset[FramePHash] = {
+    import spark.implicits._
+    frames.mapPartitions { rows =>
+      rows.map { f =>
+        val b = f.frame_bytes.map(_ & 0xFF)
+        val total = b.foldLeft(0L)(_ + _)
+        var ph = 0L
+        var j = 0
+        while (j < 32 && 2 * j + 1 < b.length) {
+          val s = b(2 * j).toLong + b(2 * j + 1)
+          if (32L * s > total) ph |= 1L << j
+          j += 1
+        }
+        FramePHash(f.doc_id, f.frame_idx, ph)
+      }
+    }
+  }
+
   case class Thumb(doc_id: Long, frame_idx: Long, thumb_bytes: Array[Byte])
 
   /** "Resize": deterministic stride-subsampling of a frame to `outBytes`

@@ -84,6 +84,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bucket"), s"hyperplane bucket key missing:\n$p")
   }
 
+  test("q91: frame pHash pairs join on the pigeonhole segment key, not all-pairs") {
+    val p = plan("q91_frame_dedup")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"pair generation fell back to a quadratic join:\n$p")
+    assert(p.contains("seg"), s"segment key missing from the join:\n$p")
+  }
+
   test("q67: actor resolution is one equi-join, no per-relation joins") {
     val p = plan("q67_actor_edges")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
