@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,6 +167,75 @@ object Embeddings {
     emb(s, dir).select(col("vec_id"), hyperplaneBucket.as("bucket"))
   }
 
+  // ---------------------------------------------------------------- q92
+  /** DuckDB-side integer dot over the quantized vectors, cast to DOUBLE
+    * for the cosine — integer sums are exact in any width, so only the
+    * final division needs float care. */
+  private def duckIntDot(a: String, b: String): String =
+    s"CAST(list_reduce([CAST($a[i] AS BIGINT) * $b[i] for i in range(1, 65)], (x, y) -> x + y) AS DOUBLE)"
+
+  /** Int8 scalar quantization + quantized top-k: per-vector symmetric
+    * max-abs scale, `q_i = floor(127 * x_i / s + 0.5)` (floor(+0.5) rather
+    * than round() so both engines share one deterministic rounding rule),
+    * then brute-force top-5 by INTEGER-dot cosine over the quantized
+    * corpus — the FAISS-SQ8 shape. At 100 TB this is the memory/IO story
+    * for ANN: int8 vectors are 4× smaller than float32, scans are integer
+    * SIMD, and the quantization itself is one codegen'd projection (no
+    * UDF, no shuffle). The query set broadcasts exactly like q30; the
+    * corpus-side work is a linear scan of the (4× smaller) quantized
+    * column. Zero-vectors quantize to zeros rather than dividing by zero.
+    */
+  val q92QuantizedAnn: Q = Q.sql(
+    "q92_quantized_ann",
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS s,
+       |    embedding
+       |  FROM embeddings
+       |), qi AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s = 0 THEN [0 for x in embedding]
+       |         ELSE [CAST(floor(127.0 * CAST(x AS DOUBLE) / s + 0.5) AS INT)
+       |               for x in embedding]
+       |    END AS q
+       |  FROM qv
+       |), qs AS (
+       |  SELECT vec_id AS query_id, q AS qa FROM qi WHERE vec_id < 20
+       |), p AS (
+       |  SELECT query_id, qi.vec_id AS neighbor_id,
+       |    ${duckIntDot("qa", "qi.q")}
+       |      / (sqrt(${duckIntDot("qa", "qa")}) * sqrt(${duckIntDot("qi.q", "qi.q")})) AS qcos
+       |  FROM qs, qi
+       |  WHERE qi.vec_id <> query_id
+       |)
+       |SELECT query_id, neighbor_id, qcos, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY qcos DESC, neighbor_id) AS rn FROM p)
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double")
+    val quant = emb(s, dir).select(col("vec_id"),
+      when(scale === 0.0, transform(col("embedding"), _ => lit(0)))
+        .otherwise(transform(col("embedding"),
+          x => floor(lit(127.0) * x.cast("double") / scale + lit(0.5)).cast("int")))
+        .as("q"))
+    val qs = quant.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    quant.select(col("vec_id").as("neighbor_id"), col("q"))
+      .crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (intDot(col("qa"), col("q")) /
+          (sqrt(intDot(col("qa"), col("qa"))) * sqrt(intDot(col("q"), col("q")))))
+          .as("qcos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
   // ---------------------------------------------------------------- q35
   /** Per-label centroids — the k-means update step at scale: posexplode
     * to (label, dim) cells, exact decimal-accumulated means, one shuffle
@@ -190,5 +259,5 @@ object Embeddings {
 
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
-      q35LabelCentroids)
+      q35LabelCentroids, q92QuantizedAnn)
 }
