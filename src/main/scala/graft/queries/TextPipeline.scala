@@ -837,9 +837,97 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Deterministic corpus shuffle + shard assignment — the data-loader
+    * side of q87's packing: every doc gets a pseudo-random but
+    * reproducible position via `md5(doc_id)`, shard = hash % 32, and an
+    * intra-shard token offset. Hash-sharding means NO global sort exists
+    * anywhere: shards are independent partitions, each locally ordered by
+    * the hash — at 100 TB that's one hash-partitioned shuffle and 32-way
+    * (or 32k-way) parallel local sorts, the exact shape training data
+    * loaders need for deterministic reshuffled epochs. Both engines parse
+    * the first 15 md5 hex chars (< 2^60, so the BIGINT is positive and
+    * `% 32` agrees across engines' modulo conventions). */
+  val q93ShuffleShard: Q = Q.sql(
+    "q93_shuffle_shard",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents
+      |), s AS (
+      |  SELECT *, h % 32 AS shard FROM t
+      |)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |    AS BIGINT) AS start_tok
+      |FROM s""".stripMargin) { (s, dir) =>
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("shard", col("h") % 32)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(wSum) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("pos"),
+        col("start_tok"))
+  }
+
+  // ---------------------------------------------------------------- q94
+  /** Quality-ordered token-budget curation: per language, rank docs by
+    * stopword ratio (q20's quality signal) and keep docs until the
+    * 2,500-token budget is filled — a doc is kept iff it STARTS inside
+    * the budget (same crossing rule as q87's chunk tiling), so the cut is
+    * a pure window predicate. Scale shape: one window per lang shard, no
+    * global sort, no iteration — "give me the best N tokens per language"
+    * is exactly how curated pre-training mixes are drawn from a scored
+    * corpus. */
+  val q94TokenBudget: Q = Q.sql(
+    "q94_token_budget",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio
+       |  FROM t
+       |), r AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY stop_ratio DESC, doc_id) AS BIGINT) AS rnk,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY stop_ratio DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM sc
+       |)
+       |SELECT lang, doc_id, rnk, n_tokens, cum_tokens, stop_ratio
+       |FROM r WHERE cum_tokens - n_tokens < 2500""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("stop_ratio").desc, col("doc_id"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        (stopCount(toks, stopEn).cast("double") / size(toks)).as("stop_ratio"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wSum))
+      .filter(col("cum_tokens") - col("n_tokens") < 2500)
+      .select(col("lang"), col("doc_id"), col("rnk"), col("n_tokens"),
+        col("cum_tokens"), col("stop_ratio"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
-    q79Tfidf, q87SeqPack, q88Repetition, q89Contamination)
+    q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
+    q94TokenBudget)
 }
