@@ -22,6 +22,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled",
         (!sys.env.contains("GRAFT_NO_AQE")).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", Scratch.root)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,8 +39,14 @@ object Profile {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     if (args.length > 1 && args(1) == "queries") {
-      // bench-mirror mode: run the registered queries in bench order
-      Registry.all.filter(q => q.name >= "q60").sortBy(_.name).foreach { q =>
+      // bench-mirror mode: run registered queries in bench order; an
+      // optional third arg names an explicit comma-separated subset so a
+      // regression can be isolated from cross-query session state
+      val sel: Q => Boolean =
+        if (args.length > 2) { val names = args(2).split(",").toSet
+          q => names.contains(q.name) }
+        else q => q.name >= "q60"
+      Registry.all.filter(sel).sortBy(_.name).foreach { q =>
         time(q.name)(q.run(spark, sfDir).count())
       }
       spark.stop()

@@ -19,6 +19,9 @@ object Verify {
       // 100 TB shuffle still fans out to thousands of partitions
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // single-node harness: scratch I/O on tmpfs so host writeback
+      // throttling can't masquerade as engine time (see graft.Scratch)
+      .config("spark.local.dir", Scratch.root)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
