@@ -44,7 +44,7 @@ object StreamingQ {
     val prior = sinkCache.putIfAbsent(key, fresh)
     val fut = if (prior != null) prior else {
       try {
-        val tmpPath = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+        val tmpPath = graft.Scratch.tempDir(s"graft-$tag-")
         val tmp = tmpPath.toString
         sys.addShutdownHook {
           import java.nio.file.{Files, Path}
@@ -479,7 +479,68 @@ object StreamingQ {
       col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
   }
 
+  /** The windowed KMV sketch stream: per tumbling hour, the k=16-minimum-
+    * values distinct-user estimate via the native mergeable aggregate. */
+  private def kmvStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-kmv", spark, dir) {
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.KmvSketch.estimate(
+            graft.ops.Text.baseHash(col("user_id").cast("string")), 16)
+            .as("kmv_users"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("n_events"), col("kmv_users"))
+    }
+  }
+
+  /** Streaming distinct-count sketch: tumbling-hour KMV estimate of
+    * distinct users — the sketch family (q44) composed with the
+    * watermarked-window family (q80), through the native
+    * [[graft.functions.KmvSketch]] `TypedImperativeAggregate`. Exact
+    * distinct aggregation is disallowed/unbounded on streams; the
+    * mergeable k-element sketch is the at-scale answer, with O(k) state
+    * per window, and because KMV is a deterministic function of the md5
+    * hash SET (unlike HLL) the DuckDB oracle recomputes the ESTIMATE
+    * itself in closed form — same rn=16 spelling as q44, same
+    * ms-truncated watermark cutoff as q80. */
+  val q96StreamKmv: Q = Q.sql(
+    "q96_stream_kmv",
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events
+      |), d AS (
+      |  SELECT DISTINCT bucket_start, h FROM b
+      |), r AS (
+      |  SELECT bucket_start, h,
+      |         row_number() OVER (PARTITION BY bucket_start ORDER BY h) AS rn,
+      |         count(*) OVER (PARTITION BY bucket_start) AS nd
+      |  FROM d
+      |), e AS (
+      |  SELECT bucket_start,
+      |    coalesce(15 * CAST(1152921504606846976 AS DOUBLE)
+      |               / max(CASE WHEN rn = 16 THEN h END),
+      |             CAST(max(nd) AS DOUBLE)) AS kmv_users
+      |  FROM r GROUP BY 1
+      |), n AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(e.bucket_start AS BIGINT) AS bucket_start,
+      |  CAST(n.n_events AS BIGINT) AS n_events, e.kmv_users
+      |FROM e JOIN n USING (bucket_start)
+      |WHERE (e.bucket_start + 3600) * 1000000 <=
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+    "streaming tumbling-window KMV distinct sketch (native mergeable agg)") { (s, dir) =>
+    kmvStream(s, dir).select(
+      col("bucket_start"), col("n_events"), col("kmv_users"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
-    q86StreamSessions, q90StreamJoin)
+    q86StreamSessions, q90StreamJoin, q96StreamKmv)
 }
