@@ -236,6 +236,64 @@ object Embeddings {
       .filter(col("rn") <= 5)
   }
 
+  // ---------------------------------------------------------------- q95
+  /** ANN recall harness: recall@5 of the bucketed (IVF-style, q31) search
+    * against the exact brute-force top-5 (q30), per query — the
+    * evaluation loop every approximate index needs before it's trusted at
+    * scale. The measured ~0.13 average on this synthetic table is the
+    * honest readout that `label` is a weak coarse quantizer for these
+    * embeddings; the harness exists precisely to expose that before a
+    * 100 TB build does. Both sides are 20-query broadcasts; the recall
+    * join is a per-query left join + count. */
+  val q95AnnRecall: Q = Q.sql(
+    "q95_ann_recall",
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, label, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 20
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${duckCos("qe", "e.embedding")} DESC, e.vec_id) AS rn
+       |    FROM qs, embeddings e WHERE e.vec_id <> query_id)
+       |  WHERE rn <= 5
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${duckCos("qe", "e.embedding")} DESC, e.vec_id) AS rn
+       |    FROM qs JOIN embeddings e
+       |      ON qs.label = e.label AND e.vec_id <> qs.query_id)
+       |  WHERE rn <= 5
+       |)
+       |SELECT exact.query_id,
+       |  CAST(count(approx.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(approx.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    def top5(cand: DataFrame): DataFrame = cand
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = top5(e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(qs)))
+    val approx = top5(e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("embedding")).join(broadcast(qs), Seq("label")))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        (count(col("hit")).cast("double") / 5).as("recall"))
+  }
+
   // ---------------------------------------------------------------- q35
   /** Per-label centroids — the k-means update step at scale: posexplode
     * to (label, dim) cells, exact decimal-accumulated means, one shuffle
@@ -259,5 +317,5 @@ object Embeddings {
 
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
-      q35LabelCentroids, q92QuantizedAnn)
+      q35LabelCentroids, q92QuantizedAnn, q95AnnRecall)
 }
