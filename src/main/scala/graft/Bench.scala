@@ -18,6 +18,7 @@ object Bench {
       // same session semantics as Verify: TIMESTAMP_NTZ casts and epoch
       // math are session-TZ dependent — bench must execute the verified plan
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // single-node harness: scratch I/O on tmpfs so host writeback
       // throttling can't masquerade as engine time (see graft.Scratch)
       .config("spark.local.dir", Scratch.root)

@@ -22,6 +22,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled",
         (!sys.env.contains("GRAFT_NO_AQE")).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.local.dir", Scratch.root)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

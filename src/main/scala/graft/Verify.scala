@@ -19,6 +19,7 @@ object Verify {
       // 100 TB shuffle still fans out to thousands of partitions
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // single-node harness: scratch I/O on tmpfs so host writeback
       // throttling can't masquerade as engine time (see graft.Scratch)
       .config("spark.local.dir", Scratch.root)

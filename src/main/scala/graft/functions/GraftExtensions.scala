@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** `SparkSessionExtensions` hook registering graft's native Catalyst
+  * expressions as SQL functions, so the pure-SQL surface
+  * ([[graft.SqlSurface]]) reaches them exactly like the DataFrame one:
+  *
+  * {{{
+  *   SELECT kmv_estimate(h, 16) FROM hashes        -- mergeable KMV sketch
+  *   SELECT dot_product(a.embedding, b.embedding)  -- fused codegen'd dot
+  * }}}
+  *
+  * Activated everywhere the engine builds a session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (Bench,
+  * Verify, Profile, the test session) — the standard extension-injection
+  * path a user of the library would configure on their own cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b) takes two arrays")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_estimate(hash, k) takes two arguments")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_estimate(hash, k): k must be an INT literal, got $other")
+        }
+        // bare AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression like any built-in aggregate
+        KmvSketch(children.head, k)
+      }))
+  }
+}

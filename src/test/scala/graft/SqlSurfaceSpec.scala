@@ -75,4 +75,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(bad == 0)
   }
+
+  test("native expressions are SQL functions via SparkSessionExtensions") {
+    SqlSurface.registerViews(spark, dir)
+    import org.apache.spark.sql.functions._
+
+    // dot_product: SQL spelling equals the Column spelling
+    val sqlDot = SqlSurface.sql(spark,
+      """SELECT vec_id, dot_product(embedding, embedding) AS d
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)
+    val dfDot = Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        graft.ops.Vectors.dot(col("embedding"), col("embedding")).as("d"))
+    assert(canon(sqlDot) == canon(dfDot))
+
+    // kmv_estimate: SQL aggregate equals the Column aggregate
+    val sqlKmv = SqlSurface.sql(spark,
+      """SELECT lang, kmv_estimate(
+        |  CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT), 16) AS e
+        |FROM documents GROUP BY lang""".stripMargin)
+    val dfKmv = Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(graft.functions.KmvSketch.estimate(
+        graft.ops.Text.baseHash(col("text")), 16).as("e"))
+    assert(canon(sqlKmv) == canon(dfKmv))
+  }
 }
