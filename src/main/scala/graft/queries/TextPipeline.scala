@@ -924,10 +924,49 @@ object TextPipeline {
         col("cum_tokens"), col("stop_ratio"))
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Overlapping sliding-window chunking — q87's sibling for the
+    * retrieval/embedding side of the pipeline: windows of 64 tokens at
+    * stride 48 (16-token overlap so no boundary context is lost), one
+    * chunk row per (doc, offset), chunk text reassembled from the token
+    * slice. Wholly map-side: tokenize → explode the offset sequence →
+    * slice, no shuffle at all — at 100 TB this is embarrassingly
+    * parallel over the document scan, which is exactly why RAG chunkers
+    * are built this way. */
+  val q97ChunkOverlap: Q = Q.sql(
+    "q97_chunk_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx,
+      |         CAST(i * 48 AS BIGINT) AS start_tok
+      |  FROM t, UNNEST(range(0, 1 + (len(toks) - 1) // 48)) r(i)
+      |)
+      |SELECT doc_id, chunk_idx, start_tok,
+      |  CAST(least(64, len(toks) - start_tok) AS BIGINT) AS chunk_tokens,
+      |  array_to_string(
+      |    toks[start_tok + 1 : start_tok + least(64, len(toks) - start_tok)],
+      |    ' ') AS chunk_text
+      |FROM c""".stripMargin) { (s, dir) =>
+    val start = col("chunk_idx") * 48
+    val chunkTokens = least(lit(64), size(col("toks")) - start.cast("int"))
+    docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, CAST((size(toks) - 1) div 48 AS LONG))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), start.as("start_tok"),
+        chunkTokens.cast("long").as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (start + 1).cast("int"), chunkTokens))
+          .as("chunk_text"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
-    q94TokenBudget)
+    q94TokenBudget, q97ChunkOverlap)
 }
