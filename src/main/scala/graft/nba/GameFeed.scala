@@ -96,8 +96,6 @@ object GameFeed {
   def base(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.Tables(spark, sfDir, "events")
     val wGame = Window.partitionBy(col("game_id")).orderBy(col("ts"), col("event_id"))
-    val wTeam = Window.partitionBy(col("game_id"), col("team_id"))
-      .orderBy(col("ts"), col("event_id"))
     ev.select(
         col("user_id").as("game_id"), col("event_id"), col("event_type"),
         col("value"), col("ts"))
@@ -117,9 +115,22 @@ object GameFeed {
         row_number().over(wGame).cast("double") * 45.0 -
           when(col("event_type") === "error" && col("value") < 100.0, 40.0)
             .otherwise(0.0))
-      // running count of this team's signups, inclusive: the swap ordinal k
+      // running count of this team's signups, inclusive: the swap ordinal
+      // k. Each game has exactly two teams (home = even event ids), so
+      // the per-(game, team) count rides the per-GAME window as two
+      // conditional running sums — same trick as the streaming twin's
+      // (kHome, kAway) state — instead of a second full shuffle of the
+      // events table on (game_id, team_id). All three window functions in
+      // this frame (clock row_number + the two sums) share one window
+      // spec, so the whole derivation is a single Exchange + Sort +
+      // WindowExec at any scale.
       .withColumn("k",
-        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).over(wTeam))
+        when(col("event_id") % 2 === 0,
+          sum(when(col("event_type") === "signup" && col("event_id") % 2 === 0,
+            1L).otherwise(0L)).over(wGame))
+          .otherwise(
+            sum(when(col("event_type") === "signup" && col("event_id") % 2 =!= 0,
+              1L).otherwise(0L)).over(wGame)))
   }
 
   private def periodOf(clock: Column): Column =
