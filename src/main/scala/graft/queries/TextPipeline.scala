@@ -963,10 +963,60 @@ object TextPipeline {
           .as("chunk_text"))
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Winnowing fingerprint selection (the MOSS algorithm): positional
+    * 8-gram rolling hashes, then per 5-hash window keep the minimum
+    * (leftmost on ties — `array_position`/`list_position` are both
+    * first-match), distinct selected (pos, hash) pairs = the document's
+    * fingerprint set. Winnowing guarantees any match of length ≥
+    * w + gram - 1 = 12 chars shares a selected fingerprint, at ~2/(w+1)
+    * the density of the full hash stream — the robust local-dedup
+    * signature q28's global fingerprint can't give. Wholly map-side
+    * (transform + explode) until the final distinct; selected
+    * fingerprints are what a corpus-level plagiarism/overlap join would
+    * bucket on, at 1/3 the index size. */
+  val q98WinnowFingerprint: Q = Q.sql(
+    "q98_winnow_fingerprint",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+      |     for i in range(1, length(text) - 6)] AS hs
+      |  FROM documents
+      |  WHERE length(text) >= 8
+      |), w AS (
+      |  SELECT doc_id,
+      |    [struct_pack(
+      |       pos := p + list_position(hs[p:p+4], list_min(hs[p:p+4])) - 1,
+      |       fp := list_min(hs[p:p+4]))
+      |     for p in range(1, len(hs) - 3)] AS sel
+      |  FROM h
+      |  WHERE len(hs) >= 5
+      |)
+      |SELECT DISTINCT doc_id, CAST(u.sel.pos AS BIGINT) AS pos, u.sel.fp AS fp
+      |FROM w, UNNEST(w.sel) u(sel)""".stripMargin) { (s, dir) =>
+    // last valid 8-gram starts at length-7 (sequence is INCLUSIVE where
+    // the oracle's range(1, length-6) is exclusive — same position set)
+    val hs = transform(sequence(lit(1), length(col("text")) - 7),
+      i => Text.baseHash(col("text").substr(i, lit(8))))
+    docs(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("hs")) - 4), p => {
+          val win = slice(col("hs"), p, lit(5))
+          struct(
+            (p + array_position(win, array_min(win)) - 1).cast("long").as("pos"),
+            array_min(win).as("fp"))
+        })).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+      .distinct()
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
-    q94TokenBudget, q97ChunkOverlap)
+    q94TokenBudget, q97ChunkOverlap, q98WinnowFingerprint)
 }
