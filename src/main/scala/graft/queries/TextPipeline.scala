@@ -886,7 +886,11 @@ object TextPipeline {
     * a pure window predicate. Scale shape: one window per lang shard, no
     * global sort, no iteration — "give me the best N tokens per language"
     * is exactly how curated pre-training mixes are drawn from a scored
-    * corpus. */
+    * corpus. Caveat at extreme scale: a per-lang window is one reducer
+    * per lang; when a single language exceeds a reducer, the same draw is
+    * done in two passes — sample the score distribution, derive the
+    * score threshold that lands the token budget, then filter map-side —
+    * trading the exact boundary doc for full parallelism. */
   val q94TokenBudget: Q = Q.sql(
     "q94_token_budget",
     s"""WITH t AS (
