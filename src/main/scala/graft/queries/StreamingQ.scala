@@ -540,7 +540,93 @@ object StreamingQ {
       col("bucket_start"), col("n_events"), col("kmv_users"))
   }
 
+  /** q90's join with LEFT OUTER semantics: purchases with no click in
+    * the band survive as null-extended rows. */
+  private def outerJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-outer-join", spark, dir) {
+      val purchases = StreamingFeed
+        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("value").as("p_value"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = StreamingFeed
+        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user_id"),
+          col("value").as("c_value"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+        .select(col("user_id"), col("p_event_id"), col("c_event_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("c_ts")).as("c_ts_us"),
+          col("p_value"), col("c_value"))
+    }
+  }
+
+  /** Watermarked stream-stream LEFT OUTER interval join — the eviction-
+    * driven half of the streaming join family. Matched pairs emit
+    * immediately like q90's inner join; a purchase with NO click in its
+    * band emits its null-extended row only when the watermark EVICTS it
+    * (no future click with `c_ts <= p_ts` can still arrive once the
+    * watermark passes `p_ts`). The GLOBAL watermark is the MIN over both
+    * watermarked inputs — each side contributes max(its own ts) − 10 min,
+    * ms-truncated — NOT max over all events: the newest event overall may
+    * be a type neither stream selects (root-caused on this data: the
+    * single diverging row was the newest purchase itself, which can never
+    * be evicted by a watermark derived from its own stream). So the
+    * closed-form oracle is: the full interval join UNION unmatched
+    * purchases with `p_ts < least(max purchase ts, max click ts) − 10
+    * min` — unmatched purchases inside that horizon are correctly ABSENT
+    * (their state is still live when the stream stops). That asymmetry is
+    * the semantics under test; a plain batch outer join would overclaim
+    * those rows. */
+  val q99StreamOuterJoin: Q = Q.sql(
+    "q99_stream_outer_join",
+    """WITH pr AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |cl AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.user_id, p.event_id AS p_event_id, c.event_id AS c_event_id,
+      |         epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us,
+      |         p.value AS p_value, c.value AS c_value
+      |  FROM pr p JOIN cl c
+      |    ON c.user_id = p.user_id
+      |   AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |   AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(p_event_id AS BIGINT) AS p_event_id,
+      |  CAST(c_event_id AS BIGINT) AS c_event_id,
+      |  CAST(p_ts_us AS BIGINT) AS p_ts_us, CAST(c_ts_us AS BIGINT) AS c_ts_us,
+      |  p_value, c_value
+      |FROM j
+      |UNION ALL
+      |SELECT CAST(p.user_id AS BIGINT), CAST(p.event_id AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(epoch_us(p.ts) AS BIGINT),
+      |  CAST(NULL AS BIGINT), p.value, CAST(NULL AS DOUBLE)
+      |FROM pr p
+      |WHERE epoch_us(p.ts) <
+      |      (SELECT LEAST(
+      |         (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM pr),
+      |         (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM cl))
+      |         - 600000000)
+      |  AND NOT EXISTS (SELECT 1 FROM cl c
+      |        WHERE c.user_id = p.user_id
+      |          AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |          AND epoch_us(c.ts) <= epoch_us(p.ts))""".stripMargin,
+    "watermarked stream-stream LEFT OUTER interval join (eviction-time nulls)") { (s, dir) =>
+    outerJoinStream(s, dir).select(
+      col("user_id"), col("p_event_id"), col("c_event_id"),
+      col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
-    q86StreamSessions, q90StreamJoin, q96StreamKmv)
+    q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin)
 }
