@@ -84,6 +84,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bucket"), s"hyperplane bucket key missing:\n$p")
   }
 
+  test("q92: quantized ANN broadcasts the query set, never shuffle-joins") {
+    val p = plan("q92_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join:\n$p")
+  }
+
+  test("q93: shuffle-shard has no global sort — one hash-partitioned window") {
+    val p = plan("q93_shuffle_shard")
+    // a global orderBy would plan a rangepartitioning Exchange
+    assert(!p.contains("rangepartitioning"), s"global sort leaked in:\n$p")
+    assert(p.contains("hashpartitioning"), s"expected hash-partitioned window:\n$p")
+  }
+
+  test("q98: winnowing is map-side until the distinct, no joins at all") {
+    val p = plan("q98_winnow_fingerprint")
+    assert(!p.contains("Join") && !p.contains("Cartesian"),
+      s"unexpected join in a map-side pipeline:\n$p")
+  }
+
   test("q91: frame pHash pairs join on the pigeonhole segment key, not all-pairs") {
     val p = plan("q91_frame_dedup")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
