@@ -626,7 +626,98 @@ object StreamingQ {
       col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
   }
 
+  /** q99's join with FULL OUTER semantics — unmatched rows surface from
+    * BOTH sides at their respective eviction times. */
+  private def fullJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-full-join", spark, dir) {
+      val purchases = StreamingFeed
+        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("value").as("p_value"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = StreamingFeed
+        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user_id"),
+          col("value").as("c_value"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+          col("c_ts") <= col("p_ts"),
+        "fullOuter")
+        .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+          col("p_event_id"), col("c_event_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("c_ts")).as("c_ts_us"),
+          col("p_value"), col("c_value"))
+    }
+  }
+
+  /** Watermarked stream-stream FULL OUTER interval join — both eviction
+    * directions under one gate. Purchases evict (and null-emit if
+    * unmatched) once the watermark passes `p_ts` exactly as in q99; the
+    * CLICK side exercises the interval OFFSET: a click at `c_ts` can
+    * still match future purchases up to `c_ts + 2h`, so its state lives
+    * 2 hours PAST its event time and its null row emits only when
+    * `c_ts + 2h < watermark`. The oracle therefore carries two different
+    * cutoffs — `p_ts < wm` and `c_ts < wm − 2h` — against the same
+    * min-of-both-streams watermark q99 pinned. Getting either offset
+    * wrong (the classic off-by-interval in hand-rolled streaming joins)
+    * flips rows in or out of the result and fails the hash. */
+  val q100StreamFullJoin: Q = Q.sql(
+    "q100_stream_full_join",
+    """WITH pr AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |cl AS (SELECT * FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT LEAST(
+      |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM pr),
+      |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM cl)) - 600000000 AS w),
+      |j AS (
+      |  SELECT p.user_id, p.event_id AS p_event_id, c.event_id AS c_event_id,
+      |         epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us,
+      |         p.value AS p_value, c.value AS c_value
+      |  FROM pr p JOIN cl c
+      |    ON c.user_id = p.user_id
+      |   AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |   AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(p_event_id AS BIGINT) AS p_event_id,
+      |  CAST(c_event_id AS BIGINT) AS c_event_id,
+      |  CAST(p_ts_us AS BIGINT) AS p_ts_us, CAST(c_ts_us AS BIGINT) AS c_ts_us,
+      |  p_value, c_value
+      |FROM j
+      |UNION ALL
+      |SELECT CAST(p.user_id AS BIGINT), CAST(p.event_id AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(epoch_us(p.ts) AS BIGINT),
+      |  CAST(NULL AS BIGINT), p.value, CAST(NULL AS DOUBLE)
+      |FROM pr p
+      |WHERE epoch_us(p.ts) < (SELECT w FROM wm)
+      |  AND NOT EXISTS (SELECT 1 FROM cl c
+      |        WHERE c.user_id = p.user_id
+      |          AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |          AND epoch_us(c.ts) <= epoch_us(p.ts))
+      |UNION ALL
+      |SELECT CAST(c.user_id AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(c.event_id AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(epoch_us(c.ts) AS BIGINT), CAST(NULL AS DOUBLE), c.value
+      |FROM cl c
+      |WHERE epoch_us(c.ts) + 7200000000 < (SELECT w FROM wm)
+      |  AND NOT EXISTS (SELECT 1 FROM pr p
+      |        WHERE p.user_id = c.user_id
+      |          AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |          AND epoch_us(c.ts) <= epoch_us(p.ts))""".stripMargin,
+    "watermarked stream-stream FULL OUTER interval join (both eviction offsets)") { (s, dir) =>
+    fullJoinStream(s, dir).select(
+      col("user_id"), col("p_event_id"), col("c_event_id"),
+      col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
-    q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin)
+    q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
+    q100StreamFullJoin)
 }
