@@ -26,6 +26,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // record the scratch medium: a silent tmpfs→disk fallback would make
+    // runs non-comparable across hosts with no visible signal
+    System.err.println(s"[graft.Verify] scratch=${Scratch.root}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
