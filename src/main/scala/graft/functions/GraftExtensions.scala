@@ -29,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("int_dot_product"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int_dot_product(a, b) takes two arrays")
+        IntDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "winnow_fingerprints(text) takes one string")
+        WinnowFingerprints(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_estimate"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_estimate"),
       (children: Seq[Expression]) => {

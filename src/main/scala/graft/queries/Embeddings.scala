@@ -213,9 +213,10 @@ object Embeddings {
        |        ORDER BY qcos DESC, neighbor_id) AS rn FROM p)
        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
     val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    // fused codegen'd integer dot (exact long sum — bit-identical to the
+    // HOF spelling it replaced, which lives on in IntDotProduct's scaladoc)
     def intDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, v) => acc + v).cast("double")
+      graft.functions.VectorExprs.intDot(a, b).cast("double")
     val quant = emb(s, dir).select(col("vec_id"),
       when(scale === 0.0, transform(col("embedding"), _ => lit(0)))
         .otherwise(transform(col("embedding"),

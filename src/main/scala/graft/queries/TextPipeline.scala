@@ -149,19 +149,16 @@ object TextPipeline {
       .distinct()
   }
 
-  private val idxCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   /** Session-cached shingle index, one per sf dir: built once, eagerly
     * materialized (a lazily-cached frame referenced by several branches
     * of one action is computed per branch), shared by every dedup query
-    * (q23-q25, q29, q46). */
+    * (q23-q25, q29, q46). Weak session keying via [[graft.SessionCache]]. */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    idxCache.computeIfAbsent((s, dir), { case (s2, d2) =>
-      val df = shingleHashRows(s2, d2).cache()
+    graft.SessionCache.once(s, s"text#$dir#shingle-index") {
+      val df = shingleHashRows(s, dir).cache()
       df.count()
       df
-    })
+    }
 
   private val shingleHashSql =
     """SELECT doc_id,
@@ -774,18 +771,16 @@ object TextPipeline {
     * would quadratic-blow the gram equi-join. The pair join is test-side
     * × train-side on the gram hash: both sides are document-frequency-
     * bounded, so candidate fan-out is capped at df per gram. */
-  private val charGramCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   /** Session-cached char-8-gram hash index (doc_id, is_test, g), eagerly
     * materialized: q89 references it from THREE plan branches (the df
     * cut, the test side, the train side) — uncached, the explode + md5
-    * lineage would run once per branch. */
+    * lineage would run once per branch. Weak session keying via
+    * [[graft.SessionCache]]. */
   private def charGramIndex(s: SparkSession, dir: String): DataFrame =
-    charGramCache.computeIfAbsent((s, dir), { case (s2, d2) =>
+    graft.SessionCache.once(s, s"text#$dir#chargram-index") {
       val isTest =
         Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
-      val df = docs(s2, d2)
+      val df = docs(s, dir)
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"), isTest.as("is_test"),
           explode(Text.charShingles(col("text"), 8)).as("gram"))
@@ -793,7 +788,7 @@ object TextPipeline {
         .cache()
       df.count()
       df
-    })
+    }
 
   val q89Contamination: Q = Q.sql(
     "q89_contamination",
@@ -888,9 +883,9 @@ object TextPipeline {
     * is exactly how curated pre-training mixes are drawn from a scored
     * corpus. Caveat at extreme scale: a per-lang window is one reducer
     * per lang; when a single language exceeds a reducer, the same draw is
-    * done in two passes — sample the score distribution, derive the
-    * score threshold that lands the token budget, then filter map-side —
-    * trading the exact boundary doc for full parallelism. */
+    * done in two passes — see [[q94bThresholdDraw]], which derives the
+    * per-lang score threshold from a bounded histogram and filters
+    * map-side, trading the exact boundary doc for full parallelism. */
   val q94TokenBudget: Q = Q.sql(
     "q94_token_budget",
     s"""WITH t AS (
@@ -926,6 +921,80 @@ object TextPipeline {
       .filter(col("cum_tokens") - col("n_tokens") < 2500)
       .select(col("lang"), col("doc_id"), col("rnk"), col("n_tokens"),
         col("cum_tokens"), col("stop_ratio"))
+  }
+
+  // ---------------------------------------------------------------- q94b
+  /** The two-pass threshold draw — q94's extreme-scale form, promised in
+    * q94's scaladoc caveat. Instead of one window per language over EVERY
+    * doc (one reducer per lang), the draw is:
+    *
+    *   pass 1: aggregate per-(lang, score-bucket) token totals — a
+    *     partial-agg shuffle whose output is bounded by langs × 1001
+    *     buckets regardless of corpus size — then apply q94's exact
+    *     budget-crossing rule ("kept iff it STARTS inside the budget") at
+    *     BUCKET granularity over that tiny histogram, and take the lowest
+    *     kept bucket per lang as the score threshold;
+    *   pass 2: broadcast the per-lang thresholds back and keep docs with
+    *     `bucket >= thr_bucket` — a pure map-side filter over the scan.
+    *
+    * The trade vs q94: the cut lands on a bucket boundary (here 1/1000 of
+    * stop-ratio) rather than the exact boundary doc, so the kept set can
+    * overshoot the budget by at most one bucket's tokens — in exchange the
+    * big side never enters a window: at 100 TB a single dominant language
+    * is no longer one reducer, and the only shuffle over the corpus is the
+    * partial-agg histogram build. Buckets are `floor(stop_ratio * 1000)`;
+    * both engines compute the same IEEE double product, so bucketing is
+    * bit-identical (same parity argument as q94's stop_ratio itself). */
+  val q94bThresholdDraw: Q = Q.sql(
+    "q94b_threshold_draw",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio
+       |  FROM t
+       |), b AS (
+       |  SELECT *, CAST(floor(stop_ratio * 1000) AS BIGINT) AS bucket FROM sc
+       |), hist AS (
+       |  SELECT lang, bucket, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+       |  FROM b GROUP BY lang, bucket
+       |), cum AS (
+       |  SELECT lang, bucket, bucket_tokens,
+       |    CAST(SUM(bucket_tokens) OVER (PARTITION BY lang ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM hist
+       |), thr AS (
+       |  SELECT lang, MIN(bucket) AS thr_bucket
+       |  FROM cum WHERE cum_tokens - bucket_tokens < 2500
+       |  GROUP BY lang
+       |)
+       |SELECT b.lang, b.doc_id, b.n_tokens, b.stop_ratio, b.bucket,
+       |  thr.thr_bucket
+       |FROM b JOIN thr ON b.lang = thr.lang
+       |WHERE b.bucket >= thr.thr_bucket""".stripMargin) { (s, dir) =>
+    val toks = Text.tokens(col("text"))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        (stopCount(toks, stopEn).cast("double") / size(toks)).as("stop_ratio"))
+      .withColumn("bucket", floor(col("stop_ratio") * 1000))
+    // pass 1: bounded histogram (≤ langs × 1001 rows), window over THAT
+    val hist = scored.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .filter(col("cum_tokens") - col("bucket_tokens") < 2500)
+      .groupBy(col("lang")).agg(min(col("bucket")).as("thr_bucket"))
+    // pass 2: map-side filter — thresholds broadcast, corpus never shuffles
+    scored.join(broadcast(thr), "lang")
+      .filter(col("bucket") >= col("thr_bucket"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("bucket"), col("thr_bucket"))
   }
 
   // ---------------------------------------------------------------- q97
@@ -970,50 +1039,61 @@ object TextPipeline {
   // ---------------------------------------------------------------- q98
   /** Winnowing fingerprint selection (the MOSS algorithm): positional
     * 8-gram rolling hashes, then per 5-hash window keep the minimum
-    * (leftmost on ties — `array_position`/`list_position` are both
-    * first-match), distinct selected (pos, hash) pairs = the document's
-    * fingerprint set. Winnowing guarantees any match of length ≥
-    * w + gram - 1 = 12 chars shares a selected fingerprint, at ~2/(w+1)
-    * the density of the full hash stream — the robust local-dedup
-    * signature q28's global fingerprint can't give. Wholly map-side
-    * (transform + explode) until the final distinct; selected
-    * fingerprints are what a corpus-level plagiarism/overlap join would
-    * bucket on, at 1/3 the index size. */
+    * (leftmost on ties), distinct selected (pos, hash) pairs = the
+    * document's fingerprint set. Winnowing guarantees any match of
+    * length ≥ w + gram - 1 = 12 chars shares a selected fingerprint, at
+    * ~2/(w+1) the density of the full hash stream — the robust
+    * local-dedup signature q28's global fingerprint can't give.
+    *
+    * Spark side: ONE codegen'd expression over the scan
+    * ([[graft.functions.WinnowKernel]] — true O(1)-per-position rolling
+    * polynomial hash, packed `fp·2³¹+pos` output), explode + unpack +
+    * distinct; no joins, the final distinct is the only shuffle. This is
+    * the r4→r5 rolling-hash swap the round-4 audit suggested: the
+    * md5-per-position spelling paid a full digest per character position
+    * on BOTH engines; the polynomial is bit-identical across engines
+    * (DuckDB computes it as vectorized window `lead`s over exploded code
+    * points, ~11× faster than its md5 form) and drops the digest from
+    * the 100 TB scan entirely.
+    *
+    * Oracle: same hash via `lead` sums, same leftmost-min via
+    * `MIN(hv·2³¹+i)` (packing makes the sliding MIN itself implement
+    * the leftmost tie-break), then unpack — checked bit-for-bit. */
   val q98WinnowFingerprint: Q = Q.sql(
     "q98_winnow_fingerprint",
-    """WITH h AS (
-      |  SELECT doc_id,
-      |    [('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
-      |     for i in range(1, length(text) - 6)] AS hs
+    """WITH cs AS (
+      |  SELECT doc_id, [CAST(unicode(c) AS BIGINT) for c in split(text, '')] AS codes
       |  FROM documents
       |  WHERE length(text) >= 8
-      |), w AS (
-      |  SELECT doc_id,
-      |    [struct_pack(
-      |       pos := p + list_position(hs[p:p+4], list_min(hs[p:p+4])) - 1,
-      |       fp := list_min(hs[p:p+4]))
-      |     for p in range(1, len(hs) - 3)] AS sel
+      |), ch AS (
+      |  SELECT doc_id, r.i, codes[r.i] AS code
+      |  FROM cs, UNNEST(range(1, len(codes) + 1)) r(i)
+      |), h AS (
+      |  SELECT doc_id, i,
+      |    (code * 2003465299 + lead(code, 1) OVER w * 884122890
+      |     + lead(code, 2) OVER w * 2072267652 + lead(code, 3) OVER w * 294499921
+      |     + lead(code, 4) OVER w * 2248091 + lead(code, 5) OVER w * 17161
+      |     + lead(code, 6) OVER w * 131 + lead(code, 7) OVER w) % 2147483647 AS hv
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(code, 7) OVER w IS NOT NULL
+      |), sel AS (
+      |  SELECT doc_id, MIN(hv * 2147483648 + i) OVER w5 AS pk
       |  FROM h
-      |  WHERE len(hs) >= 5
+      |  WINDOW w5 AS (PARTITION BY doc_id ORDER BY i
+      |                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+      |  QUALIFY COUNT(*) OVER w5 = 5
       |)
-      |SELECT DISTINCT doc_id, CAST(u.sel.pos AS BIGINT) AS pos, u.sel.fp AS fp
-      |FROM w, UNNEST(w.sel) u(sel)""".stripMargin) { (s, dir) =>
-    // last valid 8-gram starts at length-7 (sequence is INCLUSIVE where
-    // the oracle's range(1, length-6) is exclusive — same position set)
-    val hs = transform(sequence(lit(1), length(col("text")) - 7),
-      i => Text.baseHash(col("text").substr(i, lit(8))))
+      |SELECT DISTINCT doc_id, CAST(pk % 2147483648 AS BIGINT) AS pos,
+      |  CAST(pk // 2147483648 AS BIGINT) AS fp
+      |FROM sel""".stripMargin) { (s, dir) =>
     docs(s, dir)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) >= 5)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("hs")) - 4), p => {
-          val win = slice(col("hs"), p, lit(5))
-          struct(
-            (p + array_position(win, array_min(win)) - 1).cast("long").as("pos"),
-            array_min(win).as("fp"))
-        })).as("sel"))
-      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+        explode(graft.functions.Winnow.fingerprints(col("text"))).as("pk"))
+      .select(col("doc_id"),
+        col("pk").bitwiseAND(2147483647L).as("pos"),
+        shiftright(col("pk"), 31).as("fp"))
       .distinct()
   }
 
@@ -1022,5 +1102,5 @@ object TextPipeline {
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
-    q94TokenBudget, q97ChunkOverlap, q98WinnowFingerprint)
+    q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint)
 }

@@ -99,6 +99,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning"), s"expected hash-partitioned window:\n$p")
   }
 
+  test("q94b: threshold draw windows only the bounded histogram, never the corpus") {
+    val q = Registry.all.find(_.name == "q94b_threshold_draw").get
+    // AQE wraps the tree in AdaptiveSparkPlanExec, hiding children from
+    // collect(); the shape under test is the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try q.run(spark, dir).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // every Window node's subtree must contain an Aggregate: the window
+    // runs over the bounded per-(lang,bucket) histogram, not the doc scan
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the histogram cumsum window")
+    windows.foreach { w =>
+      val hasAgg = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      assert(hasAgg, s"a Window runs over the raw corpus:\n${w.treeString}")
+    }
+    // the threshold join back to the corpus must broadcast
+    val p = plan("q94b_threshold_draw")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$p")
+  }
+
   test("q98: winnowing is map-side until the distinct, no joins at all") {
     val p = plan("q98_winnow_fingerprint")
     assert(!p.contains("Join") && !p.contains("Cartesian"),
