@@ -1,0 +1,89 @@
+package graft
+
+import java.lang.ref.WeakReference
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
+
+import org.apache.spark.sql.SparkSession
+
+/** The one per-session memo cache behind every "build this frame once per
+  * (session, sf dir)" site (shingle index, char-gram index, game
+  * pipeline, PyG export, graph edge frames, streaming sink paths).
+  *
+  * Two disciplines, both load-bearing:
+  *
+  *  - '''Memoized-future shape''' (same as the r4 `streamOnce` fix): the
+  *    map only ever holds a cheap `putIfAbsent` of an empty future; the
+  *    winner runs `build` OUTSIDE any map lock, losers block on the
+  *    future — a slow build never blocks unrelated keys on a hash-bin
+  *    lock, and a failed build is evicted rather than poisoning the key.
+  *
+  *  - '''Weak session keying''': the outer map is a `WeakHashMap` keyed
+  *    by the session, so a long-lived multi-session JVM (notebook
+  *    server, test matrix) can't have dead sessions pinned by this
+  *    static registry. `WeakHashMap`'s contract requires that values
+  *    not strongly reference their keys — a cached `DataFrame` DOES
+  *    reference its session — so session-referencing values are held
+  *    through a [[java.lang.ref.WeakReference]] ([[once]]). If the GC
+  *    clears one between uses, the builder simply runs again: for
+  *    `.cache()`d frames the session-owned `CacheManager` still holds
+  *    the materialized data (cache lookup is by canonicalized plan), so
+  *    a rebuild recreates the cheap plan object, not the data. Values
+  *    that provably do NOT reference the session (e.g. sink path
+  *    strings) use [[onceStrong]] and are never re-built.
+  */
+object SessionCache {
+
+  private sealed trait Box { def get: AnyRef }
+  private final class Strong(v: AnyRef) extends Box { def get: AnyRef = v }
+  private final class Weak(v: AnyRef) extends Box {
+    private val r = new WeakReference[AnyRef](v)
+    def get: AnyRef = r.get()
+  }
+
+  private type Inner = ConcurrentHashMap[String, CompletableFuture[Box]]
+
+  private val outer = new java.util.WeakHashMap[SparkSession, Inner]()
+
+  private def innerFor(s: SparkSession): Inner = outer.synchronized {
+    var m = outer.get(s)
+    if (m == null) { m = new ConcurrentHashMap(); outer.put(s, m) }
+    m
+  }
+
+  private def get[V <: AnyRef](s: SparkSession, key: String, wrap: AnyRef => Box)(
+      build: => V): V = {
+    val inner = innerFor(s)
+    while (true) {
+      val fresh = new CompletableFuture[Box]()
+      val prior = inner.putIfAbsent(key, fresh)
+      if (prior == null) {
+        try {
+          val v = build
+          fresh.complete(wrap(v))
+          return v
+        } catch {
+          case e: Throwable =>
+            inner.remove(key, fresh)
+            fresh.completeExceptionally(e)
+            throw e
+        }
+      } else {
+        val v = prior.join().get
+        if (v != null) return v.asInstanceOf[V]
+        inner.remove(key, prior) // GC cleared between uses: rebuild
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Memoize `build` per (session, key); the value is weakly held (use
+    * for values that reference the session, e.g. `DataFrame`s). */
+  def once[V <: AnyRef](s: SparkSession, key: String)(build: => V): V =
+    get(s, key, new Weak(_))(build)
+
+  /** Memoize `build` per (session, key) with a strongly-held value —
+    * ONLY for values that do not reference the session (paths, ids),
+    * where a re-build would repeat real work (e.g. a stream run). */
+  def onceStrong[V <: AnyRef](s: SparkSession, key: String)(build: => V): V =
+    get(s, key, new Strong(_))(build)
+}

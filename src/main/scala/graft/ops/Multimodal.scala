@@ -82,6 +82,12 @@ object Multimodal {
     import spark.implicits._
     frames.mapPartitions { rows =>
       rows.map { f =>
+        // the 32-block geometry is only an unbiased average test when the
+        // frame is exactly 64 bytes (total spans ALL bytes, blocks span
+        // the first 64): fail loudly on reuse with another frame size
+        // rather than emit silently biased hashes
+        require(f.frame_bytes.length == 64,
+          s"perceptualHash expects 64-byte frames, got ${f.frame_bytes.length}")
         val b = f.frame_bytes.map(_ & 0xFF)
         val total = b.foldLeft(0L)(_ + _)
         var ph = 0L

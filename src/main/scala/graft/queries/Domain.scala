@@ -16,26 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Domain {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GamePipeline.Result]()
-
-  private val pygCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
-
   private[graft] def pyg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    pygCache.computeIfAbsent((s, dir), { case (s2, d2) =>
-      graft.graph.PyGExport.build(pipeline(s2, d2), GameFeed.gameTeams(s2, d2))
-    })
+    graft.SessionCache.once(s, s"domain#$dir#pyg") {
+      graft.graph.PyGExport.build(pipeline(s, dir), GameFeed.gameTeams(s, dir))
+    }
 
   private[graft] def pipeline(s: SparkSession, dir: String): GamePipeline.Result =
-    cache.computeIfAbsent((s, dir), { case (s2, d2) =>
+    graft.SessionCache.once(s, s"domain#$dir#pipeline") {
       // cached: the tiny game->teams dim is referenced by attribution, the
       // season invariant and four export branches — and Spark's cache
       // manager resolves every identical GameFeed.gameTeams plan to this
       // one InMemoryRelation
-      GamePipeline.run(s2, GameFeed.pbp(s2, d2), GameFeed.starters(s2, d2),
-        GameFeed.gameTeams(s2, d2).cache())
-    })
+      GamePipeline.run(s, GameFeed.pbp(s, dir), GameFeed.starters(s, dir),
+        GameFeed.gameTeams(s, dir).cache())
+    }
 
   /** Shared oracle CTEs mirroring GameFeed's mapping: the derived event
     * base, game ends, swap ordinals, stint tiling (closed-form lineups),

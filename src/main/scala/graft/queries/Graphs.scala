@@ -25,12 +25,11 @@ object Graphs {
   /** One cached frame per (session, sfDir, tag): the iterative queries
     * reference their edge/vertex frames many times per run, and repeated
     * runs (specs, bench re-runs) must reuse the SAME cached copy instead
-    * of pinning a fresh duplicate in storage memory each time. */
-  private val frameCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    * of pinning a fresh duplicate in storage memory each time. Weak
+    * session keying + build-outside-lock via [[graft.SessionCache]]. */
   private def cachedOnce(s: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    frameCache.computeIfAbsent((s, dir, tag), _ => build.cache())
+    graft.SessionCache.once(s, s"graphs#$dir#$tag")(build.cache())
 
   // ---------------------------------------------------------------- q50
   /** Entity degree via GraphX: for each nation, the number of customer

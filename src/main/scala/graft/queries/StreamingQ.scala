@@ -16,10 +16,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQ {
 
-  private val sinkCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String),
-    java.util.concurrent.CompletableFuture[String]]()
-
   /** Drive a streaming frame to completion once per (session, sfDir,
     * tag): parquet sink + checkpoint live in JVM-scoped scratch (cleaned
     * up on exit so repeated Verify/Bench runs don't accumulate under
@@ -28,53 +24,55 @@ object StreamingQ {
     * back as a batch frame. Every streaming query shares this one
     * scaffold — the tag keys the cache and names the scratch dir.
     *
-    * Memoized-future shape: the map only ever holds a cheap
-    * `putIfAbsent` of an empty future, and the WINNER runs the stream
-    * outside any map lock — concurrent callers on colliding hash bins
-    * are never blocked behind a full stream run (the old
-    * `computeIfAbsent` held the bin lock for the stream's duration).
-    * A failed run is evicted so a transient failure doesn't poison the
-    * cache for the session's lifetime. Sessions in this app are per-JVM
-    * singletons (Verify/Bench/tests each build exactly one), so the
-    * strong session key pins nothing that wasn't already pinned. */
-  private def streamOnce(tag: String, spark: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame = {
-    val key = (spark, dir, tag)
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val prior = sinkCache.putIfAbsent(key, fresh)
-    val fut = if (prior != null) prior else {
-      try {
-        val tmpPath = graft.Scratch.tempDir(s"graft-$tag-")
-        val tmp = tmpPath.toString
-        sys.addShutdownHook {
-          import java.nio.file.{Files, Path}
-          import java.util.Comparator
-          if (Files.exists(tmpPath))
-            Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => Files.deleteIfExists(p))
-        }
-        val q = build
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        fresh.complete(s"$tmp/out")
-      } catch {
-        case e: Throwable =>
-          sinkCache.remove(key, fresh)
-          fresh.completeExceptionally(e)
+    * Memoization lives in [[graft.SessionCache]] (memoized-future shape,
+    * weak session keying). The cached value is the sink PATH — a string
+    * that doesn't reference the session — held strongly (`onceStrong`):
+    * a weakly-held path could be GC-cleared between two specs and silently
+    * re-run a whole stream, while the strong path pins only bytes.
+    *
+    * Conf overrides (`shufflePartitions` sizes the state-store count for
+    * the join queries) are applied to a session CLONE (`newSession()`:
+    * same context, shared state, and injected extensions; fresh conf) and
+    * the stream is BUILT AND STARTED on that clone — the shared session's
+    * conf is never mutated, so a concurrent query build elsewhere in the
+    * JVM can't race a set/restore window and pin the wrong state-store
+    * count into a checkpoint. */
+  private def streamOnce(tag: String, spark: SparkSession, dir: String,
+      shufflePartitions: Option[Int] = None)(
+      build: SparkSession => DataFrame): DataFrame = {
+    val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
+      val sess = shufflePartitions match {
+        case Some(n) =>
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+          s2
+        case None => spark
       }
-      fresh
+      val tmpPath = graft.Scratch.tempDir(s"graft-$tag-")
+      val tmp = tmpPath.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val q = build(sess)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$tmp/out"
     }
-    spark.read.parquet(fut.join())
+    spark.read.parquet(path)
   }
 
   /** The feed ingestion: the events parquet streamed through the
     * stateful per-game fold (see [[StreamingFeed.actions]]). */
   private def ingest(spark: SparkSession, dir: String): DataFrame =
-    streamOnce("feed-ingest", spark, dir) {
+    streamOnce("feed-ingest", spark, dir) { _ =>
       StreamingFeed.actions(
         StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
     }
@@ -220,7 +218,7 @@ object StreamingQ {
     * FINALIZED windows (end past the watermark) reach the sink. */
   private def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-window", spark, dir) {
+    streamOnce("stream-window", spark, dir) { _ =>
       StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
         .toDF()
         .withWatermark("ts", "10 minutes")
@@ -275,7 +273,7 @@ object StreamingQ {
     * over a documents file-stream. */
   private def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-dedup", spark, dir) {
+    streamOnce("stream-dedup", spark, dir) { _ =>
       StreamingFeed.fileSource(spark, dir, "documents.parquet")
         .select(md5(col("text")).as("content_hash"))
         .dropDuplicates("content_hash")
@@ -307,7 +305,7 @@ object StreamingQ {
     * dimension attributes inside each micro-batch. */
   private def enrichStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-enrich", spark, dir) {
+    streamOnce("stream-enrich", spark, dir) { _ =>
       val nation = spark.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").cast("long").as("nkey"),
           col("n_name"), col("n_regionkey"))
@@ -345,7 +343,7 @@ object StreamingQ {
   /** The session-window aggregation: merging-window state, append mode. */
   private def sessionStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-session", spark, dir) {
+    streamOnce("stream-session", spark, dir) { _ =>
       StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
         .toDF()
         .withWatermark("ts", "10 minutes")
@@ -411,18 +409,17 @@ object StreamingQ {
     import org.apache.spark.sql.functions._
     // state-store count sized to the join state, not the CPU count —
     // see fullJoinStream's rationale (fixed per-(partition, store,
-    // batch) cost dominates at fixture scale)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamOnce("stream-join", spark, dir) {
+    // batch) cost dominates at fixture scale); applied via streamOnce's
+    // session clone, never the shared conf
+    streamOnce("stream-join", spark, dir, shufflePartitions = Some(8)) { sess =>
       val purchases = StreamingFeed
-        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_event_id"), col("user_id"),
           col("value").as("p_value"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
       val clicks = StreamingFeed
-        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
         .filter(col("event_type") === "click")
         .select(col("event_id").as("c_event_id"),
           col("user_id").as("c_user_id"),
@@ -436,7 +433,7 @@ object StreamingQ {
           unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("c_ts")).as("c_ts_us"),
           col("p_value"), col("c_value"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** Watermarked stream-stream interval join (§2.9's last canonical
@@ -488,7 +485,7 @@ object StreamingQ {
     * values distinct-user estimate via the native mergeable aggregate. */
   private def kmvStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-kmv", spark, dir) {
+    streamOnce("stream-kmv", spark, dir) { _ =>
       StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
@@ -549,18 +546,17 @@ object StreamingQ {
     * the band survive as null-extended rows. */
   private def outerJoinStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // state-store count sized to the join state — see fullJoinStream
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamOnce("stream-outer-join", spark, dir) {
+    // state-store count sized to the join state — see fullJoinStream;
+    // applied via streamOnce's session clone, never the shared conf
+    streamOnce("stream-outer-join", spark, dir, shufflePartitions = Some(8)) { sess =>
       val purchases = StreamingFeed
-        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_event_id"), col("user_id"),
           col("value").as("p_value"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
       val clicks = StreamingFeed
-        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
         .filter(col("event_type") === "click")
         .select(col("event_id").as("c_event_id"),
           col("user_id").as("c_user_id"),
@@ -575,7 +571,7 @@ object StreamingQ {
           unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("c_ts")).as("c_ts_us"),
           col("p_value"), col("c_value"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** Watermarked stream-stream LEFT OUTER interval join — the eviction-
@@ -620,10 +616,13 @@ object StreamingQ {
       |  CAST(NULL AS BIGINT), p.value, CAST(NULL AS DOUBLE)
       |FROM pr p
       |WHERE epoch_us(p.ts) <
-      |      (SELECT LEAST(
-      |         (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM pr),
-      |         (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM cl))
-      |         - 600000000)
+      |      -- min-of-both-streams watermark; explicitly NULL (=> no
+      |      -- eviction rows, matching Spark's epoch-0 global watermark)
+      |      -- when EITHER side is empty — DuckDB's LEAST skips NULLs
+      |      (SELECT CASE WHEN pm.m IS NULL OR cm.m IS NULL THEN NULL
+      |              ELSE LEAST(pm.m, cm.m) - 600000000 END
+      |       FROM (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 AS m FROM pr) pm,
+      |            (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 AS m FROM cl) cm)
       |  AND NOT EXISTS (SELECT 1 FROM cl c
       |        WHERE c.user_id = p.user_id
       |          AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
@@ -650,19 +649,17 @@ object StreamingQ {
     // track the state SIZE, not the session's CPU count — the same knob
     // real deployments set per streaming job (checkpoints pin it at
     // first start). Measured at sf0.1: 32 partitions → 24 s fixed, 8 →
-    // ~1/4 of that. Set/restore is safe here: the harness builds
-    // streaming queries sequentially and streamOnce drains synchronously.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamOnce("stream-full-join", spark, dir) {
+    // ~1/4 of that. Applied via streamOnce's session clone, never the
+    // shared conf — no set/restore window for another build to race.
+    streamOnce("stream-full-join", spark, dir, shufflePartitions = Some(8)) { sess =>
       val purchases = StreamingFeed
-        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
         .filter(col("event_type") === "purchase" && col("user_id") % 8 === 1)
         .select(col("event_id").as("p_event_id"), col("user_id"),
           col("value").as("p_value"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
       val clicks = StreamingFeed
-        .eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
         .filter(col("event_type") === "click" && col("user_id") % 8 === 1)
         .select(col("event_id").as("c_event_id"),
           col("user_id").as("c_user_id"),
@@ -678,7 +675,7 @@ object StreamingQ {
           unix_micros(col("p_ts")).as("p_ts_us"),
           unix_micros(col("c_ts")).as("c_ts_us"),
           col("p_value"), col("c_value"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** Watermarked stream-stream FULL OUTER interval join — both eviction
@@ -698,9 +695,13 @@ object StreamingQ {
       |             WHERE event_type = 'purchase' AND user_id % 8 = 1),
       |cl AS (SELECT * FROM events
       |       WHERE event_type = 'click' AND user_id % 8 = 1),
-      |wm AS (SELECT LEAST(
-      |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM pr),
-      |    (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM cl)) - 600000000 AS w),
+      |-- min-of-both-streams watermark; explicitly NULL (=> no eviction
+      |-- rows, matching Spark's epoch-0 global watermark) when EITHER
+      |-- side is empty — DuckDB's LEAST skips NULLs
+      |wm AS (SELECT CASE WHEN pm.m IS NULL OR cm.m IS NULL THEN NULL
+      |              ELSE LEAST(pm.m, cm.m) - 600000000 END AS w
+      |       FROM (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 AS m FROM pr) pm,
+      |            (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 AS m FROM cl) cm),
       |j AS (
       |  SELECT p.user_id, p.event_id AS p_event_id, c.event_id AS c_event_id,
       |         epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us,
