@@ -38,15 +38,16 @@ object StreamingQ {
     * JVM can't race a set/restore window and pin the wrong state-store
     * count into a checkpoint. */
   private def streamOnce(tag: String, spark: SparkSession, dir: String,
-      shufflePartitions: Option[Int] = None)(
+      shufflePartitions: Option[Int] = None,
+      extraConfs: Map[String, String] = Map.empty)(
       build: SparkSession => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
-      val sess = shufflePartitions match {
-        case Some(n) =>
-          val s2 = spark.newSession()
-          s2.conf.set("spark.sql.shuffle.partitions", n.toString)
-          s2
-        case None => spark
+      val overrides = extraConfs ++
+        shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+      val sess = if (overrides.isEmpty) spark else {
+        val s2 = spark.newSession()
+        overrides.foreach { case (k, v) => s2.conf.set(k, v) }
+        s2
       }
       val tmpPath = graft.Scratch.tempDir(s"graft-$tag-")
       val tmp = tmpPath.toString
@@ -634,33 +635,37 @@ object StreamingQ {
   }
 
   /** q99's join with FULL OUTER semantics — unmatched rows surface from
-    * BOTH sides at their respective eviction times. Restricted to the
-    * deterministic 1/8 user cohort: a full-outer stream-stream join
-    * cannot evict by key — BOTH stores are value-scanned and rewritten
-    * on every watermark advance to find rows owed a null emission — so
-    * its fixture cost is ~6× the inner/left forms (measured 52 s vs 9 s
-    * at sf0.1) for zero extra semantic coverage beyond the cohort's. The
-    * slice keeps every code path (match, left eviction, right
-    * offset-eviction) exercised while the gate pays 1/8 the state. */
+    * BOTH sides at their respective eviction times, over the FULL user
+    * population. Round-4 gated a 1/8 cohort (a full-outer join cannot
+    * evict by key — both stores are value-scanned and rewritten on every
+    * watermark advance — and an early 32-partition run measured 52 s at
+    * sf0.1); the round-5 experiment (`graft.tools.StateStoreExperiment`)
+    * re-measured after the 8-partition right-sizing and tmpfs scratch:
+    * full cohort ≈ 7.1 s HDFS-backed / 6.2 s RocksDB vs 6.4 s for the
+    * 1/8 slice — the fixed per-(partition, store, batch) cost dominates
+    * and the cohort saved nothing, so the restriction is dropped. The
+    * join runs on the RocksDB state-store provider: for a store whose
+    * maintenance is a full value scan, the off-heap LSM with changelog
+    * checkpointing is the configuration that survives state ≫ heap at
+    * 100 TB, and pinning it here keeps both bundled providers exercised
+    * (every other streaming query uses the default HDFS-backed store). */
   private def fullJoinStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // a full-outer join's cost is dominated by a FIXED per-(partition,
-    // store, batch) scan-and-rewrite, so the state-store count should
-    // track the state SIZE, not the session's CPU count — the same knob
-    // real deployments set per streaming job (checkpoints pin it at
-    // first start). Measured at sf0.1: 32 partitions → 24 s fixed, 8 →
-    // ~1/4 of that. Applied via streamOnce's session clone, never the
-    // shared conf — no set/restore window for another build to race.
-    streamOnce("stream-full-join", spark, dir, shufflePartitions = Some(8)) { sess =>
+    // state-store count sized to the state, not the CPU count (measured
+    // at sf0.1: 32 partitions → 24 s fixed cost, 8 → ~1/4 of that);
+    // both overrides ride streamOnce's session clone, never shared conf
+    streamOnce("stream-full-join", spark, dir, shufflePartitions = Some(8),
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { sess =>
       val purchases = StreamingFeed
         .eventsStream(sess, dir, glob = "events.parquet").toDF()
-        .filter(col("event_type") === "purchase" && col("user_id") % 8 === 1)
+        .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_event_id"), col("user_id"),
           col("value").as("p_value"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
       val clicks = StreamingFeed
         .eventsStream(sess, dir, glob = "events.parquet").toDF()
-        .filter(col("event_type") === "click" && col("user_id") % 8 === 1)
+        .filter(col("event_type") === "click")
         .select(col("event_id").as("c_event_id"),
           col("user_id").as("c_user_id"),
           col("value").as("c_value"), col("ts").as("c_ts"))
@@ -691,10 +696,8 @@ object StreamingQ {
     * flips rows in or out of the result and fails the hash. */
   val q100StreamFullJoin: Q = Q.sql(
     "q100_stream_full_join",
-    """WITH pr AS (SELECT * FROM events
-      |             WHERE event_type = 'purchase' AND user_id % 8 = 1),
-      |cl AS (SELECT * FROM events
-      |       WHERE event_type = 'click' AND user_id % 8 = 1),
+    """WITH pr AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |cl AS (SELECT * FROM events WHERE event_type = 'click'),
       |-- min-of-both-streams watermark; explicitly NULL (=> no eviction
       |-- rows, matching Spark's epoch-0 global watermark) when EITHER
       |-- side is empty — DuckDB's LEAST skips NULLs
