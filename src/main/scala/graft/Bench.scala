@@ -58,10 +58,24 @@ object Bench {
     dst.resolve(src.getFileName).toString
   }
 
+  /** (steal, total) jiffies from the aggregate /proc/stat cpu line; the
+    * delta across the run exposes host CPU contention — the round-5
+    * observation that a throttle window can ALSO steal cycles, smearing
+    * +50% across every query while tmpfs I/O stays healthy. */
+  def cpuStatTicks(): Option[(Long, Long)] =
+    scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (parts(7), parts.sum) // steal is field 8 (0-indexed 7)
+      } finally f.close()
+    }.toOption
+
   def main(args: Array[String]): Unit = {
     val sfDirRaw = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // calibrate the host volume BEFORE staging reads warm the page cache
     val ioMbps = ioCalibrationMbps(sys.props("java.io.tmpdir"))
+    val cpu0 = cpuStatTicks()
     val sfDir = stageInput(sfDirRaw)
     System.err.println(
       f"[graft.Bench] scratch=${Scratch.root} staged=$sfDir io_calibration=$ioMbps%.1f MB/s")
@@ -111,8 +125,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFail = results.count(_._3.isDefined)
+    // second calibration AFTER the queries: a throttle window that opens
+    // mid-run is invisible to the start-of-run sample (observed: run 1
+    // healthy at both ends = 148 s; run 2 started at 277 MB/s, ended
+    // throttled, total inflated 42%)
+    val ioEnd = ioCalibrationMbps(sys.props("java.io.tmpdir"))
+    val stealPct = (for ((s0, t0) <- cpu0; (s1, t1) <- cpuStatTicks()
+      if t1 > t0) yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     val ioField = f"$ioMbps%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"}}""")
     spark.stop()
   }
 }
