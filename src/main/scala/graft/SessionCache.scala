@@ -1,6 +1,6 @@
 package graft
 
-import java.lang.ref.WeakReference
+import java.lang.ref.SoftReference
 import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
 
 import org.apache.spark.sql.SparkSession
@@ -23,20 +23,27 @@ import org.apache.spark.sql.SparkSession
   *    static registry. `WeakHashMap`'s contract requires that values
   *    not strongly reference their keys — a cached `DataFrame` DOES
   *    reference its session — so session-referencing values are held
-  *    through a [[java.lang.ref.WeakReference]] ([[once]]). If the GC
-  *    clears one between uses, the builder simply runs again: for
-  *    `.cache()`d frames the session-owned `CacheManager` still holds
-  *    the materialized data (cache lookup is by canonicalized plan), so
-  *    a rebuild recreates the cheap plan object, not the data. Values
-  *    that provably do NOT reference the session (e.g. sink path
-  *    strings) use [[onceStrong]] and are never re-built.
+  *    through a [[java.lang.ref.SoftReference]] ([[once]]). Soft, not
+  *    weak, deliberately: a weakly-held frame is cleared at the first
+  *    GC after the query that used it returns, and a rebuild is NOT
+  *    free — plans holding a `LogicalRDD` (the `zipWithIndex` dense-id
+  *    exports, the typed game pipeline) never canonicalize equal to
+  *    their previous incarnation, so the session `CacheManager` cannot
+  *    resurrect the materialized data and the whole build re-runs (a
+  *    measured 3.7 s → 15 s regression on the BFS query when this was
+  *    a `WeakReference`). A soft ref survives ordinary GC and is
+  *    cleared only under memory pressure, which bounds the worst case:
+  *    a dead session's frames linger at most until the heap needs the
+  *    space, never to OOM. Values that provably do NOT reference the
+  *    session (e.g. sink path strings) use [[onceStrong]] and are
+  *    never re-built.
   */
 object SessionCache {
 
   private sealed trait Box { def get: AnyRef }
   private final class Strong(v: AnyRef) extends Box { def get: AnyRef = v }
-  private final class Weak(v: AnyRef) extends Box {
-    private val r = new WeakReference[AnyRef](v)
+  private final class Soft(v: AnyRef) extends Box {
+    private val r = new SoftReference[AnyRef](v)
     def get: AnyRef = r.get()
   }
 
@@ -76,10 +83,10 @@ object SessionCache {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Memoize `build` per (session, key); the value is weakly held (use
+  /** Memoize `build` per (session, key); the value is softly held (use
     * for values that reference the session, e.g. `DataFrame`s). */
   def once[V <: AnyRef](s: SparkSession, key: String)(build: => V): V =
-    get(s, key, new Weak(_))(build)
+    get(s, key, new Soft(_))(build)
 
   /** Memoize `build` per (session, key) with a strongly-held value —
     * ONLY for values that do not reference the session (paths, ids),
