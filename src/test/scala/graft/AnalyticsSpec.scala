@@ -144,4 +144,17 @@ class AnalyticsSpec extends AnyFunSuite {
         col("sum_value"))
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
+
+  test("q95b: trained IVF beats the label quantizer's recall@5") {
+    import graft.queries.Embeddings
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head.getDouble(0)
+    val trained = meanRecall(Embeddings.q95bIvfRecall.run(spark, dir))
+    val label = meanRecall(Embeddings.q95AnnRecall.run(spark, dir))
+    // measured 0.59 vs 0.13 on this corpus; the bound leaves slack for
+    // fixture regeneration but pins the ordering and a real margin
+    assert(trained >= 0.4, s"trained-IVF recall $trained fell below 0.4")
+    assert(trained > label + 0.1,
+      s"trained-IVF recall $trained does not clear label-IVF $label")
+  }
 }
