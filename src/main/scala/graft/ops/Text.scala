@@ -69,6 +69,19 @@ object Text {
       s => array_min(transform(hashes31,
         h => ((s * 2 + 1) * h + (s * 1000003 + 12345)) % MinhashP)))
 
+  /** Full-signature dedup key: the k-slot MinHash signature of a doc's
+    * word n-gram shingle set, md5-folded to one string. Equal keys ⇔ the
+    * shingle sets agree on every permutation minimum (Jaccard ≈ 1), so a
+    * plain distinct/dropDuplicates on this key collapses near-dups — the
+    * map-side projection behind streaming dedup-at-ingest (q101), where a
+    * verification join isn't available. Callers must filter to docs with
+    * ≥ n tokens first (shorter docs have empty shingle sets → null
+    * signature slots and a degenerate shared key). */
+  def signatureKey(toks: Column, n: Int, k: Int): Column =
+    md5(array_join(transform(
+      minhashSignature(shingleHashes(wordShingles(toks, n)), k),
+      _.cast("string")), "|"))
+
   /** LSH band keys from a MinHash signature: `bands` keys, each hashing
     * `rows` consecutive signature slots. Docs sharing any band key are
     * near-dup candidates; the band join is an equi-join (shuffle on the

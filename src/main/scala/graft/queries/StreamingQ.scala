@@ -746,8 +746,54 @@ object StreamingQ {
       col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
   }
 
+  /** Streaming NEAR-dup collapse at ingest — the q24 MinHash machinery
+    * applied to the document stream: word-3-gram shingles built as pure
+    * array expressions (no window, so the whole signature is map-side on
+    * a stream), 31-bit shingle hashes, the 12-slot Carter–Wegman
+    * signature, and `dropDuplicates` on the full-signature key.
+    * Full-signature equality collapses documents whose shingle sets agree
+    * on every permutation minimum — Jaccard ≈ 1 near-dups caught before
+    * they ever land in the corpus (the at-ingest twin of the batch LSH
+    * family; band-level candidate generation stays batch-side, where a
+    * verification join can follow).
+    *
+    * Emits the surviving signature SET, q81's rationale: which physical
+    * document survives a same-batch collision is a partition race, but
+    * the signature set is exact, so the oracle is the closed-form
+    * DISTINCT over the same signature pipeline. State is O(#distinct
+    * signatures) — strictly smaller than exact-dedup state since
+    * near-dups share one entry; bound it with
+    * `dropDuplicatesWithinWatermark` once the feed carries event time. */
+  val q101StreamSigDedup: Q = Q.sql(
+    "q101_stream_sig_dedup",
+    """WITH shb AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)],
+      |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) AS hs
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |), sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 12), sd -> list_min(list_transform(hs,
+      |      hv -> ((sd*2+1)*hv + (sd*1000003+12345)) % 2147483647))) AS sg
+      |  FROM shb
+      |)
+      |SELECT DISTINCT md5(array_to_string(sg, '|')) AS sig_key FROM sig""".stripMargin,
+    "streaming MinHash-signature near-dup collapse at ingest (dedup family x §2.9)") { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    import graft.ops.Text
+    streamOnce("stream-sig-dedup", s, dir) { sess =>
+      StreamingFeed.fileSource(sess, dir, "documents.parquet")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(Text.signatureKey(col("t"), 3, 12).as("sig_key"))
+        .dropDuplicates("sig_key")
+    }.select(col("sig_key"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
-    q100StreamFullJoin)
+    q100StreamFullJoin, q101StreamSigDedup)
 }
