@@ -56,5 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // AggregateExpression like any built-in aggregate
         KmvSketch(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_values"),
+      new ExpressionInfo(classOf[KmvValues].getName, "kmv_values"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_values(hash, k) takes two arguments")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_values(hash, k): k must be an INT literal, got $other")
+        }
+        KmvValues(children.head, k)
+      }))
   }
 }

@@ -569,6 +569,85 @@ object TextPipeline {
           col("n_exact").cast("double")).as("kmv_estimate"))
   }
 
+  // ---------------------------------------------------------------- q102
+  /** Corpus-overlap estimation via KMV set algebra — "how much does
+    * source A share with source B?" answered WITHOUT any join between
+    * the corpora. Per source: word-3-gram shingles ([[Text.wordShingles]],
+    * pure array exprs — no window, wholly map-side), 60-bit hashes, and
+    * the native [[graft.functions.KmvValues]] sketch (k=256 smallest
+    * distinct hashes, mergeable O(k) state). The only shuffle is 20
+    * sketch partials per partition; the pairwise stage is a broadcast
+    * self-join of 20 k-element arrays. From two sketches the Beyer et
+    * al. (SIGMOD'07) multiset estimators are plain array functions:
+    * `K_∪ = slice(sort(union), k)`, `ρ = |K_∪ ∩ K_A ∩ K_B| / k ≈ J`,
+    * `|A ∪ B| ≈ (k-1)·2^60 / max(K_∪)`, `|A ∩ B| ≈ ρ·|A ∪ B|`.
+    * This is the 100 TB decontamination-planning primitive: rank source
+    * pairs by estimated overlap before paying for an exact pair join
+    * (q89), at one scan + O(sources²·k) driver-free arithmetic. The
+    * whole pipeline is a deterministic function of the input hash sets,
+    * so the oracle recomputes it closed-form (list(DISTINCT)→sort→slice
+    * is DuckDB's spelling of the same sketch). */
+  val q102KmvOverlap: Q = {
+    val k = 256
+    Q.sql(
+      "q102_kmv_overlap",
+      s"""WITH sh AS (
+        |  SELECT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(list_distinct(
+        |      [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS g
+        |    FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 3)
+        |), kv AS (
+        |  SELECT source, list_sort(list(DISTINCT h))[1:$k] AS kvs
+        |  FROM sh GROUP BY source
+        |), p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.kvs AS ka, b.kvs AS kb,
+        |    list_sort(list_distinct(list_concat(a.kvs, b.kvs)))[1:$k] AS ku
+        |  FROM kv a JOIN kv b ON a.source < b.source
+        |)
+        |SELECT source_a, source_b,
+        |  CASE WHEN len(ku) >= $k
+        |    THEN CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(ku[$k] AS DOUBLE)
+        |    ELSE CAST(len(ku) AS DOUBLE) END AS est_union,
+        |  CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+        |    / CAST(least($k, len(ku)) AS DOUBLE) AS jaccard_est,
+        |  (CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+        |    / CAST(least($k, len(ku)) AS DOUBLE))
+        |  * (CASE WHEN len(ku) >= $k
+        |      THEN CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(ku[$k] AS DOUBLE)
+        |      ELSE CAST(len(ku) AS DOUBLE) END) AS est_intersection
+        |FROM p""".stripMargin,
+      "KMV sketch union/intersect/Jaccard across sources — overlap without a corpus join") {
+      (s, dir) =>
+        val sketches = docs(s, dir)
+          .select(col("source"), explode(
+            Text.wordShingles(Text.tokens(col("text")), 3)).as("g"))
+          .select(col("source"), Text.baseHash(col("g")).as("h"))
+          .groupBy(col("source"))
+          .agg(graft.functions.KmvValues.values(col("h"), k).as("kvs"))
+        val a = sketches.as("a")
+        val b = sketches.as("b")
+        val ku = slice(array_sort(array_union(col("a.kvs"), col("b.kvs"))), 1, k)
+        val pairs = a.join(broadcast(b), col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+            col("a.kvs").as("ka"), col("b.kvs").as("kb"), ku.as("ku"))
+        val estUnion = when(size(col("ku")) >= k,
+          lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+            / element_at(col("ku"), k).cast("double"))
+          .otherwise(size(col("ku")).cast("double"))
+        val jaccard = size(array_intersect(array_intersect(col("ku"), col("ka")),
+            col("kb"))).cast("double") /
+          least(lit(k), size(col("ku"))).cast("double")
+        pairs.select(col("source_a"), col("source_b"),
+          estUnion.as("est_union"), jaccard.as("jaccard_est"),
+          (jaccard * estUnion).as("est_intersection"))
+    }
+  }
+
   // ---------------------------------------------------------------- q76
   /** Deterministic corpus sampling — the subsampling step of a training
     * run, engine-portable and reproducible: a hash-Bernoulli flag
@@ -1101,6 +1180,7 @@ object TextPipeline {
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
+    q102KmvOverlap,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint)
 }

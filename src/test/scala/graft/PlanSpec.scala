@@ -204,4 +204,18 @@ class PlanSpec extends AnyFunSuite {
       s"packing collapsed to a single partition:\n$p")
     assert(p.contains("Window"), s"expected a running-sum window:\n$p")
   }
+
+  test("q102: sketches partial-aggregate map-side; only sketches pair-join") {
+    val p = planNoAqe("q102_kmv_overlap")
+    // the corpus scan feeds a partial ObjectHashAggregate (the mergeable
+    // KMV buffer) before the one shuffle on source
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_kmv_values"),
+      s"KMV sketch is not partial-aggregated:\n$p")
+    // the pairwise stage joins 20 O(k) sketch rows, broadcast — the
+    // corpora themselves are never joined
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"sketch pair join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side join leaked in:\n$p")
+  }
 }

@@ -61,4 +61,46 @@ class KmvSketchSpec extends AnyFunSuite {
       }
     assert(got == want)
   }
+
+  test("kmv_values returns the k smallest distinct hashes ascending, partition-invariant") {
+    import spark.implicits._
+    val hashes = spark.createDataset((1 to 500).map(i => s"user-$i"))
+      .select(Text.baseHash(col("value")).as("h"))
+    val want = hashes.collect().map(_.getLong(0)).distinct.sorted.take(16).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = hashes.repartition(parts)
+        .agg(KmvValues.values(col("h"), 16).as("kv"))
+        .head().getSeq[Long](0)
+      assert(got == want, s"parts=$parts")
+    }
+    // below k: the values ARE the full distinct set, still ascending
+    val small = Seq(9L, 3L, 9L, 1L).toDF("h")
+      .agg(KmvValues.values(col("h"), 16).as("kv"))
+      .head().getSeq[Long](0)
+    assert(small == Seq(1L, 3L, 9L))
+  }
+
+  test("kmv_values sketch algebra matches exact set operations below saturation") {
+    import spark.implicits._
+    // two overlapping sets, both smaller than k: the union sketch is the
+    // exact union, so intersection/Jaccard from sketches must be exact
+    val a = (1 to 40).map(i => s"doc-$i")
+    val b = (21 to 70).map(i => s"doc-$i")
+    def kv(xs: Seq[String]) = spark.createDataset(xs)
+      .select(Text.baseHash(col("value")).as("h"))
+      .agg(KmvValues.values(col("h"), 256).as("kv"))
+      .head().getSeq[Long](0).toSet
+    val (ka, kb) = (kv(a), kv(b))
+    val ku = (ka ++ kb).toSeq.sorted.take(256).toSet
+    assert((ku & ka & kb).size == 20) // |A ∩ B| exactly
+    assert(ku.size == 70)             // |A ∪ B| exactly
+  }
+
+  test("kmv_values is registered as a SQL function via GraftExtensions") {
+    import spark.implicits._
+    Seq(5L, 2L, 2L, 8L).toDF("h").createOrReplaceTempView("kmv_vals_in")
+    val got = spark.sql("SELECT kmv_values(h, 4) AS kv FROM kmv_vals_in")
+      .head().getSeq[Long](0)
+    assert(got == Seq(2L, 5L, 8L))
+  }
 }
