@@ -77,10 +77,22 @@ object Text {
     * verification join isn't available. Callers must filter to docs with
     * ≥ n tokens first (shorter docs have empty shingle sets → null
     * signature slots and a degenerate shared key). */
-  def signatureKey(toks: Column, n: Int, k: Int): Column =
-    md5(array_join(transform(
-      minhashSignature(shingleHashes(wordShingles(toks, n)), k),
-      _.cast("string")), "|"))
+  def signatureKey(toks: Column, n: Int, k: Int): Column = {
+    // fold spelling, not minhashSignature(shingleHashes(...)): an HOF
+    // evaluates its input array expression on EVERY outer-lambda element,
+    // so the inlined composition would run the md5 pass k times per row.
+    // aggregate() evaluates the hash array once and folds the k
+    // permutation minima element-wise (measured ~2× on the q101 line).
+    val sig = aggregate(
+      shingleHashes(wordShingles(toks, n)),
+      array((0 until k).map(_ => lit(MinhashP)): _*),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until k).map(s =>
+          (lit(s * 2 + 1) * h + lit(s * 1000003 + 12345)) % MinhashP): _*),
+        least(_, _)))
+    md5(array_join(transform(sig, _.cast("string")), "|"))
+  }
 
   /** LSH band keys from a MinHash signature: `bands` keys, each hashing
     * `rows` consecutive signature slots. Docs sharing any band key are

@@ -783,7 +783,10 @@ object StreamingQ {
     "streaming MinHash-signature near-dup collapse at ingest (dedup family x §2.9)") { (s, dir) =>
     import org.apache.spark.sql.functions._
     import graft.ops.Text
-    streamOnce("stream-sig-dedup", s, dir) { sess =>
+    // state is a few thousand signature keys: 8 state stores, same
+    // right-sizing rationale as the join family (fixed per-store cost
+    // dominates at fixture scale); rides streamOnce's session clone
+    streamOnce("stream-sig-dedup", s, dir, shufflePartitions = Some(8)) { sess =>
       StreamingFeed.fileSource(sess, dir, "documents.parquet")
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
