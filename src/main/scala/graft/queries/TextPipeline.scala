@@ -136,23 +136,25 @@ object TextPipeline {
     * whole-stage codegen and does the same work in ~1s. Same output set —
     * the oracle SQL is unchanged. */
   private def shingleHashRows(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("doc_id"),
+    val toks = docs(s, dir).select(col("doc_id"), col("source"),
       posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         lead(col("tok"), 2).over(w).as("t2"),
         concat_ws(" ", col("tok"),
           lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("shingle"))
       .filter(col("t2").isNotNull) // only full 3-grams
-      .select(col("doc_id"), Text.baseHash(col("shingle")).as("h"))
+      .select(col("doc_id"), col("source"), Text.baseHash(col("shingle")).as("h"))
       .distinct()
   }
 
   /** Session-cached shingle index, one per sf dir: built once, eagerly
     * materialized (a lazily-cached frame referenced by several branches
     * of one action is computed per branch), shared by every dedup query
-    * (q23-q25, q29, q46). Weak session keying via [[graft.SessionCache]]. */
+    * (q23-q25, q29, q46) and the overlap sketches (q102 — `source` rides
+    * along so sketch building is join-free). Weak session keying via
+    * [[graft.SessionCache]]. */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.once(s, s"text#$dir#shingle-index") {
       val df = shingleHashRows(s, dir).cache()
@@ -572,12 +574,12 @@ object TextPipeline {
   // ---------------------------------------------------------------- q102
   /** Corpus-overlap estimation via KMV set algebra — "how much does
     * source A share with source B?" answered WITHOUT any join between
-    * the corpora. Per source: word-3-gram shingles ([[Text.wordShingles]],
-    * pure array exprs — no window, wholly map-side), 60-bit hashes, and
-    * the native [[graft.functions.KmvValues]] sketch (k=256 smallest
-    * distinct hashes, mergeable O(k) state). The only shuffle is 20
-    * sketch partials per partition; the pairwise stage is a broadcast
-    * self-join of 20 k-element arrays. From two sketches the Beyer et
+    * the corpora. Per source: the shared session-cached shingle index
+    * (60-bit word-3-gram hashes, `source` rides along from the build so
+    * this stays join-free) feeds the native [[graft.functions.KmvValues]]
+    * sketch (k=256 smallest distinct hashes, mergeable O(k) state). The
+    * only shuffle is 20 sketch partials per partition; the pairwise
+    * stage is a broadcast self-join of 20 k-element arrays. From two sketches the Beyer et
     * al. (SIGMOD'07) multiset estimators are plain array functions:
     * `K_∪ = slice(sort(union), k)`, `ρ = |K_∪ ∩ K_A ∩ K_B| / k ≈ J`,
     * `|A ∪ B| ≈ (k-1)·2^60 / max(K_∪)`, `|A ∩ B| ≈ ρ·|A ∪ B|`.
@@ -623,10 +625,7 @@ object TextPipeline {
         |FROM p""".stripMargin,
       "KMV sketch union/intersect/Jaccard across sources — overlap without a corpus join") {
       (s, dir) =>
-        val sketches = docs(s, dir)
-          .select(col("source"), explode(
-            Text.wordShingles(Text.tokens(col("text")), 3)).as("g"))
-          .select(col("source"), Text.baseHash(col("g")).as("h"))
+        val sketches = shingleIndex(s, dir)
           .groupBy(col("source"))
           .agg(graft.functions.KmvValues.values(col("h"), k).as("kvs"))
         val a = sketches.as("a")
