@@ -79,4 +79,31 @@ object OpsProperties extends Properties("graft.ops") {
       }
     }
   }
+
+  property("signatureKey fold == naive minhash reference on random docs") = {
+    // small vocabulary so generated docs collide, repeat, and share grams
+    val word = Gen.oneOf("a", "b", "c", "ab", "ba", "the")
+    val gen = Gen.listOfN(4, Gen.choose(3, 10).flatMap(Gen.listOfN(_, word)))
+    val P = ops.Text.MinhashP
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def refKey(toks: List[String]): String = {
+      val hashes = toks.sliding(3).map(_.mkString(" ")).toSet
+        .map((g: String) => java.lang.Long.parseLong(md5Hex(g).take(15), 16) % P)
+      val sig = (0 until 12).map(s =>
+        hashes.map(h => ((s * 2 + 1) * h + (s * 1000003L + 12345)) % P).min)
+      md5Hex(sig.mkString("|"))
+    }
+    Prop.forAll(gen) { docs =>
+      import spark.implicits._
+      val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"), ops.Text.signatureKey(col("t"), 3, 12).as("key"))
+        .as[(Long, String)].collect().toMap
+      val expected = docs.zipWithIndex
+        .map { case (t, i) => i.toLong -> refKey(t) }.toMap
+      got == expected
+    }
+  }
 }
