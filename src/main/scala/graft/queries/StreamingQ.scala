@@ -795,8 +795,91 @@ object StreamingQ {
     }.select(col("sig_key"))
   }
 
+  /** Streaming audience-overlap monitor — the sketch-family matrix
+    * completed: [[graft.functions.KmvValues]] (q102's composable k-min
+    * sketch) carried in STREAMING aggregation state the way
+    * [[graft.functions.KmvSketch]] is in q96. Per tumbling day and
+    * event_type, the k=16 min-values sketch of the distinct-user hash
+    * set accumulates in O(k) state and emits when the watermark closes
+    * the window; the Beyer et al. union/intersection/Jaccard algebra
+    * (q102's exact spelling at k=16) then runs BATCH-side over the
+    * emitted sketch rows — sketches to the sink, algebra at read time,
+    * which is how a real overlap dashboard consumes them. Day windows
+    * (not q96's hours) so every fixture group saturates k and the
+    * estimator path — not the exact-count fallback — is what the oracle
+    * gates; the below-k path is unit-pinned in KmvSketchSpec. Same
+    * ms-truncated 10-minute watermark cutoff as q96/q80. */
+  val q103StreamKmvOverlap: Q = {
+    val k = 16
+    Q.sql(
+      "q103_stream_kmv_overlap",
+      s"""WITH b AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket_start,
+        |         event_type,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), kv AS (
+        |  SELECT bucket_start, event_type, list_sort(list(DISTINCT h))[1:$k] AS kvs
+        |  FROM b GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.bucket_start, a.event_type AS type_a, b.event_type AS type_b,
+        |    a.kvs AS ka, b.kvs AS kb,
+        |    list_sort(list_distinct(list_concat(a.kvs, b.kvs)))[1:$k] AS ku
+        |  FROM kv a JOIN kv b
+        |    ON a.bucket_start = b.bucket_start AND a.event_type < b.event_type
+        |)
+        |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, type_a, type_b,
+        |  CASE WHEN len(ku) >= $k
+        |    THEN CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(ku[$k] AS DOUBLE)
+        |    ELSE CAST(len(ku) AS DOUBLE) END AS est_union,
+        |  CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+        |    / CAST(least($k, len(ku)) AS DOUBLE) AS jaccard_est,
+        |  (CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+        |    / CAST(least($k, len(ku)) AS DOUBLE))
+        |  * (CASE WHEN len(ku) >= $k
+        |      THEN CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(ku[$k] AS DOUBLE)
+        |      ELSE CAST(len(ku) AS DOUBLE) END) AS est_intersection
+        |FROM p
+        |WHERE (bucket_start + 86400) * 1000000 <=
+        |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+      "streaming per-window KMV-values sketches + batch overlap algebra (q102 x q96)") {
+      (s, dir) =>
+        import org.apache.spark.sql.functions._
+        val sketches = streamOnce("stream-kmv-overlap", s, dir) { _ =>
+          StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(graft.functions.KmvValues.values(
+              graft.ops.Text.baseHash(col("user_id").cast("string")), k).as("kvs"))
+            .select(unix_timestamp(col("window.start")).as("bucket_start"),
+              col("event_type"), col("kvs"))
+        }
+        val a = sketches.as("a")
+        val b = sketches.as("b")
+        val ku = slice(array_sort(array_union(col("a.kvs"), col("b.kvs"))), 1, k)
+        val pairs = a.join(broadcast(b),
+            col("a.bucket_start") === col("b.bucket_start") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(col("a.bucket_start").as("bucket_start"),
+            col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+            col("a.kvs").as("ka"), col("b.kvs").as("kb"), ku.as("ku"))
+        val estUnion = when(size(col("ku")) >= k,
+          lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+            / element_at(col("ku"), k).cast("double"))
+          .otherwise(size(col("ku")).cast("double"))
+        val jaccard = size(array_intersect(array_intersect(col("ku"), col("ka")),
+            col("kb"))).cast("double") /
+          least(lit(k), size(col("ku"))).cast("double")
+        pairs.select(col("bucket_start"), col("type_a"), col("type_b"),
+          estUnion.as("est_union"), jaccard.as("jaccard_est"),
+          (jaccard * estUnion).as("est_intersection"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
-    q100StreamFullJoin, q101StreamSigDedup)
+    q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap)
 }
