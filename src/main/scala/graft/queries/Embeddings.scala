@@ -486,7 +486,59 @@ object Embeddings {
         count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- q104
+  /** Dedup-aware retrieval — the serving-side reason the dedup family
+    * exists: top-5 cosine neighbors (q30's exact scan) served ONLY from
+    * near-dup cluster representatives (q29's LSH clustering), so a
+    * query can never surface the same underlying document twice under
+    * different ids. Queries themselves are not filtered — a duplicated
+    * query still retrieves, and its cluster collapses to one hit.
+    * Scale shape: the representative cut is one equi semi-join on the
+    * corpus id before the broadcast query scan — the q30 plan plus a
+    * filter, nothing quadratic; the clustering itself is the shared
+    * q29 machinery (bucketed LSH candidates → verified pairs → GraphX
+    * components). */
+  val q104DedupRetrieval: Q = Q.sql(
+    "q104_dedup_retrieval",
+    s"""WITH RECURSIVE ${TextPipeline.clustersSql},
+       |reps AS (SELECT doc_id FROM comp WHERE cluster_id = doc_id),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20
+       |), clean AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN reps r ON r.doc_id = e.vec_id
+       |), p AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${duckCos("qe", "embedding")} AS cosine
+       |  FROM qs, clean
+       |  WHERE vec_id <> query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM p)
+       |WHERE rn <= 5""".stripMargin,
+    "top-5 cosine retrieval served only from dedup-cluster representatives (q30 x q29)") {
+    (s, dir) =>
+      val reps = TextPipeline.dedupClusters(s, dir)
+        .filter(col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"))
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      e.join(reps, col("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .crossJoin(broadcast(qs))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
-      q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall)
+      q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
+      q104DedupRetrieval)
 }

@@ -341,7 +341,7 @@ object TextPipeline {
     * min doc_id), every document assigned a cluster + a representative
     * flag. Keep-one-per-cluster is then a single filter. The oracle
     * re-derives components with a recursive transitive closure. */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = s
     import spark.implicits._
@@ -357,7 +357,7 @@ object TextPipeline {
         coalesce(col("comp").cast("long"), col("doc_id")).as("cluster_id"))
   }
 
-  private val clustersSql =
+  private[queries] val clustersSql =
     s"""pairs AS (
        |  $minhashDedupSql
        |),
