@@ -57,6 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketch(children.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("mg_candidates"),
+      new ExpressionInfo(classOf[MgCandidates].getName, "mg_candidates"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "mg_candidates(hash, k) takes two arguments")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"mg_candidates(hash, k): k must be an INT literal, got $other")
+        }
+        MgCandidates(children.head, k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_values"),
       new ExpressionInfo(classOf[KmvValues].getName, "kmv_values"),
       (children: Seq[Expression]) => {

@@ -1175,11 +1175,124 @@ object TextPipeline {
       .distinct()
   }
 
+  // ---------------------------------------------------------------- q105
+  /** Exact corpus heavy hitters — every token holding ≥ 1/200th of all
+    * token occurrences, with its exact count — via the two-pass
+    * Misra–Gries pattern: pass 1 is one scan with O(k) aggregation state
+    * (k = 256 > 1/φ = 200, so the MG summary provably contains every
+    * φ-heavy token) folding candidates AND the total count together;
+    * pass 2 re-scans, keeps only candidate hashes via a ≤ 256-row
+    * broadcast join, and counts those exactly. No full token-universe
+    * groupBy ever happens — at 100 TB that wide shuffle IS the cost of
+    * the naive spelling, while both passes here shuffle at most
+    * (#partitions × k) partial rows. The final filter restores exactness,
+    * so the result is independent of the (partition-order-sensitive)
+    * sketch contents and hash-gateable against the plain GROUP BY/HAVING
+    * oracle.
+    *
+    * Reference analogue: frequency tables are materialized client-side
+    * per game (services/game.py:142-171); this is the corpus-scale form.
+    */
+  val q105HeavyHitters: Q = Q.sql(
+    "q105_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM toks
+      |GROUP BY token
+      |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)""".stripMargin) { (s, dir) =>
+    import graft.functions.MgCandidates
+    val toks = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .select(col("token"), Text.baseHash(col("token")).as("h"))
+    // pass 1: candidates + total in ONE scan (shared aggregate)
+    val sketch = toks.agg(
+      count(lit(1)).as("n_total"),
+      MgCandidates.candidates(col("h"), 256).as("cands"))
+    val cand = sketch.select(col("n_total"), explode(col("cands")).as("h"))
+    // pass 2: exact counts of the ≤ 256 candidates only. A hash collision
+    // with a candidate only adds a token to the exact pass; the final
+    // per-TOKEN filter still decides on true counts.
+    toks.join(broadcast(cand), Seq("h"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
+      .filter(col("cnt") * 200 >= col("n_total"))
+      .select(col("token"), col("cnt"))
+  }
+
+  // ---------------------------------------------------------------- q106
+  /** Decontamination drop-list via a broadcast Bloom prefilter — the
+    * GPT-3/Pile long-n-gram-filter shape (GPT-3 used 13-grams): every
+    * train doc sharing ≥ 3 distinct char-20-grams with the test set,
+    * with the shared-gram count. Long grams make sharing MEANINGFUL
+    * (8-grams match on common phrases — measured: every train doc shares
+    * hundreds; 20-grams only on real duplication — 161/474 share any),
+    * which is also what makes the Bloom prefilter bite: most train grams
+    * miss the filter map-side inside codegen, and only the ~FPP-scaled
+    * survivors reach the exact confirm join, which removes false
+    * positives — the Bloom changes shuffled bytes, never the result.
+    * Contrast q89 (rare-gram pair join, needs a full gram-df pass): this
+    * form never computes document frequencies; its only shuffle is the
+    * confirm join over prefiltered survivors — the shape that holds when
+    * train is 100 TB and test is megabytes, since the filter is sized by
+    * the TEST side (a scalar subquery broadcast like a dim table, never
+    * collected into the plan by hand).
+    */
+  val q106BloomDecontaminate: Q = Q.sql(
+    "q106_bloom_decontaminate",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 < 5 AS is_test
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([substr(text, i, 20)
+      |      for i in range(1, length(text) - 18)])) AS gram
+      |  FROM documents WHERE length(text) >= 20
+      |), sh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+      |  FROM sh0
+      |), te AS (
+      |  SELECT DISTINCT g FROM sh JOIN h ON h.doc_id = sh.doc_id
+      |  WHERE h.is_test
+      |), tr AS (
+      |  SELECT sh.doc_id AS train_doc, g FROM sh JOIN h ON h.doc_id = sh.doc_id
+      |  WHERE NOT h.is_test
+      |)
+      |SELECT train_doc, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+      |FROM tr JOIN te USING (g)
+      |GROUP BY 1
+      |HAVING COUNT(*) >= 3""".stripMargin) { (s, dir) =>
+    import graft.functions.Bloom
+    val isTest =
+      Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
+    val sh = docs(s, dir)
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"), isTest.as("is_test"),
+        explode(Text.charShingles(col("text"), 20)).as("gram"))
+      .select(col("doc_id"), col("is_test"), Text.baseHash(col("gram")).as("g"))
+    val testG = sh.filter(col("is_test")).select("g").distinct()
+    val bf = testG.agg(Bloom.filterAgg(col("g"), 1L << 20, 8L << 20)).scalar()
+    sh.filter(!col("is_test"))
+      .select(col("doc_id").as("train_doc"), col("g"))
+      .filter(Bloom.mightContain(bf, col("g")))
+      .join(testG, Seq("g")) // exact confirm: Bloom FPs die here
+      .groupBy("train_doc")
+      // charShingles grams are per-doc distinct, so plain count is the
+      // distinct shared-gram count
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 3)
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
     q29DedupClusters, q44KmvDistinct, q46CleanCorpus, q76StratifiedSample,
     q102KmvOverlap,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
-    q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint)
+    q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
+    q105HeavyHitters, q106BloomDecontaminate)
 }

@@ -205,6 +205,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected a running-sum window:\n$p")
   }
 
+  test("q105: no full token-universe groupBy; candidates join broadcast") {
+    val p = planNoAqe("q105_heavy_hitters")
+    // pass 1 must partial-aggregate the MG buffer map-side (O(k) state
+    // per partition), not shuffle the token universe
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_mg_candidates"),
+      s"MG sketch is not partial-aggregated:\n$p")
+    // pass 2 keeps candidate occurrences via a broadcast hash join —
+    // the ≤ k candidate rows are the build side, never a shuffle of toks
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token universe got shuffled:\n$p")
+  }
+
+  test("q106: Bloom prefilter sits map-side BEFORE the confirm join") {
+    val p = planNoAqe("q106_bloom_decontaminate")
+    assert(p.contains("might_contain"),
+      s"Bloom prefilter missing from the plan:\n$p")
+    // the prefilter must be a Filter on the train scan side, upstream of
+    // the join — cheapest check: might_contain appears in a Filter node
+    val filterIdx = p.indexOf("might_contain")
+    assert(filterIdx >= 0 && p.lastIndexOf("Filter", filterIdx) >= 0,
+      s"might_contain not inside a Filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"quadratic join leaked in:\n$p")
+  }
+
   test("q102: sketches partial-aggregate map-side; only sketches pair-join") {
     val p = planNoAqe("q102_kmv_overlap")
     // the corpus scan feeds a partial ObjectHashAggregate (the mergeable

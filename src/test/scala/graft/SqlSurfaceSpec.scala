@@ -99,5 +99,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .agg(graft.functions.KmvSketch.estimate(
         graft.ops.Text.baseHash(col("text")), 16).as("e"))
     assert(canon(sqlKmv) == canon(dfKmv))
+
+    // mg_candidates: SQL aggregate equals the Column aggregate. k = 16
+    // exceeds the distinct-lang count, so the buffer never truncates and
+    // both spellings are exactly the distinct hash set — deterministic
+    // regardless of partial-merge order.
+    val sqlMg = SqlSurface.sql(spark,
+      """SELECT mg_candidates(
+        |  CAST(conv(substring(md5(lang), 1, 15), 16, 10) AS BIGINT), 16) AS c
+        |FROM documents""".stripMargin)
+    val dfMg = Tables(spark, dir, "documents")
+      .agg(graft.functions.MgCandidates.candidates(
+        graft.ops.Text.baseHash(col("lang")), 16).as("c"))
+    assert(canon(sqlMg) == canon(dfMg))
   }
 }
