@@ -69,6 +69,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MgCandidates(children.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("cms_counts"),
+      new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "cms_counts(key, depth, width) takes three arguments")
+        val Seq(depth, width) = children.tail.map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_counts(key, depth, width): depth/width must be INT literals, got $other")
+        }
+        CmsCounts(children.head, depth, width)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_values"),
       new ExpressionInfo(classOf[KmvValues].getName, "kmv_values"),
       (children: Seq[Expression]) => {

@@ -1287,6 +1287,112 @@ object TextPipeline {
       .filter(col("n_shared_grams") >= 3)
   }
 
+  // ---------------------------------------------------------------- q107
+  /** C4-style line-level corpus dedup (Raffel et al. '20 §2.2 — "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once"): the corpus has no newlines, so the unit is the
+    * non-overlapping 8-token segment. Every occurrence of a duplicated
+    * segment EXCEPT the lexicographically first (doc_id, seg_idx) is
+    * dropped; each doc is reassembled in original segment order with a
+    * dropped-segment count. Exact-dup docs empty out entirely (their
+    * every segment loses to the first copy) — the rule subsumes exact
+    * dedup while ALSO stripping boilerplate from otherwise-unique docs.
+    *
+    * Scale shape: segment keys travel as 60-bit hashes, never strings;
+    * the keeper pass is a partial-aggregatable min(struct) groupBy (no
+    * corpus-wide window), the reassembly a per-doc sort of O(doc)
+    * segments. Two equi-shuffles total — the unavoidable
+    * corpus-frequency pass, same as C4's own.
+    */
+  val q107LineDedup: Q = Q.sql(
+    "q107_line_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), seg AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+      |    array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+      |  FROM t, UNNEST(range(0, 1 + (len(toks) - 1) // 8)) r(i)
+      |), gt AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |    ('0x' || substr(md5(seg), 1, 15))::BIGINT AS g
+      |  FROM seg
+      |), k AS (
+      |  SELECT g, MIN((doc_id, seg_idx)) AS keeper FROM gt GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN (doc_id, seg_idx) = keeper THEN 0 ELSE 1 END)
+      |       AS BIGINT) AS n_dropped,
+      |  coalesce(string_agg(CASE WHEN (doc_id, seg_idx) = keeper THEN seg END,
+      |                      ' ' ORDER BY seg_idx), '') AS clean_text
+      |FROM gt JOIN k USING (g)
+      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val segs = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0L, (size(toks) - 1) div 8),
+            |  i -> concat_ws(' ', slice(toks, CAST(i * 8 + 1 AS INT), 8)))"""
+            .stripMargin)).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        col("seg"), Text.baseHash(col("seg")).as("g"))
+    val keepers = segs.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keeper"))
+    val isKeeper = struct(col("doc_id"), col("seg_idx")) === col("keeper")
+    segs.join(keepers, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(isKeeper, 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(isKeeper,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x("seg"))).as("clean_text"))
+  }
+
+  // ---------------------------------------------------------------- q108
+  /** Count-Min point-frequency accuracy harness (q95's sibling for the
+    * frequency sketch): one `cms_counts` aggregate (depth 4 × width 256,
+    * 8 KiB of state TOTAL for any corpus size) folds the whole event
+    * stream; per-user estimates are then read from the one-row broadcast
+    * sketch with plain Column arithmetic and compared against exact
+    * counts. The CMS one-sided guarantee — estimate ≥ exact, over by
+    * ≤ e/width · n w.h.p. — is visible in the emitted error column, and
+    * because the hashes are the deterministic MinHash family, the DuckDB
+    * oracle recomputes the IDENTICAL sketch as a 4-row × bucket GROUP BY.
+    * The exact count here exists to measure the sketch (like q95's
+    * recall); production at 100 TB runs the sketch INSTEAD of the
+    * per-key groupBy. */
+  val q108CmsFrequency: Q = Q.sql(
+    "q108_cms_frequency",
+    """WITH p(i, a, b) AS (
+      |  VALUES (0, 1, 12345), (1, 3, 1012348), (2, 5, 2012351), (3, 7, 3012354)
+      |), e AS (
+      |  SELECT user_id, user_id % 2147483647 AS v FROM events
+      |), cells AS (
+      |  SELECT i, ((a * v + b) % 2147483647) % 256 AS bucket, COUNT(*) AS c
+      |  FROM e CROSS JOIN p GROUP BY 1, 2
+      |), keys AS (
+      |  SELECT user_id, v, COUNT(*) AS n_exact FROM e GROUP BY 1, 2
+      |)
+      |SELECT k.user_id, CAST(k.n_exact AS BIGINT) AS n_exact,
+      |  CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+      |  CAST(MIN(c.c) - k.n_exact AS BIGINT) AS overcount
+      |FROM keys k
+      |JOIN p ON TRUE
+      |JOIN cells c
+      |  ON c.i = p.i AND c.bucket = ((p.a * k.v + p.b) % 2147483647) % 256
+      |GROUP BY k.user_id, k.n_exact""".stripMargin) { (s, dir) =>
+    import graft.functions.CmsCounts
+    val ev = Tables(s, dir, "events").select(col("user_id"))
+    val sketch = ev.agg(CmsCounts.counts(col("user_id"), 4, 256).as("cms"))
+    val est = CmsCounts.estimate(col("cms"), col("user_id"), 4, 256)
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("n_exact"),
+        est.as("cms_estimate"),
+        (est - col("n_exact")).as("overcount"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -1294,5 +1400,5 @@ object TextPipeline {
     q102KmvOverlap,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
-    q105HeavyHitters, q106BloomDecontaminate)
+    q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency)
 }

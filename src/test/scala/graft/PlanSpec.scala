@@ -230,6 +230,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"quadratic join leaked in:\n$p")
   }
 
+  test("q107: keeper pass is a partial-agg groupBy, never a corpus window") {
+    val p = planNoAqe("q107_line_dedup")
+    // the oracle spells first-occurrence with a window; the engine must
+    // NOT — min(struct) partial-aggregates, a global window would not
+    assert(!p.contains("Window"), s"corpus-wide window leaked in:\n$p")
+    assert(p.contains("partial_min"),
+      s"keeper min(struct) is not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"quadratic join leaked in:\n$p")
+  }
+
+  test("q108: CMS folds as one partial ObjectHashAggregate; sketch broadcasts") {
+    val p = planNoAqe("q108_cms_frequency")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_cms_counts"),
+      s"CMS is not partial-aggregated:\n$p")
+    // the one-row sketch joins the per-key side as a broadcast, never a
+    // shuffle of the exact-count side against it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sketch row is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sketch join got shuffled:\n$p")
+  }
+
   test("q102: sketches partial-aggregate map-side; only sketches pair-join") {
     val p = planNoAqe("q102_kmv_overlap")
     // the corpus scan feeds a partial ObjectHashAggregate (the mergeable

@@ -112,5 +112,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .agg(graft.functions.MgCandidates.candidates(
         graft.ops.Text.baseHash(col("lang")), 16).as("c"))
     assert(canon(sqlMg) == canon(dfMg))
+
+    // cms_counts: SQL aggregate equals the Column aggregate (the sketch
+    // is a deterministic function of the multiset, so exact equality)
+    val sqlCms = SqlSurface.sql(spark,
+      "SELECT cms_counts(user_id, 4, 64) AS cms FROM events")
+    val dfCms = Tables(spark, dir, "events")
+      .agg(graft.functions.CmsCounts.counts(col("user_id"), 4, 64).as("cms"))
+    assert(canon(sqlCms) == canon(dfCms))
   }
 }
