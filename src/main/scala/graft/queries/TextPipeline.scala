@@ -1393,6 +1393,196 @@ object TextPipeline {
         (est - col("n_exact")).as("overcount"))
   }
 
+  // ---------------------------------------------------------------- q109
+  /** All-pairs document cosine similarity over TF-IDF vectors (the
+    * Bayardo et al. '07 APSS shape): every document pair whose tf-idf
+    * cosine is ≥ 0.5, found through an inverted index — never an
+    * all-pairs scan. The vector space is word TRIGRAMS with
+    * multiplicity, not unigrams: the synthetic corpus draws from a
+    * 31-word vocabulary, so every unigram is a stop word (df ≈ N),
+    * while the ~27k trigrams discriminate — the same reason q23
+    * shingles before indexing. Grams travel as 60-bit hashes (q23/q89
+    * discipline: no strings cross a shuffle), and grams with df > 100
+    * are cut from the space — the heavy-hitter rule that bounds
+    * candidate fan-out at df²/2 per gram AND drops near-zero-idf noise.
+    * df = 1 grams stay in the norms but can never reach a pair —
+    * exactly TF-IDF semantics on the pruned space.
+    *
+    * Weights are `tf / df`, not `tf · N/df`: cosine is invariant under
+    * scaling a vector by a constant, and every component shares the
+    * factor N — dropping it removes the N-row broadcast AND keeps the
+    * partial products small enough that the order-independent
+    * DECIMAL(28,10) accumulators can never overflow. sqrt is
+    * IEEE-correctly-rounded on both engines (unlike log/pow), so
+    * `dot / sqrt(n2a) / sqrt(n2b)` in that exact op order hash-matches.
+    *
+    * Scale shape: tf and df are partial-agg groupBys; candidate pairs
+    * come from the df-bounded gram equi-join aggregated by
+    * (doc_a, doc_b) — one equi-shuffle; norms join back per-doc.
+    * Nothing is quadratic in the corpus. */
+  val q109CosinePairs: Q = Q.sql(
+    "q109_cosine_pairs",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), gr AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(
+      |       list_extract(toks, CAST(i AS INT)) || ' ' ||
+      |       list_extract(toks, CAST(i AS INT) + 1) || ' ' ||
+      |       list_extract(toks, CAST(i AS INT) + 2)), 1, 15))::BIGINT AS g
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) r
+      |  WHERE len(toks) >= 3
+      |), tf AS (
+      |  SELECT doc_id, g, COUNT(*) AS tf FROM gr GROUP BY 1, 2
+      |), df AS (
+      |  SELECT g, COUNT(*) AS df FROM tf GROUP BY 1
+      |), w AS (
+      |  SELECT tf.doc_id, tf.g, CAST(tf.tf AS DOUBLE) / df.df AS w
+      |  FROM tf JOIN df USING (g) WHERE df.df <= 100
+      |), nrm AS (
+      |  SELECT doc_id, CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS DOUBLE) AS n2
+      |  FROM w GROUP BY 1
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |    CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_shared, dot,
+      |  dot / sqrt(na.n2) / sqrt(nb.n2) AS cosine
+      |FROM p
+      |JOIN nrm na ON p.doc_a = na.doc_id
+      |JOIN nrm nb ON p.doc_b = nb.doc_id
+      |WHERE dot / sqrt(na.n2) / sqrt(nb.n2) >= 0.5""".stripMargin,
+    "All-pairs TF-IDF cosine ≥ 0.5 via the trigram inverted index — APSS without an all-pairs scan") {
+    (s, dir) =>
+      // `toks` is materialized in its own projection BEFORE the gram
+      // transform: inlining the split into the lambda re-evaluates it per
+      // element under Generate (the HOF-recompute trap — measured 5.5 s
+      // vs 0.4 s on this stage at sf0.1).
+      val tk = col("toks")
+      val grams = when(size(tk) >= 3,
+        transform(sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + lit(1)),
+            element_at(tk, i + lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      // Referenced from THREE plan branches (norms + both join sides) —
+      // session-cached so the tokenize/hash/tf/df lineage runs once.
+      val wts = graft.SessionCache.once(s, s"text#$dir#tfidf-weights") {
+        val tf = docs(s, dir)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .select(col("doc_id"), Text.baseHash(col("gram")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+        val dfTbl = tf.groupBy("g").agg(count(lit(1)).as("df"))
+        val w = tf.join(dfTbl, Seq("g"))
+          .filter(col("df") <= 100)
+          .select(col("doc_id"), col("g"),
+            (col("tf").cast("double") / col("df")).as("w"))
+          .cache()
+        w.count()
+        w
+      }
+      val norms = wts.groupBy("doc_id")
+        .agg(sum((col("w") * col("w")).cast("decimal(28,10)"))
+          .cast("double").as("n2"))
+      val pairs = wts.as("a")
+        .join(wts.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"),
+          sum((col("a.w") * col("b.w")).cast("decimal(28,10)"))
+            .cast("double").as("dot"))
+      val cosine = col("dot") / sqrt(col("na.n2")) / sqrt(col("nb.n2"))
+      pairs
+        .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .filter(cosine >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("dot"),
+          cosine.as("cosine"))
+  }
+
+  // ---------------------------------------------------------------- q110
+  /** Hashed n-gram importance scoring for data selection (the DSIR
+    * shape, Xie et al. '23: score each document by how target-like its
+    * hashed feature distribution is, then keep the target-like ones).
+    * Features are word unigrams hashed into 1024 buckets; the target
+    * distribution is the English sub-corpus, the source is the whole
+    * corpus; both get Laplace +1 smoothing. A document's score is the
+    * mean per-token probability ratio p_target(f)/p_source(f), and
+    * `selected` flags docs scoring ≥ 1 (more target-like than average).
+    *
+    * DSIR proper scores with SUMMED LOG-ratios; engines disagree on
+    * log's last ulp (the q79 raw-ratio-idf precedent), so this uses the
+    * mean RAW ratio — a monotone-in-spirit, deterministic stand-in whose
+    * substitution is the documented price of the cross-engine gate.
+    *
+    * Scale shape: the "trained model" is the 1024-row bucket-ratio
+    * frame — built by two partial-agg groupBys over token buckets and a
+    * 1-row totals broadcast, then itself BROADCAST against the token
+    * stream (model state never touches the driver). Scoring is one
+    * per-doc partial-agg groupBy. At 100 TB the model is still 1024
+    * rows: the corpus passes stay embarrassingly parallel. */
+  val q110ImportanceScore: Q = Q.sql(
+    "q110_importance_score",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(lower(t)), 1, 15))::BIGINT % 1024 AS f
+      |  FROM tk WHERE length(t) > 0
+      |), src AS (
+      |  SELECT f, COUNT(*) AS cnt_s FROM toks GROUP BY 1
+      |), tgt AS (
+      |  SELECT f, COUNT(*) AS cnt_t FROM toks WHERE lang = 'en' GROUP BY 1
+      |), tot AS (
+      |  SELECT COUNT(*) AS n_s,
+      |         COUNT(*) FILTER (WHERE lang = 'en') AS n_t
+      |  FROM toks
+      |), r AS (
+      |  SELECT s.f,
+      |    CAST(coalesce(t.cnt_t, 0) + 1 AS DOUBLE)
+      |      / (tot.n_t + 1024) * (tot.n_s + 1024) / (s.cnt_s + 1) AS r
+      |  FROM src s LEFT JOIN tgt t USING (f) CROSS JOIN tot
+      |), sc AS (
+      |  SELECT k.doc_id, k.lang, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    CAST(SUM(CAST(r.r AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS score
+      |  FROM toks k JOIN r USING (f)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, lang, n_toks, score, score >= 1.0 AS selected
+      |FROM sc""".stripMargin,
+    "DSIR-shaped importance scoring: hashed-unigram target/source ratio model, broadcast to the corpus") {
+    (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"), col("lang"),
+          (Text.baseHash(lower(col("t"))) % 1024).as("f"))
+      val src = toks.groupBy("f").agg(count(lit(1)).as("cnt_s"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("f").agg(count(lit(1)).as("cnt_t"))
+      val tot = toks.agg(count(lit(1)).as("n_s"),
+        count(when(col("lang") === "en", lit(1))).as("n_t"))
+      val ratio = src.join(tgt, Seq("f"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("f"),
+          ((coalesce(col("cnt_t"), lit(0L)) + 1).cast("double")
+            / (col("n_t") + 1024) * (col("n_s") + 1024)
+            / (col("cnt_s") + 1)).as("r"))
+      toks.join(broadcast(ratio), Seq("f"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("long").as("n_toks"),
+          (sum(col("r").cast("decimal(28,10)")).cast("double")
+            / count(lit(1))).as("score"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("score"),
+          (col("score") >= 1.0).as("selected"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -1400,5 +1590,6 @@ object TextPipeline {
     q102KmvOverlap,
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
-    q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency)
+    q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
+    q109CosinePairs, q110ImportanceScore)
 }

@@ -252,6 +252,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"sketch join got shuffled:\n$p")
   }
 
+  test("q109: APSS candidates come from the gram equi-join, never all-pairs") {
+    val p = plan("q109_cosine_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into APSS:\n$p")
+    // tf, df, norms, pair-dot are all partial-aggregatable HashAggregates
+    assert(p.contains("HashAggregate"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q110: the 1024-row ratio model broadcasts; the corpus never re-shuffles") {
+    val p = plan("q110_importance_score")
+    assert(p.contains("BroadcastHashJoin"), s"ratio model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled to meet the model:\n$p")
+  }
+
   test("q102: sketches partial-aggregate map-side; only sketches pair-join") {
     val p = planNoAqe("q102_kmv_overlap")
     // the corpus scan feeds a partial ObjectHashAggregate (the mergeable
