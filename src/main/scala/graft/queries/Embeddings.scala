@@ -321,56 +321,121 @@ object Embeddings {
     * (order-independent) and divide as DOUBLE. An empty cell simply
     * drops out of the centroid frame on both sides (can't happen on this
     * data: min cell size 53). */
+  // ------------------------------------ shared trained-IVF machinery
+  /** Coarse-quantizer constants shared by q95b (recall harness) and
+    * q111 (SemDeDup): 8 cells, 2 Lloyd iterations, deterministic
+    * `vec_id = 7j` seed rows. */
+  private val IvfK = 8
+  private val IvfIters = 2
+
+  /** l2² distance from embeddings col `e` to centroid list col `c`. */
+  private def duckL2(e: String, c: String): String =
+    s"""list_reduce([(CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])
+       |      for i in range(1, 65)], (x, y) -> x + y)""".stripMargin
+
+  // one Lloyd step: assign under `cin` -> per-(cell,dim) decimal means -> `cout`
+  private def duckIvfStep(t: Int, cin: String, cout: String): String =
+    s""",
+       |dd$t AS (
+       |  SELECT e.vec_id, c.j, ${duckL2("e.embedding", "c.c")} AS d2
+       |  FROM embeddings e CROSS JOIN $cin c
+       |),
+       |a$t AS MATERIALIZED (
+       |  SELECT vec_id, j FROM (
+       |    SELECT vec_id, j,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+       |    FROM dd$t)
+       |  WHERE rn = 1
+       |),
+       |$cout AS MATERIALIZED (
+       |  SELECT j, list(m ORDER BY dim) AS c FROM (
+       |    SELECT a.j, r.d AS dim,
+       |      CAST(SUM(CAST(CAST(e.embedding[r.d] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM a$t a JOIN embeddings e USING (vec_id), UNNEST(range(1, 65)) r(d)
+       |    GROUP BY a.j, r.d)
+       |  GROUP BY j
+       |)""".stripMargin
+
+  /** The `WITH c0 … af` CTE chain both IVF queries open with: trains
+    * the quantizer and assigns the corpus. `af` = (vec_id, j); the
+    * final centroids are `c$IvfIters`. */
+  private def duckIvfCtes: String = {
+    val steps =
+      (1 to IvfIters).map(t => duckIvfStep(t, s"c${t - 1}", s"c$t")).mkString
+    val fin = IvfIters + 1
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT vec_id // 7 AS j, [CAST(x AS DOUBLE) for x in embedding] AS c
+       |  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < ${7 * IvfK}
+       |)$steps,
+       |dd$fin AS (
+       |  SELECT e.vec_id, c.j, ${duckL2("e.embedding", "c.c")} AS d2
+       |  FROM embeddings e CROSS JOIN c$IvfIters c
+       |),
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, j FROM (
+       |    SELECT vec_id, j,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+       |    FROM dd$fin)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  private def l2sq(x: Column, c: Column): Column =
+    Vectors.foldSum(zip_with(x, c,
+      (xi, ci) => (xi.cast("double") - ci) * (xi.cast("double") - ci)))
+
+  /** Map-side fold-argmin assignment of `e` under centroid frame
+    * `cents` — the packed 8-row centroid array broadcasts; no collect. */
+  private def assignUnder(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed =
+      cents.agg(sort_array(collect_list(struct(col("j"), col("c")))).as("cs"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("dists",
+        transform(col("cs"), s => l2sq(col("embedding"), s.getField("c"))))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cs"),
+          array_position(col("dists"), array_min(col("dists"))).cast("int"))
+          .getField("j").as("j"))
+  }
+
+  /** Trained centroid frame (j, c) after [[IvfIters]] Lloyd steps,
+    * memoized per (session, sf dir). */
+  private def trainedIvf(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.once(s, s"emb#$dir#ivf-centroids") {
+      val e = emb(s, dir)
+      val c0 = e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 7 * IvfK)
+        .select((col("vec_id") / 7).cast("int").as("j"),
+          transform(col("embedding"), _.cast("double")).as("c"))
+      val trained = (1 to IvfIters).foldLeft(c0) { (cents, _) =>
+        assignUnder(e, cents)
+          .select(col("j"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("j"), col("dim"))
+          .agg((sum(col("v").cast("double").cast("decimal(28,10)")).cast("double")
+            / count(lit(1))).as("m"))
+          .groupBy(col("j"))
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+            s => s.getField("m")).as("c"))
+      }.cache()
+      trained.count()
+      trained
+    }
+
+  /** Corpus assignment (vec_id, embedding, j) under the trained
+    * quantizer — the shared read path of q95b's probe and q111's
+    * within-cell dedup, built once per session. */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.once(s, s"emb#$dir#ivf-assign") {
+      val af = assignUnder(emb(s, dir), trainedIvf(s, dir)).cache()
+      af.count()
+      af
+    }
+
   val q95bIvfRecall: Q = {
-    val K = 8
-    val Iters = 2
     val NProbe = 2
-    // l2² distance from embeddings col `e` to centroid list col `c`
-    def duckL2(e: String, c: String): String =
-      s"""list_reduce([(CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])
-         |      for i in range(1, 65)], (x, y) -> x + y)""".stripMargin
-    // one Lloyd step: assign under `cin` -> per-(cell,dim) decimal means -> `cout`
-    def duckStep(t: Int, cin: String, cout: String): String =
-      s""",
-         |dd$t AS (
-         |  SELECT e.vec_id, c.j, ${duckL2("e.embedding", "c.c")} AS d2
-         |  FROM embeddings e CROSS JOIN $cin c
-         |),
-         |a$t AS MATERIALIZED (
-         |  SELECT vec_id, j FROM (
-         |    SELECT vec_id, j,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
-         |    FROM dd$t)
-         |  WHERE rn = 1
-         |),
-         |$cout AS MATERIALIZED (
-         |  SELECT j, list(m ORDER BY dim) AS c FROM (
-         |    SELECT a.j, r.d AS dim,
-         |      CAST(SUM(CAST(CAST(e.embedding[r.d] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-         |        / COUNT(*) AS m
-         |    FROM a$t a JOIN embeddings e USING (vec_id), UNNEST(range(1, 65)) r(d)
-         |    GROUP BY a.j, r.d)
-         |  GROUP BY j
-         |)""".stripMargin
-    val steps = (1 to Iters).map(t => duckStep(t, s"c${t - 1}", s"c$t")).mkString
-    val fin = Iters + 1
     Q.sql(
       "q95b_ivf_recall",
-      s"""WITH c0 AS MATERIALIZED (
-         |  SELECT vec_id // 7 AS j, [CAST(x AS DOUBLE) for x in embedding] AS c
-         |  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < ${7 * K}
-         |)$steps,
-         |dd$fin AS (
-         |  SELECT e.vec_id, c.j, ${duckL2("e.embedding", "c.c")} AS d2
-         |  FROM embeddings e CROSS JOIN c$Iters c
-         |),
-         |af AS MATERIALIZED (
-         |  SELECT vec_id, j FROM (
-         |    SELECT vec_id, j,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
-         |    FROM dd$fin)
-         |  WHERE rn = 1
-         |),
+      s"""$duckIvfCtes,
          |qs AS (
          |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20
          |),
@@ -379,7 +444,7 @@ object Embeddings {
          |    SELECT query_id, qe, c.j,
          |           row_number() OVER (PARTITION BY query_id
          |             ORDER BY ${duckL2("qe", "c.c")}, c.j) AS rn
-         |    FROM qs CROSS JOIN c$Iters c)
+         |    FROM qs CROSS JOIN c$IvfIters c)
          |  WHERE rn <= $NProbe
          |),
          |approx AS (
@@ -406,35 +471,8 @@ object Embeddings {
          |GROUP BY 1""".stripMargin,
       "trained-IVF (k-means + multi-probe) recall@5 vs exact top-5") { (s, dir) =>
       val e = emb(s, dir)
-      def l2sq(x: Column, c: Column): Column =
-        Vectors.foldSum(zip_with(x, c,
-          (xi, ci) => (xi.cast("double") - ci) * (xi.cast("double") - ci)))
-      // packed 1-row centroid array, broadcast per assignment pass
-      def packed(cents: DataFrame): DataFrame =
-        cents.agg(sort_array(collect_list(struct(col("j"), col("c")))).as("cs"))
-      // map-side fold-argmin assignment of the corpus under `cents`
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(packed(cents)))
-          .withColumn("dists",
-            transform(col("cs"), s => l2sq(col("embedding"), s.getField("c"))))
-          .select(col("vec_id"), col("embedding"),
-            element_at(col("cs"),
-              array_position(col("dists"), array_min(col("dists"))).cast("int"))
-              .getField("j").as("j"))
-      val c0 = e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 7 * K)
-        .select((col("vec_id") / 7).cast("int").as("j"),
-          transform(col("embedding"), _.cast("double")).as("c"))
-      val trained = (1 to Iters).foldLeft(c0) { (cents, _) =>
-        assign(cents)
-          .select(col("j"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy(col("j"), col("dim"))
-          .agg((sum(col("v").cast("double").cast("decimal(28,10)")).cast("double")
-            / count(lit(1))).as("m"))
-          .groupBy(col("j"))
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
-            s => s.getField("m")).as("c"))
-      }
-      val af = assign(trained)
+      val trained = trainedIvf(s, dir)
+      val af = ivfAssigned(s, dir)
       val qs = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val wc = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("j"))
@@ -463,6 +501,50 @@ object Embeddings {
         .agg(count(col("hit")).as("n_hits"),
           (count(col("hit")).cast("double") / 5).as("recall"))
     }
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** SemDeDup (Abbas et al. '23): semantic deduplication inside the
+    * cells of a trained coarse quantizer — k-means clusters the corpus
+    * (the SAME trained quantizer q95b evaluates, shared via the session
+    * cache), pairwise cosine runs only WITHIN a cell, and any vector
+    * with cosine ≥ 0.2 to a lower-id cellmate is dropped (keep-lowest
+    * tie-break; 0.2 is q32's near-dup bar on these near-uniform
+    * synthetic vectors). Complements the lexical dedup family: MinHash
+    * (q25) catches token overlap, this catches embedding-space
+    * duplicates that share no tokens.
+    *
+    * Scale shape: the quadratic is strictly per-cell — SemDeDup scales
+    * k WITH the corpus precisely so cell populations stay bounded
+    * (n/k ≈ const), making the within-cell pair scan linear in corpus
+    * size overall. The cell equi-join is the only pair shuffle; the
+    * training loop is q95b's broadcast/partial-agg machinery. */
+  val q111SemanticDedup: Q = Q.sql(
+    "q111_semantic_dedup",
+    s"""$duckIvfCtes,
+       |dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM af a JOIN af b ON a.j = b.j AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${duckCos("ea.embedding", "eb.embedding")} >= 0.2
+       |)
+       |SELECT af.vec_id, CAST(af.j AS BIGINT) AS cell,
+       |  d.vec_id IS NULL AS kept
+       |FROM af LEFT JOIN dup d ON af.vec_id = d.vec_id""".stripMargin,
+    "SemDeDup: within-cell pairwise cosine dedup under the trained k-means quantizer") {
+    (s, dir) =>
+      val af = ivfAssigned(s, dir)
+      val cosine = Vectors.cosine(col("a.embedding"), col("b.embedding"))
+      val dups = af.as("a")
+        .join(af.as("b"),
+          col("a.j") === col("b.j") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine >= 0.2)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      af.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("j").cast("long").as("cell"),
+          col("dup").isNull.as("kept"))
   }
 
   // ---------------------------------------------------------------- q35
@@ -540,5 +622,5 @@ object Embeddings {
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
-      q104DedupRetrieval)
+      q104DedupRetrieval, q111SemanticDedup)
 }

@@ -267,6 +267,16 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled to meet the model:\n$p")
   }
 
+  test("q111: SemDeDup pairs only within a cell — the cell id is an equi-key") {
+    val p = plan("q111_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-wide pair scan leaked into SemDeDup:\n$p")
+    // the only broadcast NLJ allowed is the 1-row packed-centroid frame;
+    // vector-vector pairing must go through the j equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join found for the within-cell pairing:\n$p")
+  }
+
   test("q102: sketches partial-aggregate map-side; only sketches pair-join") {
     val p = planNoAqe("q102_kmv_overlap")
     // the corpus scan feeds a partial ObjectHashAggregate (the mergeable
