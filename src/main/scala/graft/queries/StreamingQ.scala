@@ -878,8 +878,81 @@ object StreamingQ {
     }
   }
 
+  /** Tumbling-hour CMS sketches folded incrementally by the stream:
+    * per closed window, one depth-4 × width-256 counter matrix. */
+  private def cmsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-cms", spark, dir) { _ =>
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.CmsCounts.counts(col("user_id"), 4, 256).as("cms"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("n_events"), col("cms"))
+    }
+  }
+
+  /** Streaming per-window frequency sketch: the Count-Min family (q108)
+    * composed with the watermarked-window family (q96's sibling for
+    * point frequencies). Exact per-(window, key) counts carry O(#keys)
+    * state per open window; the CMS folds the same stream into 8 KiB
+    * per window, mergeable across partial aggregates and batches. Each
+    * closed window's sketch is then probed OFFLINE for every key that
+    * hour (the at-scale discipline: sketch online, probe offline), and
+    * the exact batch count rides along so the one-sided CMS guarantee
+    * (estimate ≥ exact) is visible per row. The DuckDB oracle
+    * recomputes the identical sketch per window as a (bucket, depth,
+    * hash-cell) GROUP BY — deterministic MinHash-family hashes, q108's
+    * spelling — and applies q96's ms-truncated watermark cutoff to
+    * keep only windows the stream actually closed. */
+  val q112StreamCms: Q = Q.sql(
+    "q112_stream_cms",
+    """WITH p(i, a, b) AS (
+      |  VALUES (0, 1, 12345), (1, 3, 1012348), (2, 5, 2012351), (3, 7, 3012354)
+      |), e AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         user_id, user_id % 2147483647 AS v
+      |  FROM events
+      |), cells AS (
+      |  SELECT bucket_start, i, ((a * v + b) % 2147483647) % 256 AS bucket,
+      |         COUNT(*) AS c
+      |  FROM e CROSS JOIN p GROUP BY 1, 2, 3
+      |), keys AS (
+      |  SELECT bucket_start, user_id, v, COUNT(*) AS n_exact
+      |  FROM e GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(k.bucket_start AS BIGINT) AS bucket_start, k.user_id,
+      |  CAST(k.n_exact AS BIGINT) AS n_exact,
+      |  CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+      |  CAST(MIN(c.c) - k.n_exact AS BIGINT) AS overcount
+      |FROM keys k
+      |JOIN p ON TRUE
+      |JOIN cells c
+      |  ON c.bucket_start = k.bucket_start AND c.i = p.i
+      |  AND c.bucket = ((p.a * k.v + p.b) % 2147483647) % 256
+      |WHERE (k.bucket_start + 3600) * 1000000 <=
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)
+      |GROUP BY k.bucket_start, k.user_id, k.n_exact""".stripMargin,
+    "streaming tumbling-window Count-Min sketch, probed offline per key") { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val sk = cmsStream(s, dir)
+    val keys = graft.Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("user_id"), col("n_exact"))
+    val est = graft.functions.CmsCounts.estimate(
+      col("cms"), col("user_id"), 4, 256)
+    keys.join(broadcast(sk), Seq("bucket_start"))
+      .select(col("bucket_start"), col("user_id"), col("n_exact"),
+        est.as("cms_estimate"),
+        (est - col("n_exact")).as("overcount"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
-    q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap)
+    q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
+    q112StreamCms)
 }
