@@ -1583,6 +1583,66 @@ object TextPipeline {
           (col("score") >= 1.0).as("selected"))
   }
 
+  // ---------------------------------------------------------------- q113
+  /** One BPE-trainer merge step (Sennrich et al. '16): corpus-wide
+    * frequencies of ADJACENT BPE-token pairs, ranked, with the running
+    * coverage fraction — rank 1 is the merge the trainer would perform
+    * next, and the coverage curve is how a vocab-size budget is chosen.
+    * Output is the top 200 merge candidates.
+    *
+    * Scale shape: the corpus pass is one partial-agg groupBy on the
+    * pair (the histogram is vocab²-bounded, NOT corpus-sized); the
+    * rank/cumsum window then runs over that bounded histogram only —
+    * the q94b discipline: a Window may be global precisely because its
+    * input is an aggregate, never the corpus. Pair arrays are built
+    * from a materialized token array (the q109 HOF-recompute lesson). */
+  val q113BpeMergeRank: Q = Q.sql(
+    "q113_bpe_merge_rank",
+    """WITH b AS (
+      |  SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+      |  FROM documents
+      |), p AS (
+      |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS pair
+      |  FROM b, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+      |  WHERE len(t) >= 2
+      |), h AS (
+      |  SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(cnt) AS total FROM h
+      |), r AS (
+      |  SELECT pair, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, pair
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h
+      |)
+      |SELECT pair, cnt, CAST(rnk AS BIGINT) AS rnk,
+      |  CAST(cum AS DOUBLE) / total AS cum_frac
+      |FROM r CROSS JOIN tot
+      |WHERE rnk <= 200""".stripMargin,
+    "BPE merge-candidate ranking: adjacent-pair histogram with running coverage") {
+    (s, dir) =>
+      val b = col("bt")
+      val pairGrams = when(size(b) >= 2,
+        transform(sequence(lit(1), size(b) - 1),
+          i => concat_ws(" ", element_at(b, i), element_at(b, i + lit(1)))))
+        .otherwise(array().cast("array<string>"))
+      val h = docs(s, dir)
+        .select(Text.bpeTokens(col("text")).as("bt"))
+        .select(explode(pairGrams).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val tot = h.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      val wsum = Window.orderBy(col("cnt").desc, col("pair"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("rnk", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(wsum))
+        .filter(col("rnk") <= 200)
+        .crossJoin(broadcast(tot))
+        .select(col("pair"), col("cnt"), col("rnk").cast("long").as("rnk"),
+          (col("cum").cast("double") / col("total")).as("cum_frac"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -1591,5 +1651,5 @@ object TextPipeline {
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
-    q109CosinePairs, q110ImportanceScore)
+    q109CosinePairs, q110ImportanceScore, q113BpeMergeRank)
 }
