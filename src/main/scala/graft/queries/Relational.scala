@@ -588,11 +588,84 @@ object Relational {
         col("sv").cast("double").as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- q115
+  /** Sequential conversion funnel (view → click → purchase): per user,
+    * the FIRST view, the first click within an hour of that view, and
+    * the first purchase within an hour of that click, plus the funnel
+    * depth reached — the product-analytics staple the event family was
+    * missing (q04's as-of attribution looks BACKWARD to the nearest
+    * cause; a funnel walks FORWARD through ordered steps with per-step
+    * windows).
+    *
+    * Scale shape: each step is one equi-join on user_id with the step
+    * window as a join-time range predicate, followed by a
+    * partial-aggregated MIN — never a per-user event sort or window
+    * over the raw stream; three bounded shuffles total, all on the
+    * natural user_id key a funnel at 100 TB would partition by anyway.
+    * Timestamps export as unix micros (the q99 discipline: integer
+    * micros hash-match, TIMESTAMP columns round-trip differently). */
+  val q115FunnelSteps: Q = Q.sql(
+    "q115_funnel_steps",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT v.user_id, MIN(e.ts) AS t_click
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |    AND e.event_type = 'click'
+      |    AND e.ts >= v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT c.user_id, MIN(e.ts) AS t_purchase
+      |  FROM c JOIN events e ON e.user_id = c.user_id
+      |    AND e.event_type = 'purchase'
+      |    AND e.ts >= c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+      |  GROUP BY 1
+      |)
+      |SELECT v.user_id,
+      |  epoch_us(v.t_view) AS view_us,
+      |  epoch_us(c.t_click) AS click_us,
+      |  epoch_us(p.t_purchase) AS purchase_us,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN c.user_id IS NOT NULL THEN 2
+      |            ELSE 1 END AS BIGINT) AS funnel_depth
+      |FROM v
+      |LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
+    "view->click->purchase funnel: per-step windowed first-event joins") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    def firstStep(tpe: String): DataFrame = ev
+      .filter(col("event_type") === tpe)
+      .groupBy("user_id").agg(min(col("ts")).as(s"t_$tpe"))
+    val v = firstStep("view")
+    val c = v.join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")),
+        Seq("user_id"))
+      .filter(col("ts") >= col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val pch = c.join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")),
+        Seq("user_id"))
+      .filter(col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(pch, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        unix_micros(col("t_view")).as("view_us"),
+        unix_micros(col("t_click")).as("click_us"),
+        unix_micros(col("t_purchase")).as("purchase_us"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .otherwise(1L).as("funnel_depth"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
-    q75Quantiles, q82SlidingWindow)
+    q75Quantiles, q82SlidingWindow, q115FunnelSteps)
 }
