@@ -97,4 +97,41 @@ class StreamingFeedSpec extends AnyFunSuite {
       .filter(col("action_type") =!= "period")).as[Row20].collect().toSet
     assert(got == want)
   }
+
+  test("stop + restart from checkpoint resumes the stateful fold exactly-once") {
+    import spark.implicits._
+    val watch = tmpDir("feed-watch3-")
+    val stage = tmpDir("feed-stage3-")
+    val sink = tmpDir("feed-sink3-")
+
+    val ev = graft.Tables(spark, sfDir, "events")
+    val n = ev.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev.withColumn("__rn", row_number().over(w))
+    publish(ranked.filter(col("__rn") <= n / 2).drop("__rn"), stage, watch, "slice1")
+
+    // each incarnation is a brand-new query object; only the sink +
+    // checkpoint paths connect them — the recovery contract under test
+    def runOnce(): Unit = {
+      val q = StreamingFeed.actions(StreamingFeed.eventsStream(spark, watch.toString))
+        .writeStream.format("parquet")
+        .option("path", s"$sink/out").option("checkpointLocation", s"$sink/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // drains slice 1, then the query is GONE
+    publish(ranked.filter(col("__rn") > n / 2).drop("__rn"), stage, watch, "slice2")
+    runOnce() // restores per-game fold state + source offsets from ckpt
+
+    val got = project(spark.read.parquet(s"$sink/out")).as[Row20].collect()
+    val want = project(GameFeed.pbp(spark, sfDir).toDF()
+      .filter(col("action_type") =!= "period")).as[Row20].collect()
+    // multiset compare: a Set would mask replayed (duplicated) rows,
+    // which is exactly the failure a broken restart produces
+    assert(got.length == want.length,
+      s"row count ${got.length} != ${want.length} — duplicated or lost rows on restart")
+    assert(got.toSet == want.toSet)
+  }
 }
