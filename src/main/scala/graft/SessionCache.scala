@@ -40,11 +40,16 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionCache {
 
-  private sealed trait Box { def get: AnyRef }
+  private sealed trait Box { def get: AnyRef; def onCleared(): Unit = () }
   private final class Strong(v: AnyRef) extends Box { def get: AnyRef = v }
   private final class Soft(v: AnyRef) extends Box {
     private val r = new SoftReference[AnyRef](v)
+    // captured at wrap time, holds session/plan only weakly: evicts the
+    // orphaned InMemoryRelation of a GC-cleared cached frame, since the
+    // rebuild's non-canonicalizing plan can't resurrect (or replace) it
+    private val cleanup = org.apache.spark.sql.GraftBridge.clearedCacheCleanup(v)
     def get: AnyRef = r.get()
+    override def onCleared(): Unit = cleanup.foreach(f => f())
   }
 
   private type Inner = ConcurrentHashMap[String, CompletableFuture[Box]]
@@ -75,8 +80,17 @@ object SessionCache {
             throw e
         }
       } else {
-        val v = prior.join().get
+        // unwrap join()'s CompletionException so losers see the same raw
+        // build failure the winning thread threw
+        val box =
+          try prior.join()
+          catch {
+            case e: java.util.concurrent.CompletionException if e.getCause != null =>
+              throw e.getCause
+          }
+        val v = box.get
         if (v != null) return v.asInstanceOf[V]
+        box.onCleared() // evict the orphaned cache entry before rebuilding
         inner.remove(key, prior) // GC cleared between uses: rebuild
       }
     }

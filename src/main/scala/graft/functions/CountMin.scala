@@ -60,7 +60,10 @@ case class CmsCounts(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val vm = v.asInstanceOf[Long] % P // keeps a·vm < 2^62: no overflow
+      // floorMod (not %) so a negative key still lands in [0, P) — a plain
+      // `%` would go negative and index into a NEIGHBORING depth row's
+      // counter segment. Mirrored by pmod in [[CmsCounts.estimate]].
+      val vm = java.lang.Math.floorMod(v.asInstanceOf[Long], P) // a·vm < 2^62: no overflow
       var i = 0
       while (i < depth) {
         val bucket = (((2 * i + 1) * vm + (i * 1000003L + 12345L)) % P) % width
@@ -107,7 +110,7 @@ case class CmsCounts(
 }
 
 object CmsCounts {
-  import org.apache.spark.sql.functions.{element_at, least, lit}
+  import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
 
   /** The flattened depth × width counter matrix (row-major
     * `array<long>`) of a nonnegative long key column, as an aggregate
@@ -122,7 +125,9 @@ object CmsCounts {
     * `element_at`), so it composes with a broadcast of the one-row
     * sketch. */
   def estimate(cms: Column, key: Column, depth: Int, width: Int): Column = {
-    val vm = key % 2147483647L
+    // pmod mirrors update()'s floorMod so negative keys read the same
+    // counters they incremented.
+    val vm = pmod(key, lit(2147483647L))
     least((0 until depth).map { i =>
       val bucket = ((lit(2 * i + 1) * vm + lit(i * 1000003L + 12345L)) % 2147483647L) % width
       element_at(cms, (lit(i * width) + bucket + 1).cast("int"))

@@ -17,11 +17,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * participates in whole-stage codegen via `doGenCode`, and keeps the
   * exact same left-to-right double-precision fold semantics (so results
   * stay bit-identical with the HOF version and the DuckDB oracle).
+  *
+  * Length-mismatch contract: returns NULL, exactly like the HOF spelling
+  * — `zip_with` null-pads the shorter array, `x * null` is null, and
+  * `acc + null` poisons the fold. A stock session running the documented
+  * fallback therefore agrees with the extension on every input.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -29,7 +36,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     (elemType(left), elemType(right)) match {
@@ -54,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression)
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ${getter(left, a, "i")} * ${getter(right, b, "i")};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    acc += ${getter(left, a, "i")} * ${getter(right, b, "i")};
+         |  }
+         |  ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
   }
@@ -84,11 +96,17 @@ case class DotProduct(left: Expression, right: Expression)
   * that dominates a quantized ANN scan, where integer dot products ARE
   * the workload. Integer sums are exact, so results are bit-identical
   * with the HOF form and the DuckDB oracle by construction.
+  *
+  * Length-mismatch contract: returns NULL, exactly like the HOF spelling
+  * (`zip_with` null-pads the shorter array and `acc + null` is null), so
+  * the documented fallback never diverges from the extension.
   */
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -106,7 +124,8 @@ case class IntDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
@@ -116,12 +135,16 @@ case class IntDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (long) $a.getInt(i) * (long) $b.getInt(i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $a.numElements();
+         |  long acc = 0L;
+         |  for (int i = 0; i < n; i++) {
+         |    acc += (long) $a.getInt(i) * (long) $b.getInt(i);
+         |  }
+         |  ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

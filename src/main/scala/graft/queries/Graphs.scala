@@ -430,11 +430,20 @@ object Graphs {
         .withColumnRenamed("a", "id").localCheckpoint()
       var dead = deg.filter(col("d") < 2).select("id").localCheckpoint()
       for (_ <- 1 to KCoreRounds) {
-        val lost = ue.join(broadcast(dead.withColumnRenamed("id", "b")), Seq("b"))
+        // The removal fringe is SMALL on this schema-shaped graph, but its
+        // size is data-dependent: on a leaf-heavy power-law graph round 1
+        // can strip a large fraction of ALL vertices, and a hard-coded
+        // broadcast() of an O(V) frame is an executor OOM no AQE re-plan
+        // can undo. Gate the hint on the fringe's actual count (cheap: the
+        // frame is localCheckpoint-materialized); past the cutoff, leave
+        // the join unhinted and let AQE pick from measured sizes.
+        val hint: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (dead.count() <= 1000000L) broadcast(_) else identity
+        val lost = ue.join(hint(dead.withColumnRenamed("id", "b")), Seq("b"))
           .groupBy("a").agg(count(lit(1)).as("lost"))
           .withColumnRenamed("a", "id")
         deg = deg
-          .join(broadcast(dead.withColumnRenamed("id", "rm")),
+          .join(hint(dead.withColumnRenamed("id", "rm")),
             col("id") === col("rm"), "left_anti")
           .join(lost, Seq("id"), "left_outer")
           .select(col("id"), (col("d") - coalesce(col("lost"), lit(0L))).as("d"))

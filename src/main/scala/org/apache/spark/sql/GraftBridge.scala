@@ -13,4 +13,31 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** For a cached Dataset held behind a [[java.lang.ref.SoftReference]]
+    * (see [[graft.SessionCache]]): a cleanup that evicts the dataset's
+    * `InMemoryRelation` from the session `CacheManager` AFTER the soft
+    * ref has been GC-cleared. Needed because non-canonicalizing plans
+    * (`LogicalRDD` from `zipWithIndex` exports, the typed game pipeline)
+    * never `sameResult`-match their rebuilt incarnation, so without an
+    * explicit eviction each memory-pressure cycle would strand one more
+    * dead `InMemoryRelation` in the CacheManager.
+    *
+    * The closure holds the session and logical plan only WEAKLY: a
+    * strong plan ref could pin the session (HadoopFsRelation references
+    * it), violating the WeakHashMap keying; and the CacheManager itself
+    * pins the plan strongly for exactly as long as there is an entry to
+    * evict, so the weak ref is live precisely when cleanup is needed.
+    * `uncacheQuery` is `private[sql]`, hence this lives in the bridge.
+    */
+  def clearedCacheCleanup(v: AnyRef): Option[() => Unit] = v match {
+    case ds: classic.Dataset[_] =>
+      val sess = new java.lang.ref.WeakReference(ds.sparkSession)
+      val plan = new java.lang.ref.WeakReference(ds.queryExecution.logical)
+      Some(() =>
+        for { s <- Option(sess.get()); p <- Option(plan.get()) }
+          scala.util.Try(
+            s.sharedState.cacheManager.uncacheQuery(s, p, cascade = false)))
+    case _ => None
+  }
 }
