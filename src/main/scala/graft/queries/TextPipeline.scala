@@ -1643,6 +1643,190 @@ object TextPipeline {
           (col("cum").cast("double") / col("total")).as("cum_frac"))
   }
 
+  // ---------------------------------------------------------------- q116
+  /** The end-to-end corpus build — the one-pipeline artifact a data team
+    * ships, chaining the individually-gated stages into a sharded
+    * training corpus with a per-shard manifest:
+    *
+    *   1. quality gate     — q20's length/punct rule AND NOT q88's
+    *                         repetition rule;
+    *   2. line-level dedup — q107's C4 segment dedup; a doc survives with
+    *                         its cleaned token count (exact dups empty
+    *                         out here);
+    *   3. near-dup removal — one representative per q29 MinHash-LSH
+    *                         cluster;
+    *   4. decontamination  — drop held-out test docs and any train doc
+    *                         q106's 20-gram rule flags (Bloom-prefiltered
+    *                         on the Spark side; the Bloom never changes
+    *                         the result, so the oracle joins exactly);
+    *   5. shard + pack     — q93's md5 hash-shard, then q87's 4096-token
+    *                         chunk math WITHIN each shard (shard-then-
+    *                         pack is the scalable order: shards are the
+    *                         unit of parallelism, packing never needs a
+    *                         cross-shard window).
+    *
+    * Output: one manifest row per shard (n_docs, n_tokens, n_chunks)
+    * plus the corpus-level funnel counts every row carries (n_input →
+    * n_pass_quality → n_pass_linededup → n_pass_neardup →
+    * n_pass_decontam) — the survivor/drop accounting a curation run has
+    * to emit.
+    *
+    * Scale shape: every stage is the already-audited operator it reuses;
+    * the composition itself adds only doc_id equi-joins (one
+    * co-partitioning key end-to-end), a single 1-row funnel-totals
+    * broadcast, and the final hash(shard) groupBy. No new join keys, no
+    * windows, nothing corpus-quadratic beyond what the stages already
+    * bound (LSH band keys, df-cut grams, Bloom survivors). */
+  val q116CorpusBuild: Q = Q.sql(
+    "q116_corpus_build",
+    s"""WITH RECURSIVE $clustersSql,
+       |qx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5
+       |          AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 5 <= length(text)
+       |         THEN 1 ELSE 0 END AS quality
+       |  FROM documents
+       |), rg AS (
+       |  SELECT doc_id,
+       |    list_extract(toks, CAST(i AS INT)) || ' ' ||
+       |      list_extract(toks, CAST(i AS INT) + 1) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t0,
+       |       LATERAL (SELECT unnest(range(1, len(toks))) AS i) rr
+       |  WHERE len(toks) >= 2
+       |), rc AS (
+       |  SELECT doc_id, gram, COUNT(*) AS n FROM rg GROUP BY 1, 2
+       |), ra AS (
+       |  SELECT doc_id, SUM(n) AS n_grams, MAX(n) AS max_gram FROM rc GROUP BY 1
+       |), rp AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN a.n_grams IS NULL THEN FALSE
+       |         ELSE CAST(a.max_gram AS DOUBLE) / a.n_grams > 0.1 END AS repetitive
+       |  FROM documents d LEFT JOIN ra a ON a.doc_id = d.doc_id
+       |), sgh AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+       |    array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg,
+       |    ('0x' || substr(md5(array_to_string(toks[i*8+1 : i*8+8], ' ')), 1, 15))::BIGINT AS g
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t1,
+       |       UNNEST(range(0, 1 + (len(toks) - 1) // 8)) r2(i)
+       |), kp AS (
+       |  SELECT g, MIN((doc_id, seg_idx)) AS keeper FROM sgh GROUP BY 1
+       |), cl AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(CASE WHEN (doc_id, seg_idx) = keeper THEN seg END,
+       |                        ' ' ORDER BY seg_idx), '') AS clean_text
+       |  FROM sgh JOIN kp USING (g)
+       |  GROUP BY doc_id
+       |), ct AS (
+       |  SELECT doc_id,
+       |    CASE WHEN clean_text = '' THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(string_split_regex(trim(clean_text), '\\s+')) AS BIGINT)
+       |    END AS n_clean_tokens
+       |  FROM cl
+       |), hh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 100 < 5 AS is_test
+       |  FROM documents
+       |), g20 AS (
+       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct([substr(text, i, 20)
+       |            for i in range(1, length(text) - 18)])) AS gram
+       |        FROM documents WHERE length(text) >= 20)
+       |), te AS (
+       |  SELECT DISTINCT g FROM g20 JOIN hh USING (doc_id) WHERE hh.is_test
+       |), tr AS (
+       |  SELECT g20.doc_id AS train_doc, g FROM g20 JOIN hh USING (doc_id)
+       |  WHERE NOT hh.is_test
+       |), bad AS (
+       |  SELECT train_doc FROM tr JOIN te USING (g)
+       |  GROUP BY 1 HAVING COUNT(*) >= 3
+       |), fu AS (
+       |  SELECT d.doc_id, ct.n_clean_tokens,
+       |    (qx.quality = 1 AND NOT rp.repetitive) AS b1,
+       |    (qx.quality = 1 AND NOT rp.repetitive AND ct.n_clean_tokens > 0) AS b2,
+       |    (qx.quality = 1 AND NOT rp.repetitive AND ct.n_clean_tokens > 0
+       |      AND comp.cluster_id = d.doc_id) AS b3,
+       |    (qx.quality = 1 AND NOT rp.repetitive AND ct.n_clean_tokens > 0
+       |      AND comp.cluster_id = d.doc_id AND NOT hh.is_test
+       |      AND bad.train_doc IS NULL) AS b4
+       |  FROM documents d
+       |  JOIN qx USING (doc_id)
+       |  JOIN rp USING (doc_id)
+       |  JOIN ct USING (doc_id)
+       |  JOIN comp USING (doc_id)
+       |  JOIN hh USING (doc_id)
+       |  LEFT JOIN bad ON bad.train_doc = d.doc_id
+       |), gl AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       |    CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+       |    CAST(SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_linededup,
+       |    CAST(SUM(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_neardup,
+       |    CAST(SUM(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_decontam
+       |  FROM fu
+       |), sv AS (
+       |  SELECT doc_id, n_clean_tokens,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard
+       |  FROM fu WHERE b4
+       |), mf AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_clean_tokens) AS BIGINT) AS n_tokens
+       |  FROM sv GROUP BY 1
+       |)
+       |SELECT mf.shard, mf.n_docs, mf.n_tokens,
+       |  CAST((mf.n_tokens - 1) // 4096 + 1 AS BIGINT) AS n_chunks,
+       |  gl.n_input, gl.n_pass_quality, gl.n_pass_linededup,
+       |  gl.n_pass_neardup, gl.n_pass_decontam
+       |FROM mf CROSS JOIN gl""".stripMargin,
+    "End-to-end corpus build: quality → line dedup → LSH reps → decontaminate → shard manifest") {
+    (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+      val isTest =
+        Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
+      val base = docs(s, dir).select(
+        col("doc_id"), isTest.as("is_test"),
+        when(size(toks) >= 5 && nPunct * 5 <= length(col("text")), 1L)
+          .otherwise(0L).as("quality"))
+      val rept = q88Repetition.run(s, dir).select(col("doc_id"), col("repetitive"))
+      val line = q107LineDedup.run(s, dir).select(col("doc_id"),
+        when(col("clean_text") === "", 0L)
+          .otherwise(size(Text.tokens(col("clean_text"))).cast("long"))
+          .as("n_clean_tokens"))
+      val reps = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+      val bad = q106BloomDecontaminate.run(s, dir)
+        .select(col("train_doc").as("doc_id"), lit(true).as("contaminated"))
+      val b1 = col("quality") === 1 && !col("repetitive")
+      val b2 = b1 && col("n_clean_tokens") > 0
+      val b3 = b2 && col("cluster_id") === col("doc_id")
+      val b4 = b3 && !col("is_test") && col("contaminated").isNull
+      val fu = base
+        .join(rept, Seq("doc_id"))
+        .join(line, Seq("doc_id"))
+        .join(reps, Seq("doc_id"))
+        .join(bad, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_clean_tokens"),
+          b1.as("b1"), b2.as("b2"), b3.as("b3"), b4.as("b4"))
+      val gl = fu.agg(
+        count(lit(1)).cast("long").as("n_input"),
+        sum(when(col("b1"), 1L).otherwise(0L)).cast("long").as("n_pass_quality"),
+        sum(when(col("b2"), 1L).otherwise(0L)).cast("long").as("n_pass_linededup"),
+        sum(when(col("b3"), 1L).otherwise(0L)).cast("long").as("n_pass_neardup"),
+        sum(when(col("b4"), 1L).otherwise(0L)).cast("long").as("n_pass_decontam"))
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      fu.filter(col("b4"))
+        .select(col("doc_id"), col("n_clean_tokens"), (h % 32).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_clean_tokens")).cast("long").as("n_tokens"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          (expr("(n_tokens - 1) div 4096") + 1).cast("long").as("n_chunks"))
+        .crossJoin(broadcast(gl))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -1651,5 +1835,5 @@ object TextPipeline {
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
-    q109CosinePairs, q110ImportanceScore, q113BpeMergeRank)
+    q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild)
 }

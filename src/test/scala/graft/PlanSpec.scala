@@ -290,4 +290,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"corpus-side join leaked in:\n$p")
   }
+
+  test("q116: corpus-build composition adds no shuffle beyond the stages' own") {
+    val p = plan("q116_corpus_build")
+    // composing the gated stages must not introduce a global sort, a
+    // round-robin repartition, or a cartesian pair join
+    assert(!p.contains("rangepartitioning"), s"global sort leaked in:\n$p")
+    assert(!p.contains("RoundRobinPartitioning"), s"blind repartition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian join:\n$p")
+    // every hash shuffle is on a stage-internal key (doc_id funnel joins,
+    // q88's (doc_id, gram), q107/q106's g, q106's train_doc, q29's
+    // cluster_id, the final shard manifest) — the composition invents no
+    // new co-partitioning key of its own
+    val allowed =
+      Set("doc_id", "g", "gram", "train_doc", "shard", "cluster_id")
+    val keyLists = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(keyLists.nonEmpty, s"no hash exchanges found:\n$p")
+    keyLists.foreach { ks =>
+      val cols = ks.split(",").map(_.trim).dropRight(1)
+        .map(_.takeWhile(c => c != '#'))
+      assert(cols.forall(allowed),
+        s"composition introduced a new shuffle key ($ks):\n$p")
+    }
+    // the funnel-totals frame is the ONLY nested-loop join, and it is a
+    // broadcast of one row (formatted plans print each node twice — tree
+    // then details — so count the tree spelling, which carries the type)
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1,
+      s"expected exactly the 1-row totals broadcast:\n$p")
+  }
 }
