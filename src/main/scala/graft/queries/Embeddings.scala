@@ -325,8 +325,15 @@ object Embeddings {
   /** Coarse-quantizer constants shared by q95b (recall harness) and
     * q111 (SemDeDup): 8 cells, 2 Lloyd iterations, deterministic
     * `vec_id = 7j` seed rows. */
-  private val IvfK = 8
+  /** Cells and probes — chosen from the [[graft.tools.IvfSweep]] recall/
+    * cost frontier recorded on [[q95bIvfRecall]]: at the same 25% scan
+    * budget, (k=16, nprobe=4) matches or beats the round-5 (8, 2)
+    * default at both measured scales, and finer cells are the shape that
+    * scales (k grows with the corpus so n/k stays bounded — the same
+    * discipline q111's SemDeDup documents). */
+  private val IvfK = 16
   private val IvfIters = 2
+  private val IvfNProbe = 4
 
   /** l2² distance from embeddings col `e` to centroid list col `c`. */
   private def duckL2(e: String, c: String): String =
@@ -401,22 +408,28 @@ object Embeddings {
 
   /** Trained centroid frame (j, c) after [[IvfIters]] Lloyd steps,
     * memoized per (session, sf dir). */
+  /** [[IvfIters]] Lloyd steps from the deterministic `vec_id % 7` seed —
+    * parameterized on k so the sweep harness ([[ivfSweepPoint]]) can
+    * train alternative quantizers; the gate uses k = [[IvfK]]. */
+  private def lloyd(e: DataFrame, k: Int): DataFrame = {
+    val c0 = e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 7 * k)
+      .select((col("vec_id") / 7).cast("int").as("j"),
+        transform(col("embedding"), _.cast("double")).as("c"))
+    (1 to IvfIters).foldLeft(c0) { (cents, _) =>
+      assignUnder(e, cents)
+        .select(col("j"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("j"), col("dim"))
+        .agg((sum(col("v").cast("double").cast("decimal(28,10)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("j"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c"))
+    }
+  }
+
   private def trainedIvf(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.once(s, s"emb#$dir#ivf-centroids") {
-      val e = emb(s, dir)
-      val c0 = e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 7 * IvfK)
-        .select((col("vec_id") / 7).cast("int").as("j"),
-          transform(col("embedding"), _.cast("double")).as("c"))
-      val trained = (1 to IvfIters).foldLeft(c0) { (cents, _) =>
-        assignUnder(e, cents)
-          .select(col("j"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy(col("j"), col("dim"))
-          .agg((sum(col("v").cast("double").cast("decimal(28,10)")).cast("double")
-            / count(lit(1))).as("m"))
-          .groupBy(col("j"))
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
-            s => s.getField("m")).as("c"))
-      }.cache()
+      val trained = lloyd(emb(s, dir), IvfK).cache()
       trained.count()
       trained
     }
@@ -431,8 +444,95 @@ object Embeddings {
       af
     }
 
+  /** The query side of the probe: nearest [[IvfNProbe]] cells per query
+    * under the trained quantizer — shared by the gate query and the
+    * sweep harness. */
+  private def probedCells(qs: DataFrame, trained: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("j"))
+    qs.crossJoin(broadcast(trained))
+      .select(col("query_id"), col("qe"), col("j"),
+        l2sq(col("qe"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("j"))
+  }
+
+  private def queries20(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  /** Per-query recall@5 of the probed scan vs the exact scan. */
+  private def ivfRecallFrame(e: DataFrame, trained: DataFrame,
+      af: DataFrame, nprobe: Int): DataFrame = {
+    val qs = queries20(e)
+    val qc = probedCells(qs, trained, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    def top5(cand: DataFrame): DataFrame = cand
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = top5(af.select(col("vec_id").as("neighbor_id"), col("j"),
+      col("embedding")).join(broadcast(qc), Seq("j")))
+    val exact = top5(e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(qs)))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        (count(col("hit")).cast("double") / 5).as("recall"))
+  }
+
+  /** One (k, nprobe) point of the recall/cost frontier: mean recall@5
+    * over the 20 gate queries and the mean fraction of the corpus each
+    * probe actually scans. Called by [[graft.tools.IvfSweep]]; the gate
+    * constants [[IvfK]]/[[IvfNProbe]] are chosen from its recorded
+    * output (see [[q95bIvfRecall]]'s scaladoc table). */
+  private[graft] def ivfSweepPoint(s: SparkSession, dir: String,
+      k: Int, nprobe: Int): (Double, Double) = {
+    val e = emb(s, dir)
+    val trained = lloyd(e, k)
+    val af = assignUnder(e, trained)
+    val recall = ivfRecallFrame(e, trained, af, nprobe)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    val corpusN = e.count().toDouble
+    val scanned = probedCells(queries20(e), trained, nprobe)
+      .join(af.select(col("j")), Seq("j"))
+      .count().toDouble / 20.0 / corpusN
+    (recall, scanned)
+  }
+
+  /** Trained-IVF ANN recall harness. Recall/cost frontier measured by
+    * [[graft.tools.IvfSweep]] (mean recall@5 over the 20 gate queries;
+    * scan = fraction of corpus touched per query; sf0.01 = 500 vecs,
+    * sf0.1 = 2,000 vecs):
+    *
+    * {{{
+    * k  nprobe   sf0.01 recall/scan   sf0.1 recall/scan
+    * 8    1        0.45 / 0.13          0.37 / 0.13
+    * 8    2        0.59 / 0.25          0.55 / 0.25     (round-5 default)
+    * 8    4        0.77 / 0.50          0.81 / 0.50
+    * 16   2        0.40 / 0.13          0.42 / 0.12
+    * 16   4        0.59 / 0.26          0.57 / 0.25     (round-6 default)
+    * 32   4        0.50 / 0.14          0.39 / 0.13
+    * any  k        1.00 / 1.00          1.00 / 1.00     (= exact scan)
+    * }}}
+    *
+    * Reading: on these near-uniform synthetic embeddings recall tracks
+    * the scanned fraction almost linearly — there is no cluster
+    * structure for the quantizer to exploit — so the frontier is flat
+    * across k at matched scan. (16, 4) is picked over (8, 2) at the
+    * same 25% scan budget because finer cells are the 100 TB shape:
+    * k scales with the corpus so the per-cell population (and thus both
+    * probe cost and q111's within-cell pair scan) stays bounded. On a
+    * real embedding distribution the sweep, not the default, is the
+    * decision procedure — rerun it per corpus. */
   val q95bIvfRecall: Q = {
-    val NProbe = 2
+    val NProbe = IvfNProbe
     Q.sql(
       "q95b_ivf_recall",
       s"""$duckIvfCtes,
@@ -469,37 +569,10 @@ object Embeddings {
          |  CAST(count(approx.neighbor_id) AS DOUBLE) / 5 AS recall
          |FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
-      "trained-IVF (k-means + multi-probe) recall@5 vs exact top-5") { (s, dir) =>
-      val e = emb(s, dir)
-      val trained = trainedIvf(s, dir)
-      val af = ivfAssigned(s, dir)
-      val qs = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val wc = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("j"))
-      val qc = qs.crossJoin(broadcast(trained))
-        .select(col("query_id"), col("qe"), col("j"),
-          l2sq(col("qe"), col("c")).as("d2"))
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") <= NProbe)
-        .select(col("query_id"), col("qe"), col("j"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      def top5(cand: DataFrame): DataFrame = cand
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = top5(af.select(col("vec_id").as("neighbor_id"), col("j"),
-        col("embedding")).join(broadcast(qc), Seq("j")))
-      val exact = top5(e.select(col("vec_id").as("neighbor_id"), col("embedding"))
-        .crossJoin(broadcast(qs)))
-      exact.join(approx.withColumn("hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(col("hit")).as("n_hits"),
-          (count(col("hit")).cast("double") / 5).as("recall"))
+      "trained-IVF (k-means + multi-probe) recall@5 vs exact top-5") {
+      (s, dir) =>
+        ivfRecallFrame(emb(s, dir), trainedIvf(s, dir), ivfAssigned(s, dir),
+          NProbe)
     }
   }
 
