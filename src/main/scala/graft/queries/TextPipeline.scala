@@ -1488,8 +1488,19 @@ object TextPipeline {
       val norms = wts.groupBy("doc_id")
         .agg(sum((col("w") * col("w")).cast("decimal(28,10)"))
           .cast("double").as("n2"))
-      val pairs = wts.as("a")
-        .join(wts.as("b"),
+      // EXPLICIT-count repartition before the pair join: the join is
+      // explosive (output ≈ df-bound × input, not input-sized), so AQE's
+      // input-size-based coalescing of the small cached frame serializes
+      // exactly the stage that needs fan-out — measured at the 10×
+      // blow-up (graft.tools.ScaleUp fixture): 146 s coalesced vs 47 s
+      // with the join parallelism pinned, restoring the sublinear
+      // scaling the 1×→10× table in BASELINE.md records. An explicit
+      // numPartitions is exempt from AQE coalescing by contract, which
+      // is the point.
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val wj = wts.repartition(np, col("g"))
+      val pairs = wj.as("a")
+        .join(wj.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).cast("long").as("n_shared"),

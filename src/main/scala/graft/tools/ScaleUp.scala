@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× blow-up of a driver sf directory into RAM scratch —
+  * the measurement fixture for the scaling-exponent table in BASELINE.md
+  * (round-6 item: convert the "survives 100×" stance from plan-shape
+  * argument to measurement).
+  *
+  * Replica 0 is the original data verbatim. Replica i shifts every
+  * entity key by i·10⁷ — consistently across FK pairs (customer↔orders,
+  * orders↔lineitem, part/supplier↔lineitem), so each replica is a
+  * structurally intact copy and replicas are entity-disjoint — and
+  * prefixes every document token with `r<i>`, so text-similarity
+  * structure WITHIN a replica is preserved bijectively (word-shingle
+  * sets map 1:1, Jaccard values unchanged) while replicas stay lexically
+  * disjoint. This is the corpus-growth model where new data brings new
+  * games/users/documents and new vocabulary, not longer rows — the way
+  * a 100 TB corpus actually differs from a 10 TB one.
+  *
+  * Dimensions (region, nation) are copied unscaled, like the small dims
+  * they model. Output lands under [[graft.Scratch]] (tmpfs) so the
+  * subsequent Profile run touches no host-volume I/O.
+  *
+  * Run: {{{
+  *   GRAFT_SCALE_FACTOR=10 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.ScaleUp"
+  * }}}
+  */
+object ScaleUp {
+  private val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
+    val dst = args.headOption
+      .getOrElse(s"${graft.Scratch.root}/graft-sf-x$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", graft.Scratch.root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(n: String): DataFrame = graft.Tables(spark, src, n)
+    def reps(base: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(base, i * Off)).reduce(_.unionByName(_))
+    // single FILE per table, like the driver's layout — the streaming
+    // file source globs on the literal `events.parquet` name, so a
+    // directory-valued table would not match
+    def w(df: DataFrame, n: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$dst/_stage_$n"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(dst))
+      Files.move(part.toPath, Paths.get(s"$dst/$n.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    def bump(cols: String*)(df: DataFrame, o: Long): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + o))
+
+    w(t("region"), "region")
+    w(t("nation"), "nation")
+    w(reps(t("customer"))(bump("c_custkey")), "customer")
+    w(reps(t("supplier"))(bump("s_suppkey")), "supplier")
+    w(reps(t("part"))(bump("p_partkey")), "part")
+    w(reps(t("orders"))(bump("o_orderkey", "o_custkey")), "orders")
+    w(reps(t("lineitem"))(bump("l_orderkey", "l_partkey", "l_suppkey")),
+      "lineitem")
+    w(reps(t("events"))(bump("event_id", "user_id")), "events")
+    w(reps(t("documents")) { (d, o) =>
+      val shifted = bump("doc_id")(d, o)
+      if (o == 0L) shifted
+      else shifted.withColumn("text",
+        concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+          tok => concat(lit("r" + (o / Off)), tok))))
+    }, "documents")
+    w(reps(t("embeddings"))(bump("vec_id")), "embeddings")
+
+    val rows = graft.Tables.names
+      .map(n => s"$n=${spark.read.parquet(s"$dst/$n.parquet").count()}")
+    println(s"[scale-up] ${factor}x of $src -> $dst  ${rows.mkString(" ")}")
+    spark.stop()
+  }
+}
