@@ -44,6 +44,7 @@ object GraphExport {
     * hidden storage outlives the call. Callers own the returned cache and
     * may `unpersist()` it when the export is consumed. */
   def denseIdsByType(df: DataFrame, typeCol: String, orderCols: Seq[String]): DataFrame = {
+    if (sys.env.contains("GRAFT_DENSE_WINDOW")) return denseIdsByTypeWindow(df, typeCol, orderCols)
     val spark = df.sparkSession
     val sorted = df.orderBy((typeCol +: orderCols).map(col): _*)
     val schema = StructType(sorted.schema.fields :+ StructField("__gidx", LongType, nullable = false))
@@ -58,6 +59,30 @@ object GraphExport {
       .cache()
     out.count() // fill the result cache while the zip intermediate is warm
     zipped.unpersist()
+    out
+  }
+
+  /** The SQL spelling of [[denseIdsByType]]: one per-type `row_number`
+    * window, no RDD round-trip. Identical ids by construction. Tried per
+    * the round-5 review and MEASURED WORSE end-to-end, so it stays the
+    * non-default (GRAFT_DENSE_WINDOW=1 to flip for experiments). Numbers
+    * (q64 full build, tmpfs, local[32]): at sf0.1 the dense-id stage
+    * ties (4.4 s both) but the whole build degrades 19.1 s → 38.5 s; at
+    * 10× sf0.1 the stage wins (11.4 s → 9.0 s) yet the build still loses
+    * (73.5 s → 83.6 s). Two reasons: each node TYPE serializes through
+    * one window reducer (zipWithIndex's range sort parallelizes within a
+    * type), and the window-cached frame is partitioned on the 10-value
+    * type key, which collapses the parallelism of every downstream COO
+    * join that scans it. zipWithIndex remains the measured AND the
+    * billion-node design. */
+  private[graph] def denseIdsByTypeWindow(
+      df: DataFrame, typeCol: String, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(typeCol)).orderBy(orderCols.map(col): _*)
+    val out = df
+      .withColumn("dense_id", (row_number().over(w) - 1).cast("long"))
+      .cache()
+    out.count()
     out
   }
 

@@ -28,6 +28,20 @@ class GraphExportSpec extends AnyFunSuite {
     assert(mapA == mapB)
   }
 
+  test("denseIdsByType: window spelling assigns identical ids to zipWithIndex") {
+    val stints = result.lineupStints
+    val typed = stints.select(
+      concat_ws("", lit("t"), (col("start_clock") % 3).cast("int")).as("tp"),
+      col("stint_id"), lit(0.0).as("__ord"))
+    val zip = GraphExport.denseIdsByType(typed, "tp", Seq("__ord", "stint_id"))
+    val win = GraphExport.denseIdsByTypeWindow(typed, "tp", Seq("__ord", "stint_id"))
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select("tp", "stint_id", "dense_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(zip) == m(win))
+    zip.unpersist(); win.unpersist()
+  }
+
   test("cooEdges: every (src,dst) index pair lands in range") {
     val stints = GraphExport.denseIds(result.lineupStints, Seq("stint_id"))
     val edgeRows = graft.nba.Stints.stintChains(result.lineupStints)
