@@ -237,11 +237,29 @@ object StreamingQ {
     * is replayed (the driver's hash compare is a multiset — a duplicate
     * fails rows_match) and no mid-game state is lost (a reset fold would
     * mis-number every action after the cutoff). */
-  private def restartIngest(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#feed-restart") {
+  /** Two-incarnation restart scaffold shared by q117 (stateful fold) and
+    * q118 (full-outer join state): publishes the front half of the feed
+    * in (ts, event_id) arrival order, drains it with a query that is then
+    * DISCARDED, publishes the back half, and drains with a brand-new
+    * query connected to the first only through the sink and checkpoint
+    * paths. Conf overrides ride a session clone exactly like
+    * [[streamOnce]]. The staging split (a global window over the fixture)
+    * is harness work, never part of the measured streaming plan. */
+  private def streamRestart(tag: String, spark: SparkSession, dir: String,
+      shufflePartitions: Option[Int] = None,
+      extraConfs: Map[String, String] = Map.empty)(
+      build: (SparkSession, String) => DataFrame): DataFrame = {
+    val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
       import org.apache.spark.sql.expressions.Window
       import java.nio.file.{Files, Path, Paths}
-      val tmpPath = graft.Scratch.tempDir("graft-feed-restart-")
+      val overrides = extraConfs ++
+        shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+      val sess = if (overrides.isEmpty) spark else {
+        val s2 = spark.newSession()
+        overrides.foreach { case (k, v) => s2.conf.set(k, v) }
+        s2
+      }
+      val tmpPath = graft.Scratch.tempDir(s"graft-$tag-")
       val tmp = tmpPath.toString
       sys.addShutdownHook {
         import java.util.Comparator
@@ -251,10 +269,6 @@ object StreamingQ {
       }
       val watch = s"$tmp/watch"
       Files.createDirectories(Paths.get(watch))
-      // Harness staging, not engine: split the feed at its midpoint in
-      // (ts, event_id) arrival order — the append-only contract of the
-      // reference's poll loop. The global window ranks the STAGED
-      // fixture once; it is never part of the measured streaming plan.
       val ev = graft.Tables(spark, dir, "events")
       val n = ev.count()
       val ranked = ev.withColumn("__rn",
@@ -267,7 +281,7 @@ object StreamingQ {
         Files.copy(part.toPath, Paths.get(s"$watch/$name.parquet"))
       }
       def drainOnce(): Unit = {
-        val q = StreamingFeed.actions(StreamingFeed.eventsStream(spark, watch))
+        val q = build(sess, watch)
           .writeStream.format("parquet")
           .option("path", s"$tmp/out")
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -278,11 +292,16 @@ object StreamingQ {
       publish(ranked.filter(col("__rn") <= n / 2).drop("__rn"), "slice1")
       drainOnce() // incarnation 1 drains the front half, then is GONE
       publish(ranked.filter(col("__rn") > n / 2).drop("__rn"), "slice2")
-      drainOnce() // incarnation 2 resumes fold state + offsets from ckpt
+      drainOnce() // incarnation 2 resumes state + offsets from the ckpt
       s"$tmp/out"
     }
     spark.read.parquet(path)
   }
+
+  private def restartIngest(spark: SparkSession, dir: String): DataFrame =
+    streamRestart("feed-restart", spark, dir) { (sess, watch) =>
+      StreamingFeed.actions(StreamingFeed.eventsStream(sess, watch)).toDF()
+    }
 
   val q117StreamRestart: Q = Q.sql(
     "q117_stream_restart",
@@ -725,38 +744,48 @@ object StreamingQ {
     * checkpointing is the configuration that survives state ≫ heap at
     * 100 TB, and pinning it here keeps both bundled providers exercised
     * (every other streaming query uses the default HDFS-backed store). */
-  private def fullJoinStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-sided watermarked FULL OUTER interval join plan, built
+    * against whatever source directory/glob it is handed — shared by
+    * q100 (one-shot drain) and q118 (checkpoint restart). */
+  private def fullOuterJoinPlan(sess: SparkSession, dir: String,
+      glob: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val purchases = StreamingFeed
+      .eventsStream(sess, dir, glob = glob).toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = StreamingFeed
+      .eventsStream(sess, dir, glob = glob).toDF()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"),
+        col("user_id").as("c_user_id"),
+        col("value").as("c_value"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+        col("p_event_id"), col("c_event_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        col("p_value"), col("c_value"))
+  }
+
+  private val RocksDbConf = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private def fullJoinStream(spark: SparkSession, dir: String): DataFrame = {
     // state-store count sized to the state, not the CPU count (measured
     // at sf0.1: 32 partitions → 24 s fixed cost, 8 → ~1/4 of that);
     // both overrides ride streamOnce's session clone, never shared conf
     streamOnce("stream-full-join", spark, dir, shufflePartitions = Some(8),
-      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { sess =>
-      val purchases = StreamingFeed
-        .eventsStream(sess, dir, glob = "events.parquet").toDF()
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event_id"), col("user_id"),
-          col("value").as("p_value"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "10 minutes")
-      val clicks = StreamingFeed
-        .eventsStream(sess, dir, glob = "events.parquet").toDF()
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("c_event_id"),
-          col("user_id").as("c_user_id"),
-          col("value").as("c_value"), col("ts").as("c_ts"))
-        .withWatermark("c_ts", "10 minutes")
-      purchases.join(clicks,
-        col("user_id") === col("c_user_id") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
-          col("c_ts") <= col("p_ts"),
-        "fullOuter")
-        .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
-          col("p_event_id"), col("c_event_id"),
-          unix_micros(col("p_ts")).as("p_ts_us"),
-          unix_micros(col("c_ts")).as("c_ts_us"),
-          col("p_value"), col("c_value"))
-    }
+      extraConfs = RocksDbConf)(
+      sess => fullOuterJoinPlan(sess, dir, "events.parquet"))
   }
 
   /** Watermarked stream-stream FULL OUTER interval join — both eviction
@@ -770,8 +799,9 @@ object StreamingQ {
     * min-of-both-streams watermark q99 pinned. Getting either offset
     * wrong (the classic off-by-interval in hand-rolled streaming joins)
     * flips rows in or out of the result and fails the hash. */
-  val q100StreamFullJoin: Q = Q.sql(
-    "q100_stream_full_join",
+  /** The closed-form full-outer-join oracle — shared VERBATIM by q100
+    * and q118 (restart recovery must be invisible in the output). */
+  private val fullJoinOracleSql: String =
     """WITH pr AS (SELECT * FROM events WHERE event_type = 'purchase'),
       |cl AS (SELECT * FROM events WHERE event_type = 'click'),
       |-- min-of-both-streams watermark; explicitly NULL (=> no eviction
@@ -815,11 +845,42 @@ object StreamingQ {
       |  AND NOT EXISTS (SELECT 1 FROM pr p
       |        WHERE p.user_id = c.user_id
       |          AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
-      |          AND epoch_us(c.ts) <= epoch_us(p.ts))""".stripMargin,
+      |          AND epoch_us(c.ts) <= epoch_us(p.ts))""".stripMargin
+
+  val q100StreamFullJoin: Q = Q.sql(
+    "q100_stream_full_join",
+    fullJoinOracleSql,
     "watermarked stream-stream FULL OUTER interval join (both eviction offsets)") { (s, dir) =>
     fullJoinStream(s, dir).select(
       col("user_id"), col("p_event_id"), col("c_event_id"),
       col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
+  }
+
+  /** Checkpoint restart on the HARDEST state path: the RocksDB-backed
+    * symmetric full-outer interval-join state, killed mid-feed and
+    * resumed by a brand-new query incarnation. Unlike q117's keyed fold,
+    * this state is value-scanned and rewritten on every watermark
+    * advance, and correctness under restart requires that (a) rows
+    * null-emitted as unmatched before the kill are never re-emitted or
+    * retro-matched — sound because the watermark contract already
+    * guarantees an evicted row cannot match anything later than the
+    * watermark, and the restart restores exactly that watermark — and
+    * (b) state still buffered at the kill (everything within the 10 min
+    * delay + 2 h interval of the cutoff) survives into incarnation 2 to
+    * meet its back-half matches. Gates against [[fullJoinOracleSql]],
+    * q100's UNCHANGED one-shot oracle: a duplicate null-emission, a lost
+    * buffered row, or a watermark regression each flips rows and fails
+    * the hash compare. */
+  val q118StreamJoinRestart: Q = Q.sql(
+    "q118_stream_join_restart",
+    fullJoinOracleSql,
+    "checkpoint restart mid-feed of the RocksDB full-outer join state") {
+    (s, dir) =>
+      streamRestart("full-join-restart", s, dir, shufflePartitions = Some(8),
+        extraConfs = RocksDbConf)(
+        (sess, watch) => fullOuterJoinPlan(sess, watch, "*.parquet"))
+        .select(col("user_id"), col("p_event_id"), col("c_event_id"),
+          col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
   }
 
   /** Streaming NEAR-dup collapse at ingest — the q24 MinHash machinery
@@ -1030,5 +1091,5 @@ object StreamingQ {
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
-    q112StreamCms, q117StreamRestart)
+    q112StreamCms, q117StreamRestart, q118StreamJoinRestart)
 }
