@@ -1688,8 +1688,12 @@ object TextPipeline {
     * broadcast, and the final hash(shard) groupBy. No new join keys, no
     * windows, nothing corpus-quadratic beyond what the stages already
     * bound (LSH band keys, df-cut grams, Bloom survivors). */
-  val q116CorpusBuild: Q = Q.sql(
-    "q116_corpus_build",
+  /** Shared CTE prefix: everything through the per-document funnel frame
+    * `fu` (doc_id, lang, source, n_clean_tokens, b1..b4) — reused
+    * VERBATIM by q116 (shard manifest), q119 (per-source ledger) and
+    * q120 (mixture weights), exactly as the Spark side shares one
+    * session-cached funnel frame. */
+  private val corpusFunnelCtes: String =
     s"""WITH RECURSIVE $clustersSql,
        |qx AS (
        |  SELECT doc_id,
@@ -1755,7 +1759,7 @@ object TextPipeline {
        |  SELECT train_doc FROM tr JOIN te USING (g)
        |  GROUP BY 1 HAVING COUNT(*) >= 3
        |), fu AS (
-       |  SELECT d.doc_id, ct.n_clean_tokens,
+       |  SELECT d.doc_id, d.lang, d.source, ct.n_clean_tokens,
        |    (qx.quality = 1 AND NOT rp.repetitive) AS b1,
        |    (qx.quality = 1 AND NOT rp.repetitive AND ct.n_clean_tokens > 0) AS b2,
        |    (qx.quality = 1 AND NOT rp.repetitive AND ct.n_clean_tokens > 0
@@ -1770,7 +1774,53 @@ object TextPipeline {
        |  JOIN comp USING (doc_id)
        |  JOIN hh USING (doc_id)
        |  LEFT JOIN bad ON bad.train_doc = d.doc_id
-       |), gl AS (
+       |)""".stripMargin
+
+  /** The per-document curation funnel (doc_id, lang, source,
+    * n_clean_tokens, b1..b4 stage-survival flags), session-cached and
+    * eagerly materialized: q116's manifest, q119's per-source ledger and
+    * q120's mixture weights are all cheap aggregations over this one
+    * frame — uncached, each would re-run the full dedup/decontaminate
+    * lineage (GraphX CC included). */
+  private def corpusFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.once(s, s"text#$dir#corpus-funnel") {
+      val toks = Text.tokens(col("text"))
+      val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+      val isTest =
+        Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
+      val base = docs(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), isTest.as("is_test"),
+        when(size(toks) >= 5 && nPunct * 5 <= length(col("text")), 1L)
+          .otherwise(0L).as("quality"))
+      val rept = q88Repetition.run(s, dir).select(col("doc_id"), col("repetitive"))
+      val line = q107LineDedup.run(s, dir).select(col("doc_id"),
+        when(col("clean_text") === "", 0L)
+          .otherwise(size(Text.tokens(col("clean_text"))).cast("long"))
+          .as("n_clean_tokens"))
+      val reps = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+      val bad = q106BloomDecontaminate.run(s, dir)
+        .select(col("train_doc").as("doc_id"), lit(true).as("contaminated"))
+      val b1 = col("quality") === 1 && !col("repetitive")
+      val b2 = b1 && col("n_clean_tokens") > 0
+      val b3 = b2 && col("cluster_id") === col("doc_id")
+      val b4 = b3 && !col("is_test") && col("contaminated").isNull
+      val fu = base
+        .join(rept, Seq("doc_id"))
+        .join(line, Seq("doc_id"))
+        .join(reps, Seq("doc_id"))
+        .join(bad, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_clean_tokens"),
+          b1.as("b1"), b2.as("b2"), b3.as("b3"), b4.as("b4"))
+        .cache()
+      fu.count()
+      fu
+    }
+
+  val q116CorpusBuild: Q = Q.sql(
+    "q116_corpus_build",
+    s"""$corpusFunnelCtes,
+       |gl AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
        |    CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
        |    CAST(SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_linededup,
@@ -1793,33 +1843,7 @@ object TextPipeline {
        |FROM mf CROSS JOIN gl""".stripMargin,
     "End-to-end corpus build: quality → line dedup → LSH reps → decontaminate → shard manifest") {
     (s, dir) =>
-      val toks = Text.tokens(col("text"))
-      val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
-      val isTest =
-        Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
-      val base = docs(s, dir).select(
-        col("doc_id"), isTest.as("is_test"),
-        when(size(toks) >= 5 && nPunct * 5 <= length(col("text")), 1L)
-          .otherwise(0L).as("quality"))
-      val rept = q88Repetition.run(s, dir).select(col("doc_id"), col("repetitive"))
-      val line = q107LineDedup.run(s, dir).select(col("doc_id"),
-        when(col("clean_text") === "", 0L)
-          .otherwise(size(Text.tokens(col("clean_text"))).cast("long"))
-          .as("n_clean_tokens"))
-      val reps = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
-      val bad = q106BloomDecontaminate.run(s, dir)
-        .select(col("train_doc").as("doc_id"), lit(true).as("contaminated"))
-      val b1 = col("quality") === 1 && !col("repetitive")
-      val b2 = b1 && col("n_clean_tokens") > 0
-      val b3 = b2 && col("cluster_id") === col("doc_id")
-      val b4 = b3 && !col("is_test") && col("contaminated").isNull
-      val fu = base
-        .join(rept, Seq("doc_id"))
-        .join(line, Seq("doc_id"))
-        .join(reps, Seq("doc_id"))
-        .join(bad, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("n_clean_tokens"),
-          b1.as("b1"), b2.as("b2"), b3.as("b3"), b4.as("b4"))
+      val fu = corpusFunnel(s, dir)
       val gl = fu.agg(
         count(lit(1)).cast("long").as("n_input"),
         sum(when(col("b1"), 1L).otherwise(0L)).cast("long").as("n_pass_quality"),
@@ -1838,6 +1862,93 @@ object TextPipeline {
         .crossJoin(broadcast(gl))
   }
 
+  // ---------------------------------------------------------------- q119
+  /** The curation ledger by provenance — q116's funnel re-aggregated per
+    * (lang, source): how many of each supplier's documents enter, and
+    * how many survive each stage (quality, line dedup, near-dup removal,
+    * decontamination), plus the tokens the clean corpus keeps from them.
+    * This is the data-governance view a curation run owes its suppliers:
+    * "your feed lost 40% at the quality gate and another 20% to
+    * duplication against supplier X". Scale shape: one partial-agg
+    * groupBy over the session-cached funnel frame — the expensive stages
+    * run once for q116/q119/q120 together. */
+  val q119CurationBySource: Q = Q.sql(
+    "q119_curation_by_source",
+    s"""$corpusFunnelCtes
+       |SELECT lang, source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_input,
+       |  CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+       |  CAST(SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_linededup,
+       |  CAST(SUM(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_neardup,
+       |  CAST(SUM(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_decontam,
+       |  CAST(SUM(CASE WHEN b4 THEN n_clean_tokens ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept
+       |FROM fu
+       |GROUP BY 1, 2""".stripMargin,
+    "per-(lang, source) curation ledger: stage survival + tokens kept") {
+    (s, dir) =>
+      corpusFunnel(s, dir)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).cast("long").as("n_input"),
+          sum(when(col("b1"), 1L).otherwise(0L)).cast("long").as("n_pass_quality"),
+          sum(when(col("b2"), 1L).otherwise(0L)).cast("long").as("n_pass_linededup"),
+          sum(when(col("b3"), 1L).otherwise(0L)).cast("long").as("n_pass_neardup"),
+          sum(when(col("b4"), 1L).otherwise(0L)).cast("long").as("n_pass_decontam"),
+          sum(when(col("b4"), col("n_clean_tokens")).otherwise(0L)).cast("long")
+            .as("tokens_kept"))
+  }
+
+  // ---------------------------------------------------------------- q120
+  /** Temperature-scaled language mixture over the CLEAN corpus — the
+    * pre-training data-mixing step (multinomial sampling à la mBERT/XLM:
+    * weight ∝ n_tokens^(1/T)): per language, the q116-surviving token
+    * mass, its temperature-T=2 weight `sqrt(n_tokens)` (sqrt, not pow —
+    * IEEE requires sqrt correctly rounded, so both engines agree
+    * bit-for-bit; a pow(x, 0.7) would not be portable), the normalized
+    * sampling share, and the document draw a 10k-doc epoch would take.
+    * Upsampling low-resource languages while damping the head is exactly
+    * what the temperature does — visible here as share > raw token
+    * share for every non-English row.
+    *
+    * Determinism: the share denominator is a DECIMAL(28,10) sum of the
+    * per-lang weights (exact, order-independent) cast back to double —
+    * the [[graft.Q]] double-sum rule; per-row sqrt/divide stay raw.
+    * Scale shape: a partial-agg groupBy to ≤#langs rows, then a 1-row
+    * totals broadcast — corpus scale never touches the mixture math. */
+  val q120MixtureWeights: Q = Q.sql(
+    "q120_mixture_weights",
+    s"""$corpusFunnelCtes,
+       |lt AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_clean_tokens) AS BIGINT) AS n_tokens
+       |  FROM fu WHERE b4 GROUP BY 1
+       |), wt AS (
+       |  SELECT lang, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+       |  FROM lt
+       |), tot AS (
+       |  SELECT CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS sw FROM wt
+       |)
+       |SELECT lang, n_docs, n_tokens, w,
+       |  w / sw AS share,
+       |  w / sw * 10000 AS epoch_docs
+       |FROM wt CROSS JOIN tot""".stripMargin,
+    "temperature-2 language mixture weights over the clean corpus") {
+    (s, dir) =>
+      val lt = corpusFunnel(s, dir)
+        .filter(col("b4"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_clean_tokens")).cast("long").as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      val tot = lt.agg(
+        sum(col("w").cast("decimal(28,10)")).cast("double").as("sw"))
+      lt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("w"),
+          (col("w") / col("sw")).as("share"),
+          (col("w") / col("sw") * 10000).as("epoch_docs"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -1846,5 +1957,6 @@ object TextPipeline {
     q79Tfidf, q87SeqPack, q88Repetition, q89Contamination, q93ShuffleShard,
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
-    q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild)
+    q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
+    q119CurationBySource, q120MixtureWeights)
 }
