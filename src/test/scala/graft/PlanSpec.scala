@@ -319,4 +319,21 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1,
       s"expected exactly the 1-row totals broadcast:\n$p")
   }
+
+  test("q119/q120: ledger and mixture read the CACHED funnel, not the lineage") {
+    // both queries must be cheap aggregations over the session-cached
+    // funnel frame — if the InMemoryRelation is missing, each would
+    // re-run the whole dedup/decontaminate pipeline (GraphX CC included)
+    val ledger = plan("q119_curation_by_source")
+    assert(ledger.contains("InMemoryTableScan"),
+      s"q119 rebuilt the funnel instead of reading the cache:\n$ledger")
+    assert(!ledger.contains("rangepartitioning") &&
+      !ledger.contains("CartesianProduct"), s"q119 shape regressed:\n$ledger")
+    val mix = plan("q120_mixture_weights")
+    assert(mix.contains("InMemoryTableScan"),
+      s"q120 rebuilt the funnel instead of reading the cache:\n$mix")
+    // the totals denominator is the one 1-row broadcast
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(mix).size == 1,
+      s"q120 expected exactly the 1-row totals broadcast:\n$mix")
+  }
 }
