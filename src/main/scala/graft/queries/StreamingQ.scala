@@ -437,21 +437,27 @@ object StreamingQ {
   }
 
   /** The session-window aggregation: merging-window state, append mode. */
-  private def sessionStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The watermarked merging-session-window plan against whatever
+    * source directory/glob it is handed — shared by q86 (one-shot) and
+    * q121 (checkpoint restart). */
+  private def sessionWindowPlan(sess: SparkSession, dir: String,
+      glob: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-session", spark, dir) { _ =>
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
-        .toDF()
-        .withWatermark("ts", "10 minutes")
-        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(28,10)")).as("sv"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("session_start_us"),
-          unix_micros(col("session_window.end")).as("session_end_us"),
-          col("n_events"), col("sv").cast("double").as("sum_value"))
-    }
+    StreamingFeed.eventsStream(sess, dir, glob = glob)
+      .toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).as("sv"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sv").cast("double").as("sum_value"))
   }
+
+  private def sessionStream(spark: SparkSession, dir: String): DataFrame =
+    streamOnce("stream-session", spark, dir)(
+      sess => sessionWindowPlan(sess, dir, "events.parquet"))
 
   /** Streaming sessionization with the BUILT-IN `session_window` (gap =
     * 1 hour) under the oracle gate — the merging-window stateful operator
@@ -466,8 +472,9 @@ object StreamingQ {
     * strictly-overlapping windows only), session end = last event + gap,
     * kept where end ≤ the ms-truncated watermark (same truncation rule
     * as q80: Spark tracks max event time in milliseconds). */
-  val q86StreamSessions: Q = Q.sql(
-    "q86_stream_sessions",
+  /** The closed-form session oracle — shared VERBATIM by q86 and q121
+    * (restart recovery must be invisible in the output). */
+  private val sessionOracleSql: String =
     """WITH t AS (
       |  SELECT user_id, epoch_us(ts) AS tu, value FROM events
       |), s AS (
@@ -491,11 +498,36 @@ object StreamingQ {
       |  CAST(sv AS DOUBLE) AS sum_value
       |FROM agg
       |WHERE end_us <=
-      |  (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+      |  (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin
+
+  val q86StreamSessions: Q = Q.sql(
+    "q86_stream_sessions",
+    sessionOracleSql,
     "streaming session_window aggregation (§2.9 merging-window state)") { (s, dir) =>
     sessionStream(s, dir).select(
       col("user_id"), col("session_start_us"), col("session_end_us"),
       col("n_events"), col("sum_value"))
+  }
+
+  /** Checkpoint restart of the MERGING-window state — the third state
+    * family after q117 (keyed flatMapGroupsWithState fold) and q118
+    * (symmetric join buffers): `session_window` state holds open
+    * sessions that must MERGE with events arriving after the restart.
+    * The mid-feed cutoff lands inside open sessions by construction
+    * (every user active at the split has one), so incarnation 2 must
+    * restore them from the checkpoint and extend them rather than open
+    * duplicates — a lost open session splits one row into two and fails
+    * the hash against [[sessionOracleSql]], q86's UNCHANGED one-shot
+    * oracle. */
+  val q121StreamSessionRestart: Q = Q.sql(
+    "q121_stream_session_restart",
+    sessionOracleSql,
+    "checkpoint restart mid-feed of merging session_window state") {
+    (s, dir) =>
+      streamRestart("session-restart", s, dir)(
+        (sess, watch) => sessionWindowPlan(sess, watch, "*.parquet"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"), col("sum_value"))
   }
 
   /** The stream-stream interval join: two independent file-source streams
@@ -1091,5 +1123,6 @@ object StreamingQ {
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
-    q112StreamCms, q117StreamRestart, q118StreamJoinRestart)
+    q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
+    q121StreamSessionRestart)
 }
