@@ -692,8 +692,234 @@ object Embeddings {
         .filter(col("rn") <= 5)
   }
 
+  // ---------------------------------------------------------------- q122
+  /** Product-quantization constants: 4 subspaces x 16 dims (= the 64-dim
+    * vectors), 8 codes per subspace codebook — 12 bits per vector vs
+    * 64 x 4 bytes raw, the PQ compression trade (Jegou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 8
+
+  private def subspace(e: DataFrame, m: Int): DataFrame =
+    e.select(col("vec_id"),
+      slice(col("embedding"), m * PqSub + 1, PqSub).as("embedding"))
+
+  /** Per-subspace trained codebooks (m, j, c): [[lloyd]] run on each
+    * 16-dim slice with the same deterministic seeds and 2 iterations as
+    * the q95b coarse quantizer, memoized per (session, sf dir). */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.once(s, s"emb#$dir#pq-codebooks") {
+      val e = emb(s, dir)
+      val cb = (0 until PqM)
+        .map(m => lloyd(subspace(e, m), PqK).withColumn("m", lit(m)))
+        .reduce(_ unionByName _).cache()
+      cb.count()
+      cb
+    }
+
+  /** Corpus PQ codes, WIDE (vec_id, code0..code3) in ONE map-side pass:
+    * all four packed codebooks ride a single 1-row broadcast and each
+    * row fold-argmins its four slices — the encode step is zero-shuffle
+    * at any corpus size. */
+  private def pqCodesWide(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.once(s, s"emb#$dir#pq-codes") {
+      val packed = pqCodebooks(s, dir)
+        .groupBy(col("m"))
+        .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("cs"))
+        .agg(sort_array(collect_list(struct(col("m"), col("cs")))).as("ms"))
+      val cols = col("vec_id") +: (0 until PqM).map { m =>
+        val cs = element_at(col("ms"), m + 1).getField("cs")
+        val sub = slice(col("embedding"), m * PqSub + 1, PqSub)
+        val dists = transform(cs, s2 => l2sq(sub, s2.getField("c")))
+        element_at(cs, array_position(dists, array_min(dists))
+          .cast("int")).getField("j").as(s"code$m")
+      }
+      val codes = emb(s, dir).crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("embedding"), col("ms"))
+        .select(cols: _*)
+        .cache()
+      codes.count()
+      codes
+    }
+
+  /** Sub-range l2² fold: dims off+1 .. off+16 of list `e` against the
+    * 16-long centroid list `c` — [[duckL2]] on a slice. */
+  private def duckL2Sub(e: String, c: String, off: Int): String =
+    s"""list_reduce([(CAST($e[$off + i] AS DOUBLE) - $c[i]) * (CAST($e[$off + i] AS DOUBLE) - $c[i])
+       |      for i in range(1, ${PqSub + 1})], (x, y) -> x + y)""".stripMargin
+
+  /** One Lloyd step on subspace `m` (duckIvfStep on a 16-dim slice). */
+  private def duckPqStep(m: Int, t: Int, cin: String, cout: String): String = {
+    val off = m * PqSub
+    s""",
+       |pd${m}_$t AS (
+       |  SELECT e.vec_id, c.j, ${duckL2Sub("e.embedding", "c.c", off)} AS d2
+       |  FROM embeddings e CROSS JOIN $cin c
+       |),
+       |pa${m}_$t AS MATERIALIZED (
+       |  SELECT vec_id, j FROM (
+       |    SELECT vec_id, j,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+       |    FROM pd${m}_$t)
+       |  WHERE rn = 1
+       |),
+       |$cout AS MATERIALIZED (
+       |  SELECT j, list(mu ORDER BY dim) AS c FROM (
+       |    SELECT a.j, r.d AS dim,
+       |      CAST(SUM(CAST(CAST(e.embedding[$off + r.d] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+       |        / COUNT(*) AS mu
+       |    FROM pa${m}_$t a JOIN embeddings e USING (vec_id), UNNEST(range(1, ${PqSub + 1})) r(d)
+       |    GROUP BY a.j, r.d)
+       |  GROUP BY j
+       |)""".stripMargin
+  }
+
+  /** Trains all four subspace codebooks (pc{m}_2) and assigns the corpus
+    * codes (pf{m}) — the DuckDB twin of [[pqCodebooks]]/[[pqCodesWide]]. */
+  private def duckPqCtes: String = {
+    val blocks = (0 until PqM).map { m =>
+      val off = m * PqSub
+      val c0 =
+        s"""pc${m}_0 AS MATERIALIZED (
+           |  SELECT vec_id // 7 AS j,
+           |    [CAST(embedding[$off + i] AS DOUBLE) for i in range(1, ${PqSub + 1})] AS c
+           |  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < ${7 * PqK}
+           |)""".stripMargin
+      val steps = (1 to IvfIters)
+        .map(t => duckPqStep(m, t, s"pc${m}_${t - 1}", s"pc${m}_$t")).mkString
+      val fin =
+        s""",
+           |pdf$m AS (
+           |  SELECT e.vec_id, c.j,
+           |    ${duckL2Sub("e.embedding", "c.c", off)} AS d2
+           |  FROM embeddings e CROSS JOIN pc${m}_$IvfIters c
+           |),
+           |pf$m AS MATERIALIZED (
+           |  SELECT vec_id, j AS code FROM (
+           |    SELECT vec_id, j,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+           |    FROM pdf$m)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      c0 + steps + fin
+    }
+    "WITH " + blocks.mkString(",\n")
+  }
+
+  /** PQ + asymmetric-distance (ADC) top-k: the corpus is searched
+    * through its 12-bit PQ codes — per query, the distance to a data
+    * vector is the sum over subspaces of the exact query-slice-to-
+    * assigned-centroid l2², looked up from a per-query table (Jegou '11
+    * §IV.A "ADC") — with the exact 64-dim l2 top-5 alongside as an
+    * `in_exact` hit flag, q95b's honest-recall discipline.
+    *
+    * Scale shape (the FAISS-PQ serving plan, declaratively): training
+    * touches seeds + two Lloyd passes (q95b's broadcast/partial-agg
+    * machinery, here x4 on 16-dim slices); ENCODE is one map-side pass
+    * under a 1-row broadcast of all packed codebooks (zero shuffle, any
+    * corpus size); SEARCH joins the codes against four broadcast
+    * 20x8-row lookup tables and ranks map-side — the only shuffle in
+    * the whole probe is the 20-partition top-5 window, which
+    * WindowGroupLimit prunes before it moves. The scan is linear but
+    * over 12-bit codes instead of 256-byte vectors — PQ's memory
+    * bandwidth trade; compose with q95b's IVF cells for sublinearity
+    * (IVFADC).
+    *
+    * Determinism: sub-distance folds are strict left folds in DOUBLE
+    * (the q95b rules); the 4-way ADC sum runs in DECIMAL(28,10) in a
+    * FIXED expression order on the Spark side and as an exact decimal
+    * SUM in DuckDB — decimal addition is exact, so spelling order
+    * can't diverge; all argmin/rank ties break to the lowest id. */
+  val q122PqAdcTopK: Q = {
+    val lutUnion = (0 until PqM).map { m =>
+      s"""SELECT query_id, $m AS m, c.j AS code,
+         |    ${duckL2Sub("qe", "c.c", m * PqSub)} AS d2
+         |  FROM qs CROSS JOIN pc${m}_$IvfIters c""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val cdUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM pf$m")
+      .mkString(" UNION ALL ")
+    Q.sql(
+      "q122_pq_adc_topk",
+      s"""$duckPqCtes,
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20
+         |),
+         |lut AS (
+         |  $lutUnion
+         |),
+         |cd AS ($cdUnion),
+         |adc AS (
+         |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         |    CAST(SUM(CAST(l.d2 AS DECIMAL(28,10))) AS DOUBLE) AS adc_d2
+         |  FROM cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+         |  WHERE cd.vec_id <> l.query_id
+         |  GROUP BY 1, 2
+         |),
+         |top AS (
+         |  SELECT query_id, neighbor_id, adc_d2, CAST(rn AS BIGINT) AS rn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+         |  WHERE rn <= 5
+         |),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckL2("qe", "e.embedding")}, e.vec_id) AS rn
+         |    FROM qs, embeddings e WHERE e.vec_id <> query_id)
+         |  WHERE rn <= 5
+         |)
+         |SELECT t.query_id, t.neighbor_id, t.adc_d2, t.rn,
+         |  ex.neighbor_id IS NOT NULL AS in_exact
+         |FROM top t LEFT JOIN ex USING (query_id, neighbor_id)""".stripMargin,
+      "product quantization: 4x16-dim trained codebooks, ADC top-5 vs exact l2") {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val qs = queries20(e)
+        val cb = pqCodebooks(s, dir)
+        // per-subspace ADC lookup tables: 20 queries x 8 codes, broadcast
+        val luts = (0 until PqM).map { m =>
+          qs.select(col("query_id"),
+              slice(col("qe"), m * PqSub + 1, PqSub).as("qsub"))
+            .join(cb.filter(col("m") === m), lit(true))
+            .select(col("query_id"), col("j").as(s"code$m"),
+              l2sq(col("qsub"), col("c")).cast("decimal(28,10)").as(s"d2_$m"))
+        }
+        val joined = luts.zipWithIndex.foldLeft(pqCodesWide(s, dir)) {
+          case (acc, (lut, m)) =>
+            val keys = if (m == 0) Seq(s"code$m") else Seq("query_id", s"code$m")
+            acc.join(broadcast(lut), keys)
+        }
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_d2"), col("neighbor_id"))
+        val adcTop = joined
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            ((col("d2_0") + col("d2_1")) + (col("d2_2") + col("d2_3")))
+              .cast("double").as("adc_d2"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+        val we = Window.partitionBy(col("query_id"))
+          .orderBy(col("l2_d2"), col("neighbor_id"))
+        val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .crossJoin(broadcast(qs))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            l2sq(col("qe"), col("embedding")).as("l2_d2"))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        adcTop.join(broadcast(exact.withColumn("hit", lit(1))),
+            Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"), col("neighbor_id"), col("adc_d2"),
+            col("rn"), col("hit").isNotNull.as("in_exact"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
-      q104DedupRetrieval, q111SemanticDedup)
+      q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK)
 }

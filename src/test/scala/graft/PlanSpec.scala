@@ -336,4 +336,14 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin Cross".r.findAllIn(mix).size == 1,
       s"q120 expected exactly the 1-row totals broadcast:\n$mix")
   }
+
+  test("q122: ADC search is broadcast-LUT joins + pushed top-k, no wide shuffle") {
+    val p = plan("q122_pq_adc_topk")
+    // the four per-subspace lookup tables build-side broadcast against
+    // the code scan; a sort-merge join would mean the corpus shuffled
+    assert(p.contains("BroadcastHashJoin"), s"LUT join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"code scan got shuffled:\n$p")
+    // per-query top-5 prunes before the exchange
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
+  }
 }
