@@ -1119,10 +1119,70 @@ object StreamingQ {
         (est - col("n_exact")).as("overcount"))
   }
 
+  private def mgStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-mg", spark, dir) { _ =>
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_window"),
+          graft.functions.MgCandidates.candidates(col("user_id"), 4).as("cands"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("n_window"), col("cands"))
+    }
+  }
+
+  /** Streaming heavy hitters — the last cell of the sketch x streaming
+    * matrix (KMV: q44/q96, CMS: q108/q112, Misra-Gries: q105/THIS): per
+    * tumbling hour, the k=4 MG candidate sketch folds in STREAMING
+    * aggregation state — at most 4 counters per open window however many
+    * users the hour sees, mergeable across partial aggregates and
+    * micro-batches (Agarwal et al., PODS'12) — and each closed window's
+    * candidates are then confirmed exactly batch-side, q105's two-pass
+    * discipline: explode the <= 4 candidate ids, broadcast-join them to
+    * the exact per-(window, user) counts, and keep users with
+    * cnt * 5 > n_window. The MG guarantee (k + 1 >= 1/phi, here 5 = 5)
+    * makes the candidate set a superset of every such user under ANY
+    * partition/batch order, so the confirmed output is deterministic and
+    * hash-gateable against the plain GROUP BY/HAVING oracle even though
+    * the raw sketch contents are not. Same ms-truncated 10-minute
+    * watermark cutoff as q96/q112. */
+  val q123StreamHeavyHitters: Q = Q.sql(
+    "q123_stream_heavy_hitters",
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start, user_id
+      |  FROM events
+      |), n AS (
+      |  SELECT bucket_start, COUNT(*) AS n_window FROM e GROUP BY 1
+      |), u AS (
+      |  SELECT bucket_start, user_id, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+      |)
+      |SELECT CAST(u.bucket_start AS BIGINT) AS bucket_start, u.user_id,
+      |  CAST(u.cnt AS BIGINT) AS cnt, CAST(n.n_window AS BIGINT) AS n_window
+      |FROM u JOIN n USING (bucket_start)
+      |WHERE u.cnt * 5 > n.n_window
+      |  AND (u.bucket_start + 3600) * 1000000 <=
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+    "streaming per-window Misra-Gries candidates + exact batch confirm (q105 x §2.9)") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val cand = mgStream(s, dir).select(col("bucket_start"), col("n_window"),
+        explode(col("cands")).as("user_id"))
+      graft.Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("user_id"), col("cnt"))
+        .join(broadcast(cand), Seq("bucket_start", "user_id"))
+        .filter(col("cnt") * 5 > col("n_window"))
+        .select(col("bucket_start"), col("user_id"), col("cnt"),
+          col("n_window"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
-    q121StreamSessionRestart)
+    q121StreamSessionRestart, q123StreamHeavyHitters)
 }
