@@ -661,11 +661,52 @@ object Relational {
           .otherwise(1L).as("funnel_depth"))
   }
 
+  // ---------------------------------------------------------------- q124
+  /** Wide-format pivot — per epoch day, event counts and decimal-exact
+    * value sums spread across one column pair per event type: the
+    * BI-export / feature-table shape (`groupBy(day).pivot(type).agg`).
+    *
+    * Scale stance: the pivot values are DECLARED, so the plan is ONE
+    * partial-aggregated groupBy shuffle on the day key — no
+    * distinct-values inference pass, which on 100 TB is a full extra
+    * scan-and-collect before the real query can even plan (and an
+    * unbounded-width schema besides; a declared list keeps the schema a
+    * design artifact). Absent (day, type) cells coalesce to 0 on both
+    * engines; value sums accumulate in DECIMAL(28,10) per the Q rules. */
+  val q124Pivot: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val duckCols = types.flatMap { t =>
+      Seq(
+        s"  CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t",
+        s"""  CAST(COALESCE(SUM(CAST(value AS DECIMAL(28,10)))
+           |    FILTER (WHERE event_type = '$t'), 0) AS DOUBLE) AS v_$t""".stripMargin)
+    }.mkString(",\n")
+    Q.sql(
+      "q124_pivot",
+      s"""SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS day_start,
+         |$duckCols
+         |FROM events
+         |GROUP BY 1""".stripMargin,
+      "declared-values pivot: per-day wide event-type count/value matrix") {
+      (s, dir) =>
+        val wide = Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,10)")).as("v"))
+        val outCols = unix_timestamp(col("w.start")).as("day_start") +:
+          types.flatMap(t => Seq(
+            coalesce(col(s"${t}_n"), lit(0L)).cast("long").as(s"n_$t"),
+            coalesce(col(s"${t}_v").cast("double"), lit(0.0)).as(s"v_$t")))
+        wide.select(outCols: _*)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
-    q75Quantiles, q82SlidingWindow, q115FunnelSteps)
+    q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot)
 }

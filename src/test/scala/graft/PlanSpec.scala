@@ -337,6 +337,20 @@ class PlanSpec extends AnyFunSuite {
       s"q120 expected exactly the 1-row totals broadcast:\n$mix")
   }
 
+  test("q124: declared-values pivot is one scan + pre-reduced agg shuffles") {
+    val p = planNoAqe("q124_pivot")
+    // no distinct-values inference pass: exactly one events scan (tree
+    // node, not the details echo). Spark plans pivot as a double
+    // aggregate — shuffle 1 reduces to (day, type) rows map-side first,
+    // shuffle 2 moves only that pre-reduced frame — so exactly two
+    // exchanges, both fed by partial HashAggregates.
+    assert("Scan parquet  \\(".r.findAllIn(p).size == 1,
+      s"pivot scanned the input more than once:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2,
+      s"pivot should shuffle exactly twice (agg + pivot phases):\n$p")
+    assert(p.contains("HashAggregate"), s"pivot aggregate not hash-based:\n$p")
+  }
+
   test("q122: ADC search is broadcast-LUT joins + pushed top-k, no wide shuffle") {
     val p = plan("q122_pq_adc_topk")
     // the four per-subspace lookup tables build-side broadcast against
