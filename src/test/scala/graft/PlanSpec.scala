@@ -360,4 +360,13 @@ class PlanSpec extends AnyFunSuite {
     // per-query top-5 prunes before the exchange
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
   }
+
+  test("q125: IVFADC probe is a broadcast cell cut over the cached index") {
+    val p = plan("q125_ivfadc")
+    // the probed (query, cell) pairs and the four LUTs all build-side
+    // broadcast; a sort-merge join would mean the index shuffled per probe
+    assert(p.contains("BroadcastHashJoin"), s"probe join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index got shuffled at probe time:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
+  }
 }
