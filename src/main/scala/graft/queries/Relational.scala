@@ -702,11 +702,53 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q126
+  /** Unpivot (melt) — q124's inverse reshape: the per-day wide value
+    * matrix folds back to long (day_start, event_type, v) rows,
+    * including the explicit 0.0 cells the wide format materialized for
+    * absent (day, type) pairs. `Dataset.unpivot` plans as a map-side
+    * Expand — zero shuffles of its own; the only exchanges are the
+    * upstream pivot's pre-reduced aggregate pair. The oracle spells the
+    * same frame as days x declared-types LEFT JOIN the per-pair sums. */
+  val q126Unpivot: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q.sql(
+      "q126_unpivot",
+      s"""WITH days AS (
+         |  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS day_start
+         |  FROM events
+         |), t(event_type) AS (
+         |  VALUES ${types.map(t => s"('$t')").mkString(", ")}
+         |), s AS (
+         |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_start, event_type,
+         |    SUM(CAST(value AS DECIMAL(28,10))) AS v
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT CAST(d.day_start AS BIGINT) AS day_start, t.event_type,
+         |  CAST(COALESCE(s.v, 0) AS DOUBLE) AS v
+         |FROM days d CROSS JOIN t
+         |LEFT JOIN s ON s.day_start = d.day_start AND s.event_type = t.event_type""".stripMargin,
+      "unpivot: melt the wide per-day value matrix back to long rows") {
+      (s, dir) =>
+        val wide = Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .pivot("event_type", types)
+          .agg(sum(col("value").cast("decimal(28,10)")))
+          .select(unix_timestamp(col("w.start")).as("day_start") +:
+            types.map(t => coalesce(col(t).cast("double"), lit(0.0))
+              .as(s"v_$t")): _*)
+        wide.unpivot(Array(col("day_start")),
+            types.map(t => col(s"v_$t")).toArray, "k", "v")
+          .select(col("day_start"), substring(col("k"), 3, 100).as("event_type"),
+            col("v"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
-    q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot)
+    q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot)
 }
