@@ -1126,7 +1126,9 @@ object StreamingQ {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_window"),
-          graft.functions.MgCandidates.candidates(col("user_id"), 4).as("cands"))
+          graft.functions.MgCandidates
+            .candidates(graft.ops.Text.baseHash(col("event_type")), 4)
+            .as("cands"))
         .select(unix_timestamp(col("window.start")).as("bucket_start"),
           col("n_window"), col("cands"))
     }
@@ -1136,28 +1138,33 @@ object StreamingQ {
     * matrix (KMV: q44/q96, CMS: q108/q112, Misra-Gries: q105/THIS): per
     * tumbling hour, the k=4 MG candidate sketch folds in STREAMING
     * aggregation state — at most 4 counters per open window however many
-    * users the hour sees, mergeable across partial aggregates and
-    * micro-batches (Agarwal et al., PODS'12) — and each closed window's
-    * candidates are then confirmed exactly batch-side, q105's two-pass
-    * discipline: explode the <= 4 candidate ids, broadcast-join them to
-    * the exact per-(window, user) counts, and keep users with
-    * cnt * 5 > n_window. The MG guarantee (k + 1 >= 1/phi, here 5 = 5)
-    * makes the candidate set a superset of every such user under ANY
-    * partition/batch order, so the confirmed output is deterministic and
-    * hash-gateable against the plain GROUP BY/HAVING oracle even though
-    * the raw sketch contents are not. Same ms-truncated 10-minute
-    * watermark cutoff as q96/q112. */
+    * distinct keys the hour sees, mergeable across partial aggregates
+    * and micro-batches (Agarwal et al., PODS'12) — and each closed
+    * window's candidates are then confirmed exactly batch-side, q105's
+    * two-pass discipline: explode the <= 4 candidate hashes,
+    * broadcast-join them to the exact per-(window, key) counts, and keep
+    * keys with cnt * 5 > n_window. The MG guarantee (k + 1 >= 1/phi,
+    * here 5 = 5) makes the candidate set a superset of every such key
+    * under ANY partition/batch order, so the confirmed output is
+    * deterministic and hash-gateable against the plain GROUP BY/HAVING
+    * oracle even though the raw sketch contents are not — the candidate
+    * hash itself never reaches the output. Key = event_type (5 live
+    * keys against 4 counters, so the sketch genuinely decrements every
+    * window, and the >20% bar stays non-degenerate at every SF — a
+    * user_id key at sf0.1's ~139 events/hour x 150 uniform users has no
+    * heavy hitters at all). Same ms-truncated 10-minute watermark
+    * cutoff as q96/q112. */
   val q123StreamHeavyHitters: Q = Q.sql(
     "q123_stream_heavy_hitters",
     """WITH e AS (
-      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start, user_id
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start, event_type
       |  FROM events
       |), n AS (
       |  SELECT bucket_start, COUNT(*) AS n_window FROM e GROUP BY 1
       |), u AS (
-      |  SELECT bucket_start, user_id, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+      |  SELECT bucket_start, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2
       |)
-      |SELECT CAST(u.bucket_start AS BIGINT) AS bucket_start, u.user_id,
+      |SELECT CAST(u.bucket_start AS BIGINT) AS bucket_start, u.event_type,
       |  CAST(u.cnt AS BIGINT) AS cnt, CAST(n.n_window AS BIGINT) AS n_window
       |FROM u JOIN n USING (bucket_start)
       |WHERE u.cnt * 5 > n.n_window
@@ -1167,15 +1174,16 @@ object StreamingQ {
     (s, dir) =>
       import org.apache.spark.sql.functions._
       val cand = mgStream(s, dir).select(col("bucket_start"), col("n_window"),
-        explode(col("cands")).as("user_id"))
+        explode(col("cands")).as("h"))
       graft.Tables(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(unix_timestamp(col("window.start")).as("bucket_start"),
-          col("user_id"), col("cnt"))
-        .join(broadcast(cand), Seq("bucket_start", "user_id"))
+          col("event_type"), col("cnt"),
+          graft.ops.Text.baseHash(col("event_type")).as("h"))
+        .join(broadcast(cand), Seq("bucket_start", "h"))
         .filter(col("cnt") * 5 > col("n_window"))
-        .select(col("bucket_start"), col("user_id"), col("cnt"),
+        .select(col("bucket_start"), col("event_type"), col("cnt"),
           col("n_window"))
   }
 
