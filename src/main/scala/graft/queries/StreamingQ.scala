@@ -1075,8 +1075,11 @@ object StreamingQ {
     * hash-cell) GROUP BY — deterministic MinHash-family hashes, q108's
     * spelling — and applies q96's ms-truncated watermark cutoff to
     * keep only windows the stream actually closed. */
-  val q112StreamCms: Q = Q.sql(
-    "q112_stream_cms",
+  /** Shared by q112 (one-shot) and q127 (checkpoint restart): the oracle
+    * recomputes the IDENTICAL counter matrix closed-form, so a single
+    * double-counted or dropped row across a restart flips a counter and
+    * fails the hash. */
+  private val cmsOracleSql: String =
     """WITH p(i, a, b) AS (
       |  VALUES (0, 1, 12345), (1, 3, 1012348), (2, 5, 2012351), (3, 7, 3012354)
       |), e AS (
@@ -1102,10 +1105,13 @@ object StreamingQ {
       |  AND c.bucket = ((p.a * k.v + p.b) % 2147483647) % 256
       |WHERE (k.bucket_start + 3600) * 1000000 <=
       |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)
-      |GROUP BY k.bucket_start, k.user_id, k.n_exact""".stripMargin,
-    "streaming tumbling-window Count-Min sketch, probed offline per key") { (s, dir) =>
+      |GROUP BY k.bucket_start, k.user_id, k.n_exact""".stripMargin
+
+  /** The offline probe over an emitted sketch frame `sk`: every exact
+    * per-(window, key) count alongside its CMS estimate. */
+  private def cmsProbe(s: SparkSession, dir: String,
+      sk: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sk = cmsStream(s, dir)
     val keys = graft.Tables(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
       .agg(count(lit(1)).as("n_exact"))
@@ -1117,6 +1123,13 @@ object StreamingQ {
       .select(col("bucket_start"), col("user_id"), col("n_exact"),
         est.as("cms_estimate"),
         (est - col("n_exact")).as("overcount"))
+  }
+
+  val q112StreamCms: Q = Q.sql(
+    "q112_stream_cms",
+    cmsOracleSql,
+    "streaming tumbling-window Count-Min sketch, probed offline per key") {
+    (s, dir) => cmsProbe(s, dir, cmsStream(s, dir))
   }
 
   private def mgStream(spark: SparkSession, dir: String): DataFrame = {
@@ -1187,10 +1200,42 @@ object StreamingQ {
           col("n_window"))
   }
 
+  private def cmsRestartStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamRestart("cms-restart", spark, dir) { (sess, watch) =>
+      StreamingFeed.eventsStream(sess, watch).toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.CmsCounts.counts(col("user_id"), 4, 256).as("cms"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("n_events"), col("cms"))
+    }
+  }
+
+  /** Checkpoint restart of SKETCH state — the fourth and last state
+    * kind under the restart gate (q117: keyed typed fold, q118: RocksDB
+    * symmetric join, q121: merging session windows, THIS: a
+    * TypedImperativeAggregate buffer, whose serialize/deserialize round
+    * trip through the state store only runs across a kill). The q112
+    * CMS stream is cut mid-feed and resumed by a new incarnation; open
+    * windows' 8 KiB counter matrices must come back from the checkpoint
+    * EXACTLY — the counter matrix is order-independent and the oracle
+    * recomputes it closed-form, so one replayed or lost row across the
+    * boundary flips a cell and fails the hash compare. Gates against
+    * [[cmsOracleSql]], q112's UNCHANGED one-shot oracle: recovery has
+    * to be invisible. */
+  val q127StreamCmsRestart: Q = Q.sql(
+    "q127_stream_cms_restart",
+    cmsOracleSql,
+    "checkpoint restart mid-feed of TypedImperativeAggregate sketch state") {
+    (s, dir) => cmsProbe(s, dir, cmsRestartStream(s, dir))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
-    q121StreamSessionRestart, q123StreamHeavyHitters)
+    q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart)
 }
