@@ -1232,10 +1232,110 @@ object StreamingQ {
     (s, dir) => cmsProbe(s, dir, cmsRestartStream(s, dir))
   }
 
+  /** Ingest-time corpus gate — the streaming twin of q116's front half,
+    * split the way production curation splits: CHEAP rules run online,
+    * expensive corpus-wide passes run offline over what survived.
+    * Online (this stream): q116's quality rule (>= 5 tokens, punct <=
+    * 20% of chars) as a map-side filter, then exact content dedup via
+    * `dropDuplicates` on md5(text) — admission state is one key per
+    * distinct surviving content. Offline (batch post-pass over the
+    * sink): q106's Bloom-prefiltered 20-gram decontamination and the
+    * test-split exclusion, both content-keyed equi-joins.
+    *
+    * Determinism despite the dedup survivor race (q81/q101's rationale):
+    * WHICH physical document survives a same-batch content collision is
+    * a partition race, so every emitted column is a function of the
+    * text alone (content key, token count) or a deterministic batch
+    * aggregate over ALL bearers of that content (test_only,
+    * contaminated) — never an attribute of the racy survivor row. */
+  val q128StreamIngestGate: Q = Q.sql(
+    "q128_stream_ingest_gate",
+    """WITH t0 AS (
+      |  SELECT doc_id, text, md5(text) AS content_key,
+      |         string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), ql AS (
+      |  SELECT * FROM t0
+      |  WHERE len(toks) >= 5
+      |    AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 5 <= length(text)
+      |), con AS (
+      |  SELECT content_key, MIN(len(toks)) AS n_tokens FROM ql GROUP BY 1
+      |), hh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 < 5 AS is_test
+      |  FROM documents
+      |), tonly AS (
+      |  SELECT t0.content_key,
+      |    MIN(CASE WHEN hh.is_test THEN 1 ELSE 0 END) = 1 AS test_only
+      |  FROM t0 JOIN hh USING (doc_id) GROUP BY 1
+      |), g20 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct([substr(text, i, 20)
+      |            for i in range(1, length(text) - 18)])) AS gram
+      |        FROM documents WHERE length(text) >= 20)
+      |), te AS (
+      |  SELECT DISTINCT g FROM g20 JOIN hh USING (doc_id) WHERE hh.is_test
+      |), tr AS (
+      |  SELECT g20.doc_id AS train_doc, g FROM g20 JOIN hh USING (doc_id)
+      |  WHERE NOT hh.is_test
+      |), bad AS (
+      |  SELECT train_doc FROM tr JOIN te USING (g)
+      |  GROUP BY 1 HAVING COUNT(*) >= 3
+      |), cc AS (
+      |  SELECT DISTINCT t0.content_key
+      |  FROM t0 JOIN bad ON bad.train_doc = t0.doc_id
+      |)
+      |SELECT c.content_key, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+      |  t.test_only,
+      |  cc.content_key IS NOT NULL AS contaminated,
+      |  (NOT t.test_only AND cc.content_key IS NULL) AS kept
+      |FROM con c
+      |JOIN tonly t USING (content_key)
+      |LEFT JOIN cc USING (content_key)""".stripMargin,
+    "ingest-time corpus gate: stream quality filter + content dedup, batch decontamination") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.ops.Text
+      val admitted = streamOnce("stream-ingest-gate", s, dir,
+        shufflePartitions = Some(8)) { sess =>
+        StreamingFeed.fileSource(sess, dir, "documents.parquet")
+          .select(col("text"), Text.tokens(col("text")).as("toks"),
+            length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("np"))
+          .filter(size(col("toks")) >= 5 &&
+            col("np") * 5 <= length(col("text")))
+          .select(md5(col("text")).as("content_key"),
+            size(col("toks")).cast("long").as("n_tokens"))
+          .dropDuplicates("content_key")
+      }
+      val isTest =
+        Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 100 < 5
+      val bearers = graft.Tables(s, dir, "documents")
+        .select(md5(col("text")).as("content_key"), col("doc_id"),
+          isTest.as("is_test"))
+      val testOnly = bearers.groupBy(col("content_key"))
+        .agg((min(when(col("is_test"), 1L).otherwise(0L)) === 1L)
+          .as("test_only"))
+      val contaminated = bearers
+        .join(TextPipeline.q106BloomDecontaminate.run(s, dir)
+            .select(col("train_doc").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("content_key")).distinct()
+        .withColumn("contaminated", lit(true))
+      admitted
+        .join(testOnly, Seq("content_key"))
+        .join(contaminated, Seq("content_key"), "left")
+        .select(col("content_key"), col("n_tokens"), col("test_only"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
+          (!col("test_only") && col("contaminated").isNull).as("kept"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
-    q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart)
+    q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
+    q128StreamIngestGate)
 }
