@@ -744,11 +744,140 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Ranking-window kernel — the W-family completion the way q14 is the
+    * scalar kernel: ntile quartiles, percent_rank, cume_dist and
+    * nth_value in one pass per (event_type, ts, event_id)-ordered
+    * window. The unique tie-break makes the default RANGE frame
+    * row-deterministic on both engines; percent_rank/cume_dist are
+    * exact rationals of rank and partition size, bit-identical as
+    * doubles. One window shuffle on event_type — 5 partitions of equal
+    * share, the shape AQE's skew handling covers at scale. */
+  val q129WindowKernel: Q = Q.sql(
+    "q129_window_kernel",
+    """SELECT event_id, event_type,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  nth_value(value, 3) OVER w AS third_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin,
+    "window-function kernel: ntile, percent_rank, cume_dist, nth_value") {
+    (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events").select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        nth_value(col("value"), 3).over(w).as("third_value"))
+  }
+
+  // ---------------------------------------------------------------- q130
+  /** Time-series resample + gap fill: each user's sparse daily activity
+    * densified onto their min..max day grid (`sequence` + explode — the
+    * grid is generated per user, never a driver loop), missing days
+    * filled by last-observation-carried-forward (`last(ignoreNulls)`
+    * over a rows-preceding frame) with the observed flag kept. The
+    * first grid day is observed by construction, so LOCF never reads
+    * an empty frame. Daily sums accumulate in DECIMAL(28,10); the LOCF
+    * window shuffles once on user_id. */
+  val q130GapFill: Q = Q.sql(
+    "q130_gap_fill",
+    """WITH daily AS (
+      |  SELECT user_id, (epoch_us(ts) // 86400000000) * 86400 AS day,
+      |         SUM(CAST(value AS DECIMAL(28,10))) AS dv
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id, unnest(range(d0, d1 + 86400, 86400)) AS day FROM span
+      |)
+      |SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+      |  d.dv IS NOT NULL AS observed,
+      |  CAST(last_value(d.dv IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS value_filled
+      |FROM grid g
+      |LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day""".stripMargin,
+    "resample to a dense per-user day grid, LOCF gap fill") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(sum(col("value").cast("decimal(28,10)")).as("dv"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("day"),
+        col("dv"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), lit(86400L))).as("day"))
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("dv").isNotNull.as("observed"),
+        last(col("dv"), ignoreNulls = true).over(wf).cast("double")
+          .as("value_filled"))
+  }
+
+  // ---------------------------------------------------------------- q131
+  /** Cohort retention — the product-analytics matrix: cohort = a user's
+    * first active day, and for every (cohort, day-offset) cell the
+    * distinct active users with the cohort's size and retention share.
+    * Shape: one distinct pass, two partial-agg groupBys, the
+    * user-keyed cohort join left to AQE (the cohort frame is O(users)
+    * — a forced broadcast would be an executor bet at scale; act and
+    * c0 share the user_id key so the fallback is a co-partitioned
+    * join), and a broadcast of the O(days) cohort-size frame. Nothing
+    * holds a per-user timeline in memory. Retention is an exact
+    * rational of two bigints, bit-identical as a double on both
+    * engines. */
+  val q131CohortRetention: Q = Q.sql(
+    "q131_cohort_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(ts) // 86400000000) * 86400 AS day
+      |  FROM events
+      |), c0 AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1
+      |), coh AS (
+      |  SELECT cohort_day, COUNT(*) AS cohort_n FROM c0 GROUP BY 1
+      |), r AS (
+      |  SELECT c.cohort_day, (a.day - c.cohort_day) // 86400 AS day_offset,
+      |         COUNT(*) AS active
+      |  FROM act a JOIN c0 c USING (user_id) GROUP BY 1, 2
+      |)
+      |SELECT CAST(r.cohort_day AS BIGINT) AS cohort_day,
+      |  CAST(r.day_offset AS BIGINT) AS day_offset,
+      |  CAST(r.active AS BIGINT) AS active,
+      |  CAST(coh.cohort_n AS BIGINT) AS cohort_n,
+      |  CAST(r.active AS DOUBLE) / coh.cohort_n AS retention
+      |FROM r JOIN coh USING (cohort_day)""".stripMargin,
+    "cohort retention matrix: first-active-day cohorts x day offsets") {
+    (s, dir) =>
+      val act = Tables(s, dir, "events")
+        .select(col("user_id"),
+          window(col("ts"), "1 day").getField("start").as("w"))
+        .select(col("user_id"), unix_timestamp(col("w")).as("day"))
+        .distinct()
+      val c0 = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val coh = c0.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
+      act.join(c0, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          ((col("day") - col("cohort_day")) / 86400).cast("long")
+            .as("day_offset"))
+        .agg(count(lit(1)).as("active"))
+        .join(broadcast(coh), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("active"),
+          col("cohort_n"),
+          (col("active").cast("double") / col("cohort_n")).as("retention"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
     q09SemiJoin, q10AntiJoin, q11BandJoin, q12SetOps, q13OuterCoalesce,
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
-    q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot)
+    q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
+    q129WindowKernel, q130GapFill, q131CohortRetention)
 }
