@@ -1949,6 +1949,87 @@ object TextPipeline {
           (col("w") / col("sw") * 10000).as("epoch_docs"))
   }
 
+  // ---------------------------------------------------------------- q132
+  /** Typo-pair fuzzy join via deletion neighborhoods (the FastSS
+    * family, Bocek et al. '07) — the vocabulary-normalization step of a
+    * corpus cleaner: every pair of distinct tokens within edit distance
+    * 2, found WITHOUT an all-pairs scan. Each token generates its
+    * 0/1/2-deletion variants; an edit script of cost <= 2 deletes at
+    * most 2 positions from each side to reach a common string, so two
+    * tokens within distance 2 always share a variant — candidates come
+    * from an equi-join on the variant string, and a `levenshtein <= 2`
+    * check removes the farther survivors the neighborhood also admits.
+    * The higher-df token is emitted as the canonical form (lexicographic
+    * min on ties) — the map a cleaner applies to fold rare misspellings
+    * into their frequent neighbor.
+    *
+    * Scale shape: the join runs over the VOCABULARY (distinct tokens,
+    * sublinear in corpus size), reached through one partial-agg
+    * groupBy; variants multiply it by ~(len² / 2), and the equi-join
+    * keeps candidate generation bucketed exactly like the shingle /
+    * band / cell joins of the dedup family — never token-universe x
+    * token-universe. Candidate pairs can share several variants, so
+    * the pairs are dedup'd before the verify. */
+  val q132TypoPairs: Q = Q.sql(
+    "q132_typo_pairs",
+    """WITH vocab AS (
+      |  SELECT token, COUNT(*) AS df
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY 1
+      |), vars AS (
+      |  SELECT token, df, l2.v
+      |  FROM vocab,
+      |       UNNEST(range(0, length(token) + 1)) ri(i),
+      |       UNNEST(range(0, length(token) + 1)) rj(j),
+      |       LATERAL (SELECT CASE WHEN j = 0 THEN token
+      |         ELSE substr(token, 1, CAST(j - 1 AS INT)) || substr(token, CAST(j + 1 AS INT), 100000)
+      |         END AS t1) l1,
+      |       LATERAL (SELECT CASE WHEN i = 0 THEN l1.t1
+      |         ELSE substr(l1.t1, 1, CAST(i - 1 AS INT)) || substr(l1.t1, CAST(i + 1 AS INT), 100000)
+      |         END AS v) l2
+      |  WHERE i <= j AND (i <> j OR i = 0)
+      |), cand AS (
+      |  SELECT DISTINCT a.token AS t1, a.df AS df1, b.token AS t2, b.df AS df2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.token < b.token
+      |)
+      |SELECT t1, t2, CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+      |  CAST(levenshtein(t1, t2) AS BIGINT) AS dist,
+      |  CASE WHEN df1 > df2 THEN t1 WHEN df2 > df1 THEN t2 ELSE t1 END
+      |    AS canonical
+      |FROM cand WHERE levenshtein(t1, t2) <= 2""".stripMargin,
+    "edit-distance<=2 token pairs via delete-2 neighborhood join (FastSS)") {
+    (s, dir) =>
+      val vocab = docs(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // delete position p (1-based) from t; p = 0 leaves t unchanged
+      def delAt(t: Column, p: Column): Column =
+        when(p === 0, t).otherwise(
+          concat(t.substr(lit(1), p - 1), t.substr(p + 1, length(t))))
+      val vars = vocab
+        .select(col("token"), col("df"),
+          explode(sequence(lit(0), length(col("token")))).as("i"))
+        .select(col("token"), col("df"), col("i"),
+          explode(sequence(lit(0), length(col("token")))).as("j"))
+        .filter(col("i") <= col("j") && (col("i") =!= col("j") || col("i") === 0))
+        // delete j (the higher position) first so i's index is unshifted
+        .select(col("token"), col("df"),
+          delAt(delAt(col("token"), col("j")), col("i")).as("v"))
+      vars.as("a")
+        .join(vars.as("b"),
+          col("a.v") === col("b.v") && col("a.token") < col("b.token"))
+        .select(col("a.token").as("t1"), col("b.token").as("t2"),
+          col("a.df").as("df1"), col("b.df").as("df2"))
+        .distinct()
+        .filter(levenshtein(col("t1"), col("t2")) <= 2)
+        .select(col("t1"), col("t2"), col("df1"), col("df2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("dist"),
+          when(col("df1") > col("df2"), col("t1"))
+            .when(col("df2") > col("df1"), col("t2"))
+            .otherwise(col("t1")).as("canonical"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -1958,5 +2039,5 @@ object TextPipeline {
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
-    q119CurationBySource, q120MixtureWeights)
+    q119CurationBySource, q120MixtureWeights, q132TypoPairs)
 }
