@@ -106,4 +106,63 @@ object OpsProperties extends Properties("graft.ops") {
       got == expected
     }
   }
+
+  // ------------------------------------------------------- q132 FastSS
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** The 0/1/2-deletion neighborhood q132's variant generation spells
+    * with its (i, j) position pairs. */
+  private def del2(w: String): Set[String] = {
+    val one = (0 until w.length).map(i => w.take(i) + w.drop(i + 1))
+    val two = for {
+      i <- 0 until w.length
+      j <- i + 1 until w.length
+    } yield w.take(i) + w.substring(i + 1, j) + w.drop(j + 1)
+    Set(w) ++ one ++ two
+  }
+
+  /** The theorem q132's candidate join RELIES on (FastSS, Bocek '07):
+    * any two strings within edit distance 2 share at least one string
+    * in their delete-2 neighborhoods — so the equi-join on variants
+    * misses no qualifying pair and the levenshtein filter only ever
+    * removes, never needs to add. Exercised over random words with 0-2
+    * random insert/delete/substitute edits applied (a 3-letter alphabet
+    * keeps coincidental collisions common, which stresses the dedup
+    * rather than the theorem). */
+  property("q132 FastSS: dist<=2 pairs always share a delete-2 variant") = {
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val word = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    def applyOp(w: String): Gen[String] = {
+      val insert = for {
+        i <- Gen.choose(0, w.length); c <- alpha
+      } yield w.take(i) + c + w.drop(i)
+      val delete =
+        if (w.isEmpty) Gen.const(w)
+        else Gen.choose(0, w.length - 1).map(i => w.take(i) + w.drop(i + 1))
+      val subst =
+        if (w.isEmpty) Gen.const(w)
+        else for {
+          i <- Gen.choose(0, w.length - 1); c <- alpha
+        } yield w.updated(i, c)
+      Gen.oneOf(insert, delete, subst)
+    }
+    val gen = for {
+      w <- word
+      k <- Gen.choose(0, 2)
+      w1 <- if (k >= 1) applyOp(w) else Gen.const(w)
+      w2 <- if (k >= 2) applyOp(w1) else Gen.const(w1)
+    } yield (w, w2)
+    Prop.forAll(gen) { case (w, w2) =>
+      lev(w, w2) > 2 || (del2(w) intersect del2(w2)).nonEmpty
+    }
+  }
 }
