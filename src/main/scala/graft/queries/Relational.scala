@@ -872,6 +872,72 @@ object Relational {
           (col("active").cast("double") / col("cohort_n")).as("retention"))
   }
 
+  // ---------------------------------------------------------------- q133
+  /** Trailing-window z-score anomaly detection — the ops-monitoring
+    * staple: each (event_type, hour) count scored against the mean and
+    * population std of that type's previous 24 OBSERVED hourly buckets
+    * (a rows frame, so series gaps shrink nothing silently — the
+    * baseline is always 24 real samples, enforced by the count filter).
+    *
+    * Determinism across engines: the window accumulates exact integer
+    * sum / count / sum-of-squares; mean, variance (clamped at 0 against
+    * FP cancellation before the sqrt) and z derive from them through
+    * the IDENTICAL double expression tree on both sides, and sqrt is
+    * correctly rounded on both — no round(), no data-dependent
+    * transcendentals. One window shuffle on event_type. */
+  val q133AnomalyZscore: Q = Q.sql(
+    "q133_anomaly_zscore",
+    """WITH hourly AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT bucket_start, event_type, n,
+      |    SUM(n) OVER tw AS s, COUNT(n) OVER tw AS c, SUM(n * n) OVER tw AS sq
+      |  FROM hourly
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_start
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |), m AS (
+      |  SELECT *, CAST(s AS DOUBLE) / c AS mean FROM w WHERE c = 24
+      |), v AS (
+      |  SELECT *, GREATEST(CAST(sq AS DOUBLE) / c - mean * mean, 0.0) AS vr
+      |  FROM m
+      |), sd AS (
+      |  SELECT *, sqrt(vr) AS std FROM v
+      |)
+      |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
+      |  CAST(n AS BIGINT) AS n, mean, std,
+      |  CASE WHEN std > 0 THEN (CAST(n AS DOUBLE) - mean) / std END AS z,
+      |  CASE WHEN std > 0 THEN abs((CAST(n AS DOUBLE) - mean) / std) > 3
+      |       ELSE FALSE END AS is_anomaly
+      |FROM sd""".stripMargin,
+    "per-type hourly counts z-scored against the trailing 24-bucket baseline") {
+    (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("event_type"), col("n"))
+      val tw = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket_start")).rowsBetween(-24, -1)
+      hourly
+        .withColumn("s", sum(col("n")).over(tw))
+        .withColumn("c", count(col("n")).over(tw))
+        .withColumn("sq", sum(col("n") * col("n")).over(tw))
+        .filter(col("c") === 24)
+        .withColumn("mean", col("s").cast("double") / col("c"))
+        .withColumn("vr",
+          greatest(col("sq").cast("double") / col("c")
+            - col("mean") * col("mean"), lit(0.0)))
+        .withColumn("std", sqrt(col("vr")))
+        .withColumn("z", when(col("std") > 0,
+          (col("n").cast("double") - col("mean")) / col("std")))
+        .select(col("bucket_start"), col("event_type"), col("n"),
+          col("mean"), col("std"), col("z"),
+          when(col("std") > 0, abs(col("z")) > 3).otherwise(lit(false))
+            .as("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -879,5 +945,5 @@ object Relational {
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
-    q129WindowKernel, q130GapFill, q131CohortRetention)
+    q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore)
 }
