@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.Multimodal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal pipeline query: binary payload column → per-partition batch
@@ -98,10 +99,10 @@ object MultimodalQ {
     * fine for DuckDB at verify scale, quadratic-free on the Spark side.
     * Measured at sf0.01: 1337 frames → 1265 distinct hashes, 372 pairs,
     * max band bucket 84 rows. */
-  val q91FrameDedup: Q = Q.sql(
-    "q91_frame_dedup",
-    framesSql +
-      """
+  /** [[framesSql]] + the 32-bit block-sum aHash per frame — the shared
+    * opening of q91 (near-dup pairs) and q134 (scene cuts). */
+  private val phashSql = framesSql +
+    """
       |, bs AS (
       |  SELECT doc_id, frame_idx,
       |    [('0x' || substr(h, 2 * i + 1, 2))::INT for i in range(0, 64)] AS b
@@ -112,7 +113,12 @@ object MultimodalQ {
       |                        THEN 1::BIGINT << j ELSE 0 END
       |                   for j in range(0, 32)]) AS BIGINT) AS phash
       |  FROM bs
-      |)
+      |)""".stripMargin
+
+  val q91FrameDedup: Q = Q.sql(
+    "q91_frame_dedup",
+    phashSql +
+      """
       |SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a,
       |  b.doc_id AS doc_b, b.frame_idx AS frame_b,
       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -141,7 +147,59 @@ object MultimodalQ {
         hamming.cast("long").as("hamming"))
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Scene-change (shot-boundary) detection — the video-pipeline
+    * segmentation step, over the same per-frame aHash q91 dedups with:
+    * within each video, frames in sample order, a cut wherever the
+    * hamming distance to the PREVIOUS frame's hash exceeds half the
+    * bits (> 16 of 32), and a running `scene_id` = cumulative cut count
+    * — the lag + conditional-cumsum spelling of W1/W7 applied to the
+    * multimodal column. On these stub-decoded frames adjacent hashes
+    * are uncorrelated (hamming centers on 16), so the >16 bar
+    * exercises both branches; on real decoded video, continuity keeps
+    * within-shot distances near 0 and the bar drops to 2-4 bits — the
+    * threshold is the tunable, the plan is not.
+    *
+    * Scale shape: one window shuffle on doc_id (frames of one video
+    * co-locate); the hash itself is q91's map-side expression — no
+    * joins at all. */
+  val q134SceneChanges: Q = Q.sql(
+    "q134_scene_changes",
+    phashSql +
+      """
+      |, d AS (
+      |  SELECT doc_id, frame_idx, phash,
+      |    lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      |  FROM ph
+      |)
+      |SELECT doc_id, frame_idx,
+      |  CAST(CASE WHEN prev IS NULL THEN NULL
+      |       ELSE bit_count(xor(phash, prev)) END AS BIGINT) AS hamming_prev,
+      |  (prev IS NOT NULL AND bit_count(xor(phash, prev)) > 16) AS is_cut,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL
+      |                 AND bit_count(xor(phash, prev)) > 16
+      |            THEN 1 ELSE 0 END)
+      |       OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT)
+      |    AS scene_id
+      |FROM d""".stripMargin,
+    "shot-boundary detection: adjacent-frame aHash hamming + scene ids") {
+    (s, dir) =>
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Multimodal.perceptualHash(s, frames(s, dir)).toDF()
+        .withColumn("prev", lag(col("phash"), 1).over(w))
+        .withColumn("hamming_prev",
+          when(col("prev").isNotNull,
+            bit_count(col("phash").bitwiseXOR(col("prev"))).cast("long")))
+        .withColumn("is_cut",
+          col("prev").isNotNull &&
+            bit_count(col("phash").bitwiseXOR(col("prev"))) > 16)
+        .withColumn("scene_id",
+          sum(when(col("is_cut"), 1).otherwise(0)).over(w).cast("long"))
+        .select(col("doc_id"), col("frame_idx"), col("hamming_prev"),
+          col("is_cut"), col("scene_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q40MultimodalMeta, q41FrameSample, q42FrameFeatures, q43FrameResize,
-      q91FrameDedup)
+      q91FrameDedup, q134SceneChanges)
 }

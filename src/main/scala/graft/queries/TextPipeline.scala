@@ -2030,6 +2030,85 @@ object TextPipeline {
             .otherwise(col("t1")).as("canonical"))
   }
 
+  // ---------------------------------------------------------------- q135
+  /** Collocation (phrase) mining by lift — adjacent token pairs that
+    * co-occur far above chance, the phrase-detection step of corpus
+    * analysis (word2vec's phrase pass, Mikolov '13, uses exactly this
+    * count form). lift = p(w1 w2) / (p(w1) p(w2)) — PMI without the
+    * log, the q79/q110 transcendental-free substitution that keeps the
+    * ranking identical (log is monotone) and the doubles bit-identical
+    * across engines: every factor is an exact integer count divided
+    * through the same expression tree. min-count 5, global top-50.
+    *
+    * Scale shape: bigram and unigram histograms are partial-agg
+    * groupBys; the unigram joins are vocabulary-sized equi-joins (left
+    * to AQE — vocab can be millions of rows at corpus scale, not a
+    * forced broadcast); the two totals ride 1-row broadcasts; the
+    * final rank's single-partition window sees only the min-count-cut
+    * bigram histogram (q113's bounded-input window discipline). */
+  val q135Collocations: Q = Q.sql(
+    "q135_collocations",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), u AS (
+      |  SELECT unnest(toks) AS w FROM t
+      |), uc AS (
+      |  SELECT w, COUNT(*) AS c FROM u GROUP BY 1
+      |), n1 AS (
+      |  SELECT COUNT(*) AS n_tok FROM u
+      |), g AS (
+      |  SELECT list_extract(toks, CAST(i AS INT)) AS w1,
+      |         list_extract(toks, CAST(i AS INT) + 1) AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+      |  WHERE len(toks) >= 2
+      |), gc AS (
+      |  SELECT w1, w2, COUNT(*) AS nab FROM g GROUP BY 1, 2
+      |), nbt AS (
+      |  SELECT COUNT(*) AS n_big FROM g
+      |), j AS (
+      |  SELECT gc.w1, gc.w2, gc.nab, a.c AS na, b.c AS nb,
+      |    (CAST(gc.nab AS DOUBLE) / n_big)
+      |      / ((CAST(a.c AS DOUBLE) / n_tok) * (CAST(b.c AS DOUBLE) / n_tok))
+      |      AS lift
+      |  FROM gc JOIN uc a ON a.w = gc.w1 JOIN uc b ON b.w = gc.w2, n1, nbt
+      |  WHERE gc.nab >= 5
+      |)
+      |SELECT w1, w2, CAST(nab AS BIGINT) AS nab, CAST(na AS BIGINT) AS na,
+      |  CAST(nb AS BIGINT) AS nb, lift, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+      |      FROM j)
+      |WHERE rnk <= 50""".stripMargin,
+    "collocations: adjacent pairs ranked by lift (PMI sans log), top 50") {
+    (s, dir) =>
+      val toks = Text.tokens(col("text"))
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val bg = docs(s, dir).select(explode(pairs).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val gc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 5)
+      val uni = docs(s, dir).select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum(col("c")).cast("long").as("n_tok"))
+      val nBig = bg.groupBy().agg(count(lit(1)).as("n_big"))
+      val wr = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+      gc
+        .join(uni.select(col("w").as("w1"), col("c").as("na")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("nb")), Seq("w2"))
+        .crossJoin(broadcast(nTok))
+        .crossJoin(broadcast(nBig))
+        .select(col("w1"), col("w2"), col("nab"), col("na"), col("nb"),
+          ((col("nab").cast("double") / col("n_big"))
+            / ((col("na").cast("double") / col("n_tok"))
+              * (col("nb").cast("double") / col("n_tok")))).as("lift"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 50)
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2039,5 +2118,5 @@ object TextPipeline {
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
-    q119CurationBySource, q120MixtureWeights, q132TypoPairs)
+    q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations)
 }
