@@ -2081,17 +2081,21 @@ object TextPipeline {
       |WHERE rnk <= 50""".stripMargin,
     "collocations: adjacent pairs ranked by lift (PMI sans log), top 50") {
     (s, dir) =>
-      val toks = Text.tokens(col("text"))
-      val pairs = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + lit(1)).as("w2"))))
+      // tokens materialized in their OWN projection before any lambda
+      // touches them — element_at inside transform would otherwise
+      // re-run the tokenizer per bigram (the HOF-recompute trap,
+      // measured 15x on q109 and 7x here)
+      val tks = docs(s, dir).select(Text.tokens(col("text")).as("toks"))
+      val pairs = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + lit(1)).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-      val bg = docs(s, dir).select(explode(pairs).as("p"))
+      val bg = tks.select(explode(pairs).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val gc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= 5)
-      val uni = docs(s, dir).select(explode(toks).as("w"))
+      val uni = tks.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val nTok = uni.agg(sum(col("c")).cast("long").as("n_tok"))
       val nBig = bg.groupBy().agg(count(lit(1)).as("n_big"))
