@@ -814,13 +814,17 @@ object TextPipeline {
       |  CASE WHEN a.n_grams IS NULL THEN FALSE
       |       ELSE CAST(a.max_gram AS DOUBLE) / a.n_grams > 0.1 END AS repetitive
       |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
-    val toks = Text.tokens(col("text"))
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+    // tokens materialized in their OWN projection before the lambda —
+    // element_at inside transform would otherwise re-run the tokenizer
+    // per bigram (the q109/q135 HOF-recompute trap)
+    val grams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + lit(1)))))
       .otherwise(array().cast("array<string>"))
     val d = docs(s, dir)
     val agg = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(grams).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
       .groupBy("doc_id").agg(
