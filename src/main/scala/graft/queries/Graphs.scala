@@ -456,6 +456,74 @@ object Graphs {
         .select(col("id").as("node_id"), col("d").cast("long").as("core_degree"))
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Local clustering coefficient — how clique-like each vertex's
+    * neighbourhood is: 2·triangles / (deg·(deg−1)), the standard network
+    * statistic, over the same-region nation graph q84 counts triangles
+    * on. Spelled fully relationally (q84 holds the GraphX parity
+    * surface): adjacency is an equi-join on the region key, wedges are
+    * an adjacency self-join on the center vertex, and closure is a
+    * LEFT SEMI join back onto the edge set — every step an equi-key
+    * shuffle, the orientation `b < c` halving the wedge fan-out. The
+    * coefficient is an exact rational of two bigints (one division,
+    * same operation order both engines). */
+  val q138ClusteringCoeff: Q = Q.sql(
+    "q138_clustering_coeff",
+    """WITH adj AS (
+      |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      |  FROM nation a JOIN nation b ON b.n_regionkey = a.n_regionkey
+      |    AND b.n_nationkey <> a.n_nationkey
+      |), deg AS (
+      |  SELECT src, COUNT(*) AS d FROM adj GROUP BY 1
+      |), tri AS (
+      |  SELECT w.src, COUNT(*) AS t
+      |  FROM (SELECT x.src, x.dst AS b, y.dst AS c
+      |        FROM adj x JOIN adj y ON y.src = x.src AND y.dst > x.dst) w
+      |  WHERE EXISTS (SELECT 1 FROM adj e
+      |                WHERE e.src = w.b AND e.dst = w.c)
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+      |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+      |  CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+      |  CASE WHEN COALESCE(deg.d, 0) >= 2
+      |       THEN CAST(2 * COALESCE(tri.t, 0) AS DOUBLE)
+      |            / (deg.d * (deg.d - 1))
+      |       ELSE 0.0 END AS coeff
+      |FROM nation n
+      |LEFT JOIN deg ON deg.src = n.n_nationkey
+      |LEFT JOIN tri ON tri.src = n.n_nationkey""".stripMargin,
+    "local clustering coefficient: 2*tri/(deg*(deg-1)) per vertex") {
+    (s, dir) =>
+      val nat = Tables(s, dir, "nation")
+      val a = nat.select(col("n_nationkey").cast("long").as("src"),
+        col("n_regionkey").as("rk"))
+      val b = nat.select(col("n_nationkey").cast("long").as("dst"),
+        col("n_regionkey").as("rk"))
+      val adj = a.join(b, Seq("rk")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val wedges = adj.select(col("src"), col("dst").as("b"))
+        .join(adj.select(col("src"), col("dst").as("c")), Seq("src"))
+        .filter(col("c") > col("b"))
+      val tri = wedges
+        .join(adj.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("t"))
+      nat.select(col("n_nationkey").cast("long").as("nationkey"))
+        .join(deg.withColumnRenamed("src", "nationkey"), Seq("nationkey"),
+          "left_outer")
+        .join(tri.withColumnRenamed("src", "nationkey"), Seq("nationkey"),
+          "left_outer")
+        .select(col("nationkey"),
+          coalesce(col("d"), lit(0L)).as("degree"),
+          coalesce(col("t"), lit(0L)).as("triangles"),
+          when(coalesce(col("d"), lit(0L)) >= 2,
+            (lit(2) * coalesce(col("t"), lit(0L))).cast("double")
+              / (col("d") * (col("d") - 1)))
+            .otherwise(lit(0.0)).as("coeff"))
+  }
+
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
-    q84Triangles, q85ShortestPath, q114KCore)
+    q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff)
 }

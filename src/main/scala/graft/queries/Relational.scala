@@ -938,6 +938,252 @@ object Relational {
             .as("is_anomaly"))
   }
 
+  // ---------------------------------------------------------------- q137
+  /** Nearest as-of join — the bidirectional completion of q04 (backward)
+    * and q18 (tolerance): every purchase pairs with its temporally
+    * CLOSEST click within ±1 h, earlier click winning exact-distance
+    * ties. Same union+window spelling as q04 (no per-key sort-merge
+    * gymnastics): one shuffle on user_id carries BOTH direction scans —
+    * `last_value ignore nulls` over the preceding frame finds the
+    * at-or-before click, `first_value ignore nulls` over the following
+    * frame the strictly-after one (same-ts clicks order before the
+    * purchase, so the two frames partition the candidates) — then a
+    * row-local integer-µs comparison picks the winner. Unmatched
+    * purchases keep NULL, so the output is audit-complete. */
+  val q137AsOfNearest: Q = {
+    val tolUs = 3600L * 1000000L
+    Q.sql(
+      "q137_asof_nearest",
+      s"""WITH u AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         |    CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS c_ts
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |), f AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |    LAST_VALUE(c_id IGNORE NULLS) OVER wb AS b_id,
+         |    LAST_VALUE(c_ts IGNORE NULLS) OVER wb AS b_ts,
+         |    FIRST_VALUE(c_id IGNORE NULLS) OVER wf AS f_id,
+         |    FIRST_VALUE(c_ts IGNORE NULLS) OVER wf AS f_ts
+         |  FROM u
+         |  WINDOW wb AS (PARTITION BY user_id
+         |    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY user_id
+         |    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |), g AS (
+         |  SELECT event_id, user_id,
+         |    epoch_us(ts) - epoch_us(b_ts) AS gb,
+         |    epoch_us(f_ts) - epoch_us(ts) AS gf, b_id, f_id
+         |  FROM f WHERE event_type = 'purchase'
+         |)
+         |SELECT event_id, user_id,
+         |  CASE WHEN gb <= $tolUs AND (gf IS NULL OR gf > $tolUs OR gb <= gf)
+         |         THEN b_id
+         |       WHEN gf <= $tolUs THEN f_id END AS click_id,
+         |  CASE WHEN gb <= $tolUs AND (gf IS NULL OR gf > $tolUs OR gb <= gf)
+         |         THEN gb
+         |       WHEN gf <= $tolUs THEN -gf END AS gap_us
+         |FROM g""".stripMargin,
+      "nearest-within-tolerance as-of join, earlier side wins ties") {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            when(col("event_type") === "click", col("event_id")).as("c_id"),
+            when(col("event_type") === "click", col("ts")).as("c_ts"))
+        val ord = Seq(col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+        val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val g = ev
+          .withColumn("b_id", last(col("c_id"), ignoreNulls = true).over(wb))
+          .withColumn("b_ts", last(col("c_ts"), ignoreNulls = true).over(wb))
+          .withColumn("f_id", first(col("c_id"), ignoreNulls = true).over(wf))
+          .withColumn("f_ts", first(col("c_ts"), ignoreNulls = true).over(wf))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("b_ts"))).as("gb"),
+            (unix_micros(col("f_ts")) - unix_micros(col("ts"))).as("gf"),
+            col("b_id"), col("f_id"))
+        val backWins = col("gb") <= tolUs &&
+          (col("gf").isNull || col("gf") > tolUs || col("gb") <= col("gf"))
+        g.select(col("event_id"), col("user_id"),
+          when(backWins, col("b_id"))
+            .when(col("gf") <= tolUs, col("f_id")).as("click_id"),
+          when(backWins, col("gb"))
+            .when(col("gf") <= tolUs, -col("gf")).as("gap_us"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q139
+  /** Longest strictly-increasing run per user — MATCH_RECOGNIZE-style
+    * pattern detection spelled as gap-and-islands over the VALUE
+    * direction (where q05's islands are over time gaps): a break opens
+    * wherever value fails to increase, the running break count names the
+    * island, and each user keeps their longest island (earliest start
+    * breaking length ties). Both window passes share one user_id
+    * shuffle; the per-island roll-up is a partial agg; the final
+    * longest-per-user is a WindowGroupLimit-prunable rank. */
+  val q139LongestStreak: Q = Q.sql(
+    "q139_longest_streak",
+    """WITH d AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+      |    COALESCE(value > lag(value) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id), FALSE) AS inc
+      |  FROM events
+      |), isl AS (
+      |  SELECT user_id, event_id, tus,
+      |    SUM(CASE WHEN inc THEN 0 ELSE 1 END) OVER
+      |      (PARTITION BY user_id ORDER BY tus, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM d
+      |), runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len,
+      |    MIN(tus) AS start_us, MAX(tus) AS end_us
+      |  FROM isl GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(len AS BIGINT) AS streak_len,
+      |  CAST(start_us AS BIGINT) AS start_us, CAST(end_us AS BIGINT) AS end_us
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY len DESC, start_us, grp) AS rk
+      |      FROM runs)
+      |WHERE rk = 1""".stripMargin,
+    "longest strictly-increasing value run per user (direction islands)") {
+    (s, dir) =>
+      val wl = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wc = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("tus"),
+          coalesce(col("value") > lag(col("value"), 1).over(wl), lit(false))
+            .as("inc"))
+        .withColumn("grp",
+          sum(when(col("inc"), 0).otherwise(1)).over(wc))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"),
+          min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("start_us"), col("grp"))
+      runs.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+        .select(col("user_id"), col("len").as("streak_len"),
+          col("start_us"), col("end_us"))
+  }
+
+  // ---------------------------------------------------------------- q142
+  /** Multi-touch attribution — each purchase credits every click in its
+    * trailing 7-day window equally (linear attribution). The candidate
+    * scan is a RANGE frame over integer event-time µs in the q04 union
+    * spelling: one user_id shuffle, the frame bounded by TIME (not row
+    * count) so burst users and sparse users get the same semantics, and
+    * RANGE's include-all-peers rule makes same-µs ties framing-
+    * deterministic with no tie-break column. Credit is the exact
+    * rational 1/n emitted as double. */
+  val q142MultiTouch: Q = {
+    val winUs = 7L * 86400L * 1000000L
+    Q.sql(
+      "q142_multitouch",
+      s"""WITH u AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+         |    CASE WHEN event_type = 'click' THEN 1 END AS c_one,
+         |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_tus
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |), f AS (
+         |  SELECT event_id, user_id, event_type, tus,
+         |    COUNT(c_one) OVER w AS n_touch,
+         |    MIN(c_tus) OVER w AS first_touch_us
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+         |    RANGE BETWEEN $winUs PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, user_id, CAST(n_touch AS BIGINT) AS n_touch,
+         |  CAST(first_touch_us AS BIGINT) AS first_touch_us,
+         |  CASE WHEN n_touch > 0 THEN 1.0 / n_touch END AS credit
+         |FROM f WHERE event_type = 'purchase'""".stripMargin,
+      "linear multi-touch attribution over a trailing 7-day RANGE frame") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+          .rangeBetween(-winUs, 0)
+        Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"),
+            when(col("event_type") === "click", 1).as("c_one"),
+            when(col("event_type") === "click", unix_micros(col("ts")))
+              .as("c_tus"))
+          .withColumn("n_touch", count(col("c_one")).over(w))
+          .withColumn("first_touch_us", min(col("c_tus")).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("n_touch"),
+            col("first_touch_us"),
+            when(col("n_touch") > 0, lit(1.0) / col("n_touch")).as("credit"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q143
+  /** Interval union — merge each user's overlapping activity intervals
+    * (event start + a value-derived duration) into maximal covered
+    * blocks: the classic sweep as windows, no self-join. The running
+    * `max(end)` over strictly-preceding rows decides block boundaries
+    * (a start at-or-before the running max extends the block — within a
+    * block coverage is contiguous by induction, so block length is
+    * simply max(end) − min(start)). Distinct from q05's sessionize:
+    * gaps are measured between INTERVALS of heterogeneous length, not
+    * points. One user_id window shuffle + two partial aggs; all
+    * arithmetic integer µs. */
+  val q143IntervalUnion: Q = Q.sql(
+    "q143_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts)
+      |      + (1 + CAST(floor(value) AS BIGINT)) * 60000000 AS e
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |  FROM iv
+      |), b AS (
+      |  SELECT user_id, s, e,
+      |    SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY s, e, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+      |  FROM m
+      |), blocks AS (
+      |  SELECT user_id, blk, MIN(s) AS bs, MAX(e) AS be
+      |  FROM b GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(be - bs) AS BIGINT) AS covered_us
+      |FROM blocks GROUP BY 1""".stripMargin,
+    "merge overlapping per-user intervals; covered time and block count") {
+    (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("e"), col("event_id"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            (lit(1L) + floor(col("value")).cast("long")) * 60000000L).as("e"))
+        .withColumn("maxe", max(col("e")).over(wPrev))
+        .withColumn("blk", sum(
+          when(col("maxe").isNull || col("s") > col("maxe"), 1)
+            .otherwise(0)).over(wCum))
+        .groupBy(col("user_id"), col("blk"))
+        .agg(min(col("s")).as("bs"), max(col("e")).as("be"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("be") - col("bs")).as("covered_us"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -945,5 +1191,6 @@ object Relational {
     q14ScalarKernel, q15JsonExtract, q16SortedCollect, q17MinMaxBy,
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
-    q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore)
+    q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
+    q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion)
 }

@@ -2117,6 +2117,167 @@ object TextPipeline {
         .filter(col("rnk") <= 50)
   }
 
+  // ---------------------------------------------------------------- q136
+  /** Sensitive-term redaction — the PII-scrub stage of a corpus build as
+    * a pure map: one anchored regex pass masks every blocklisted term
+    * (word-boundary `\b`, a pattern class Java regex and RE2 agree on)
+    * and counts the hits. Zero shuffles — embarrassingly parallel, the
+    * only acceptable shape for a full-corpus rewrite at 100 TB. Real
+    * deployments swap the term alternation for e-mail/phone/IP patterns;
+    * the operator (match-count + global replace in one scan) is
+    * identical. */
+  val q136Redact: Q = {
+    val pat = "\\b(customer|key|value)\\b"
+    Q.sql(
+      "q136_redact",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_masked,
+         |  regexp_replace(text, '$pat', '[MASKED]', 'g') AS redacted,
+         |  CAST(length(regexp_replace(text, '$pat', '[MASKED]', 'g')) AS BIGINT)
+         |    AS redacted_chars
+         |FROM documents""".stripMargin,
+      "blocklist redaction: global masked rewrite + hit count in one scan") {
+      (s, dir) =>
+        val red = regexp_replace(col("text"), pat, "[MASKED]")
+        docs(s, dir).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_masked"),
+          red.as("redacted"),
+          length(red).cast("long").as("redacted_chars"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q140
+  /** Vocabulary coverage / OOV rate — the tokenizer-evaluation pass of a
+    * training pipeline: the corpus's top-200 tokens (deterministic
+    * (count DESC, token) order) become the vocab; every document then
+    * reports how much of its token mass falls outside it. The top-k is
+    * `ORDER BY ... LIMIT` — TakeOrderedAndProject over the partial-agg'd
+    * token histogram, never a global rank window — and flows back as a
+    * broadcast to a map-side membership join. Two shuffles total (tf
+    * groupBy, per-doc roll-up), both partial-agg. */
+  val q140OovRate: Q = Q.sql(
+    "q140_oov_rate",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, lower(t) AS term FROM tk WHERE length(t) > 0
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, SUM(tf) AS n FROM tf GROUP BY 1
+      |    ORDER BY n DESC, term LIMIT 200)
+      |)
+      |SELECT tf.doc_id,
+      |  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS DOUBLE)
+      |    / SUM(tf.tf) AS oov_rate
+      |FROM tf LEFT JOIN vocab v USING (term)
+      |GROUP BY 1""".stripMargin,
+    "per-doc out-of-vocabulary token share against the corpus top-200 vocab") {
+    (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"), lower(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(200).select(col("term"))
+      tf.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(when(col("in_v").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  // ---------------------------------------------------------------- q141
+  /** Lexical-diversity scoring — the vocabulary-concentration quality
+    * signals q20's surface stats don't see: type-token ratio, the top
+    * token's mass share, and Gini-Simpson impurity. Every measure is an
+    * exact rational of integer aggregates (n, distinct types, max count,
+    * sum of squared counts), so the doubles are bit-identical across
+    * engines with no order-dependent float accumulation. Two partial-agg
+    * shuffles, both on doc_id. */
+  val q141LexicalStats: Q = Q.sql(
+    "q141_lexical_stats",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, lower(t) AS term FROM tk WHERE length(t) > 0
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+      |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share,
+      |  1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS gini
+      |FROM tf GROUP BY 1""".stripMargin,
+    "type-token ratio, top-token share, Gini-Simpson impurity per doc") {
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"), lower(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          max(col("c")).as("mx"), sum(col("c") * col("c")).as("sq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (col("mx").cast("double") / col("n_tokens")).as("top_share"),
+          (lit(1.0) - col("sq").cast("double")
+            / (col("n_tokens") * col("n_tokens"))).as("gini"))
+  }
+
+  // ---------------------------------------------------------------- q144
+  /** Probability-proportional-to-size Poisson sampling — weighted corpus
+    * subsampling (weight = n_chars, expected draw ≈ 100 docs) in the
+    * only shape that scales: a per-row hash-Bernoulli against a
+    * weight-proportional integer threshold. The corpus total is the one
+    * 1-row broadcast; everything else is map-only — no windows, no
+    * cumulative-weight scan (the systematic-PPS spelling would need a
+    * global prefix sum). Threshold arithmetic is exact BIGINT
+    * (w·M·K // total, clamped at M) so inclusion is reproducible on any
+    * engine; the emitted p_incl is the exact rational thr/M. */
+  val q144PpsSample: Q = {
+    val M = 1000000L
+    val K = 100L
+    Q.sql(
+      "q144_pps_sample",
+      s"""WITH tot AS (
+         |  SELECT SUM(n_chars) AS total FROM documents
+         |), h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ('0x' || substr(md5('pps|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+         |    LEAST($M, (n_chars * $M * $K) // total) AS thr
+         |  FROM documents CROSS JOIN tot
+         |)
+         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         |  CAST(thr AS BIGINT) AS thr,
+         |  CAST(thr AS DOUBLE) / $M AS p_incl
+         |FROM h WHERE hv % $M < thr""".stripMargin,
+      "weighted Poisson PPS sample: map-only hash draw vs integer threshold") {
+      (s, dir) =>
+        val tot = docs(s, dir).agg(sum(col("n_chars")).as("total"))
+        val hv = Text.baseHash(concat(lit("pps|"), col("doc_id").cast("string")))
+        docs(s, dir).crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("total"),
+            hv.as("hv"),
+            least(lit(M), expr(s"(n_chars * $M * $K) div total")).as("thr"))
+          .filter(col("hv") % M < col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+            col("thr"), (col("thr").cast("double") / M).as("p_incl"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2126,5 +2287,6 @@ object TextPipeline {
     q94TokenBudget, q94bThresholdDraw, q97ChunkOverlap, q98WinnowFingerprint,
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
-    q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations)
+    q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
+    q136Redact, q140OovRate, q141LexicalStats, q144PpsSample)
 }

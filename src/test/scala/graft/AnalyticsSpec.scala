@@ -157,4 +157,72 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(trained > label + 0.1,
       s"trained-IVF recall $trained does not clear label-IVF $label")
   }
+
+  test("q137: nearest-as-of gaps stay inside ±1h and pair with a click") {
+    import graft.queries.Relational
+    val r = Relational.q137AsOfNearest.run(spark, dir).cache()
+    val tol = 3600L * 1000000L
+    assert(r.filter(abs(col("gap_us")) > tol).count() == 0,
+      "a matched click fell outside the tolerance")
+    // click_id and gap_us are set or null together
+    assert(r.filter(col("click_id").isNull =!= col("gap_us").isNull).count() == 0)
+    // q04's backward match bounds the nearest match: whenever q04 found a
+    // click at gap g, the nearest |gap| can only be <= g
+    val back = Relational.q04AsOfAttribution.run(spark, dir)
+      .filter(col("gap_us") <= tol)
+      .select(col("event_id"), col("gap_us").as("back_gap"))
+    val worse = r.join(back, Seq("event_id"))
+      .filter(col("gap_us").isNull || abs(col("gap_us")) > col("back_gap"))
+    assert(worse.count() == 0, "nearest match is worse than the backward match")
+    r.unpersist()
+  }
+
+  test("q138: region cliques have coefficient exactly 1") {
+    val c = Graphs.q138ClusteringCoeff.run(spark, dir).cache()
+    // every region in the fixture holds >= 3 nations -> every
+    // neighbourhood is itself a clique
+    assert(c.filter(col("degree") >= 2 && col("coeff") =!= 1.0).count() == 0)
+    // triangles = C(degree, 2) on a clique
+    val broken = c.filter(col("degree") >= 2 &&
+      col("triangles") =!= col("degree") * (col("degree") - 1) / 2)
+    assert(broken.count() == 0, "triangle count is not C(deg,2) on a clique")
+    c.unpersist()
+  }
+
+  test("q141: diversity measures respect their exact-rational bounds") {
+    val d = TextPipeline.q141LexicalStats.run(spark, dir).cache()
+    assert(d.filter(col("n_types") > col("n_tokens")).count() == 0)
+    assert(d.filter(col("ttr") <= 0.0 || col("ttr") > 1.0).count() == 0)
+    // the top token's share can never undercut the uniform share 1/types
+    assert(d.filter(col("top_share") * col("n_types") < 1.0).count() == 0)
+    assert(d.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() == 0)
+    d.unpersist()
+  }
+
+  test("q143: interval union covers at least the longest single interval") {
+    import graft.queries.Relational
+    val u = Relational.q143IntervalUnion.run(spark, dir)
+    val perUser = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        ((lit(1L) + floor(col("value")).cast("long")) * 60000000L).as("dur"))
+      .groupBy("user_id")
+      .agg(max(col("dur")).as("max_dur"), count(lit(1)).as("n_ev"),
+        sum(col("dur")).as("sum_dur"))
+    val j = u.join(perUser, Seq("user_id")).cache()
+    // union length is sandwiched: one interval <= covered <= sum of all
+    assert(j.filter(col("covered_us") < col("max_dur")).count() == 0)
+    assert(j.filter(col("covered_us") > col("sum_dur")).count() == 0)
+    assert(j.filter(col("n_blocks") < 1 || col("n_blocks") > col("n_ev")).count() == 0)
+    j.unpersist()
+  }
+
+  test("q144: the PPS draw includes exactly the under-threshold hashes") {
+    val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
+    assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
+    // heavier docs never get a smaller threshold than lighter ones
+    val inverted = p.as("a").join(p.as("b"),
+      col("a.weight") > col("b.weight") && col("a.thr") < col("b.thr"))
+    assert(inverted.count() == 0, "threshold is not monotone in weight")
+    p.unpersist()
+  }
 }

@@ -369,4 +369,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"index got shuffled at probe time:\n$p")
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
   }
+
+  private def countExchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains(") Exchange"))
+
+  test("q136: redaction is map-only — zero exchanges, zero joins") {
+    val p = plan("q136_redact")
+    assert(countExchanges(p) == 0, s"full-corpus rewrite shuffled:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q137/q142/q143: one user_id shuffle carries every window pass") {
+    // both as-of direction scans (q137), the RANGE attribution frame
+    // (q142) and the interval sweep + both roll-ups (q143) reuse the
+    // single hash partitioning — a second exchange would double the
+    // dominant cost at scale
+    for (q <- Seq("q137_asof_nearest", "q142_multitouch", "q143_interval_union")) {
+      val p = plan(q)
+      assert(countExchanges(p) == 1, s"$q: expected exactly 1 exchange:\n$p")
+      assert(!p.contains("Join"), s"$q: unexpected join:\n$p")
+    }
+  }
+
+  test("q139: islands + longest-run rank share the shuffle; top-1 prunes") {
+    val p = plan("q139_longest_streak")
+    assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rk=1 not pushed into window:\n$p")
+  }
+
+  test("q140: vocab is TakeOrdered + broadcast, never a global rank window") {
+    val p = plan("q140_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 vocab did not plan as a pushed top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab membership not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the vocab join:\n$p")
+  }
+
+  test("q144: PPS draw is map-side; only the 1-row total broadcasts") {
+    val p = plan("q144_pps_sample")
+    // the corpus side must not hash-shuffle: the only exchanges are the
+    // single-partition total agg + its broadcast back
+    assert(!p.contains("hashpartitioning"), s"corpus shuffled for a map-only draw:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total did not broadcast:\n$p")
+  }
+
+  test("q138: clustering coefficient closes wedges by equi-join, no cartesian") {
+    val p = plan("q138_clustering_coeff")
+    assert(!p.contains("CartesianProduct"), s"quadratic wedge closure:\n$p")
+    assert(p.contains("LeftSemi"), s"closure is not a semi-join:\n$p")
+  }
 }
