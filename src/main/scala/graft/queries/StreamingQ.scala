@@ -1331,11 +1331,65 @@ object StreamingQ {
           (!col("test_only") && col("contaminated").isNull).as("kept"))
   }
 
+  /** The streaming anomaly scorer: custom ring-buffer state on
+    * flatMapGroupsWithState (see [[graft.streaming.StreamingAnomaly]]). */
+  private def anomalyStream(spark: SparkSession, dir: String): DataFrame =
+    streamOnce("stream-anomaly", spark, dir) { _ =>
+      graft.streaming.StreamingAnomaly(
+        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
+    }
+
+  /** Streaming trailing-window z-score anomaly detection — q133's
+    * incremental twin on CUSTOM state (where q80 is the built-in windowed
+    * agg): per event_type a bounded ring buffer of the last 24 closed
+    * hourly buckets scores each newly closed bucket the moment the
+    * watermark strictly passes its end. The oracle is q133's exact
+    * expression tree restricted to buckets the final watermark closed —
+    * the q80 cutoff discipline, with `<` rather than `≤` because Spark
+    * fires event-time timeouts only when the watermark STRICTLY exceeds
+    * the armed timestamp, and the operator's close comparison mirrors
+    * that. State per key is O(1): ≤ (delay/1h + 1) open buckets + 24
+    * history entries — shardable to any key cardinality. */
+  val q145StreamAnomaly: Q = Q.sql(
+    "q145_stream_anomaly",
+    """WITH hourly AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT bucket_start, event_type, n,
+      |    SUM(n) OVER tw AS s, COUNT(n) OVER tw AS c, SUM(n * n) OVER tw AS sq
+      |  FROM hourly
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_start
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |), m AS (
+      |  SELECT *, CAST(s AS DOUBLE) / c AS mean FROM w WHERE c = 24
+      |), v AS (
+      |  SELECT *, GREATEST(CAST(sq AS DOUBLE) / c - mean * mean, 0.0) AS vr
+      |  FROM m
+      |), sd AS (
+      |  SELECT *, sqrt(vr) AS std FROM v
+      |)
+      |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
+      |  CAST(n AS BIGINT) AS n, mean, std,
+      |  CASE WHEN std > 0 THEN (CAST(n AS DOUBLE) - mean) / std END AS z,
+      |  CASE WHEN std > 0 THEN abs((CAST(n AS DOUBLE) - mean) / std) > 3
+      |       ELSE FALSE END AS is_anomaly
+      |FROM sd
+      |WHERE (bucket_start + 3600) * 1000000 <
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+    "streaming z-score anomaly detection on ring-buffer state (§2.9 x q133)") {
+    (s, dir) =>
+      anomalyStream(s, dir).select(
+        col("bucket_start"), col("event_type"), col("n"),
+        col("mean"), col("std"), col("z"), col("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
-    q128StreamIngestGate)
+    q128StreamIngestGate, q145StreamAnomaly)
 }
