@@ -102,6 +102,27 @@ object Multimodal {
     }
   }
 
+  case class FrameEnergy(doc_id: Long, frame_idx: Long, energy: Long)
+
+  /** Audio-shaped feature extraction: signal energy per frame, reading
+    * the payload as centered 8-bit PCM samples — Σ(b−128)² in exact Long
+    * arithmetic. REAL computation in the per-partition batch slot (a
+    * real pipeline decodes PCM/spectrograms here); the energy feeds the
+    * VAD segmentation query the way frame stats feed q42. */
+  def audioEnergy(spark: SparkSession, frames: Dataset[Frame]): Dataset[FrameEnergy] = {
+    import spark.implicits._
+    frames.mapPartitions { rows =>
+      rows.map { f =>
+        var e = 0L
+        f.frame_bytes.foreach { byte =>
+          val d = (byte & 0xFF) - 128
+          e += d.toLong * d
+        }
+        FrameEnergy(f.doc_id, f.frame_idx, e)
+      }
+    }
+  }
+
   case class Thumb(doc_id: Long, frame_idx: Long, thumb_bytes: Array[Byte])
 
   /** "Resize": deterministic stride-subsampling of a frame to `outBytes`

@@ -199,7 +199,70 @@ object MultimodalQ {
           col("is_cut"), col("scene_id"))
   }
 
+  // ---------------------------------------------------------------- q146
+  /** Energy-based voice-activity segmentation — the audio-pipeline
+    * counterpart of q134's shot detection: each frame's PCM energy
+    * (Σ(b−128)² over centered 8-bit samples, exact Long — see
+    * [[Multimodal.audioEnergy]]) classifies it silent below a fixed
+    * threshold, and null-safe transitions between silent/active runs cut
+    * the clip into maximal segments (the islands spelled with
+    * `IS DISTINCT FROM lag` so the first frame always opens a segment).
+    * Putting the constant-within-segment flag in the GROUP BY instead of
+    * an aggregate keeps both engines trivially agreed. The 127000 bar
+    * sits at the stub frames' median energy so both branches exercise;
+    * on real audio the threshold is the tunable, the plan is not.
+    * Scale shape: map-side typed energy, ONE doc_id window shuffle, one
+    * partial-agg roll-up — no joins. */
+  val q146AudioSegments: Q = {
+    val thr = 127000L
+    Q.sql(
+      "q146_audio_segments",
+      framesSql +
+        s"""
+        |, en AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(list_sum([(('0x' || substr(h, 2 * i + 1, 2))::INT - 128)
+        |                   * (('0x' || substr(h, 2 * i + 1, 2))::INT - 128)
+        |                   for i in range(0, 64)]) AS BIGINT) AS energy
+        |  FROM fr
+        |), fl AS (
+        |  SELECT doc_id, frame_idx, energy, energy < $thr AS silent,
+        |    CASE WHEN (energy < $thr) IS DISTINCT FROM
+        |      lag(energy < $thr) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM en
+        |), seg AS (
+        |  SELECT doc_id, frame_idx, energy, silent,
+        |    SUM(chg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+        |  FROM fl
+        |)
+        |SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id, silent AS is_silent,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MIN(frame_idx) AS BIGINT) AS start_idx,
+        |  CAST(MAX(frame_idx) AS BIGINT) AS end_idx,
+        |  CAST(SUM(energy) AS BIGINT) AS seg_energy
+        |FROM seg GROUP BY doc_id, seg_id, silent""".stripMargin,
+      "energy-based VAD: silent/active frame runs per clip") { (s, dir) =>
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Multimodal.audioEnergy(s, frames(s, dir)).toDF()
+        .withColumn("silent", col("energy") < thr)
+        .withColumn("chg",
+          when(!(col("silent") <=> lag(col("silent"), 1).over(w)), 1)
+            .otherwise(0))
+        .withColumn("seg_id", sum(col("chg")).over(wc))
+        .groupBy(col("doc_id"), col("seg_id"), col("silent").as("is_silent"))
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("frame_idx")).as("start_idx"),
+          max(col("frame_idx")).as("end_idx"),
+          sum(col("energy")).as("seg_energy"))
+        .select(col("doc_id"), col("seg_id"), col("is_silent"),
+          col("n_frames"), col("start_idx"), col("end_idx"), col("seg_energy"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(q40MultimodalMeta, q41FrameSample, q42FrameFeatures, q43FrameResize,
-      q91FrameDedup, q134SceneChanges)
+      q91FrameDedup, q134SceneChanges, q146AudioSegments)
 }

@@ -1184,6 +1184,59 @@ object Relational {
           sum(col("be") - col("bs")).as("covered_us"))
   }
 
+  // ---------------------------------------------------------------- q147
+  /** Data-quality profiling — the one-pass table profile every 100 TB
+    * ingestion runs before anything else: per column the row count, null
+    * count/rate, exact distinct cardinality and canonical-string length
+    * bounds. One scan `stack`s the six columns into (col_name, sval)
+    * rows map-side (Expand — no extra read), then a single groupBy
+    * profiles all columns together; Spark plans COUNT(DISTINCT) as the
+    * standard two-phase partial-agg expansion (the KMV sketch family
+    * q44/q102 is the recorded swap-in once exactness stops paying).
+    * Non-string columns canonicalize to engine-stable strings first:
+    * integers/timestamps via exact casts, doubles via
+    * `floor(value·10⁶)` — double→string formatting is NOT portable
+    * across engines, fixed-point truncation is. */
+  val q147Profile: Q = {
+    val cols: Seq[(String, String)] = Seq(
+      "event_id" -> "CAST(event_id AS STRING)",
+      "ts" -> "CAST(unix_micros(ts) AS STRING)",
+      "user_id" -> "CAST(user_id AS STRING)",
+      "event_type" -> "event_type",
+      "value" -> "CAST(CAST(floor(value * 1000000) AS BIGINT) AS STRING)",
+      "props" -> "props")
+    val duck = Map(
+      "ts" -> "CAST(epoch_us(ts) AS VARCHAR)",
+      "value" -> "CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)",
+      "event_id" -> "CAST(event_id AS VARCHAR)",
+      "user_id" -> "CAST(user_id AS VARCHAR)")
+    val branches = cols.map { case (n, _) =>
+      val e = duck.getOrElse(n, n)
+      s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT(x) AS n_null,
+         |  CAST(COUNT(*) - COUNT(x) AS DOUBLE) / COUNT(*) AS null_rate,
+         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct,
+         |  CAST(MIN(length(x)) AS BIGINT) AS min_len,
+         |  CAST(MAX(length(x)) AS BIGINT) AS max_len
+         |FROM (SELECT $e AS x FROM events)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q.sql("q147_profile", branches,
+      "one-pass per-column DQ profile: nulls, distincts, length bounds") {
+      (s, dir) =>
+        val stackArgs = cols.map { case (n, e) => s"'$n', $e" }.mkString(", ")
+        Tables(s, dir, "events")
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, x)")
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("x"))).as("n_null"),
+            ((count(lit(1)) - count(col("x"))).cast("double") / count(lit(1)))
+              .as("null_rate"),
+            countDistinct(col("x")).as("n_distinct"),
+            min(length(col("x"))).cast("long").as("min_len"),
+            max(length(col("x"))).cast("long").as("max_len"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -1192,5 +1245,6 @@ object Relational {
     q18ToleranceAsOf, q19TimeArithmetic, q34CubeRollup, q45SaltedAgg,
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
-    q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion)
+    q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
+    q147Profile)
 }

@@ -419,4 +419,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"quadratic wedge closure:\n$p")
     assert(p.contains("LeftSemi"), s"closure is not a semi-join:\n$p")
   }
+
+  test("q146: VAD islands and the segment roll-up share one doc_id shuffle") {
+    val p = plan("q146_audio_segments")
+    assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q147: profile is one scan + the two-phase distinct, no joins") {
+    val p = plan("q147_profile")
+    // one read feeds the stacked per-column rows; COUNT(DISTINCT) adds
+    // its standard second exchange and nothing more
+    assert(countExchanges(p) <= 2, s"profile shuffled more than distinct needs:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    // formatted mode prints each node twice (tree line + details header),
+    // so a single scan contributes exactly 2 mentions
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"profile read the table more than once:\n$p")
+  }
 }
