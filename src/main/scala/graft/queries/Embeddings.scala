@@ -1051,8 +1051,86 @@ object Embeddings {
     }
   }
 
+  // ---------------------------------------------------------------- q148
+  /** Integer-quantized covariance (Gram) matrix of the embedding corpus —
+    * the statistics pass of embedding whitening/PCA preprocessing. Exact
+    * cross-engine: elements quantize to int8-range longs by
+    * `floor(x·128)` (an exact power-of-two scale; corpus-order double
+    * summation would never hash-match), so every accumulator is an exact
+    * integer and the covariance is a fixed-order rational at the end.
+    *
+    * Scale shape: pair products materialize MAP-SIDE as one flattened
+    * upper-triangle array per row (2080 structs for d=64) and partial-agg
+    * straight into the 2080 (i,j) groups — the shuffle carries
+    * O(partitions·d²) rows regardless of corpus size, there is NO
+    * self-join and no row×row blow-up. (At 100 TB the same pass fits a
+    * TypedImperativeAggregate holding the d(d+1)/2 longs — the CountMin
+    * machinery — trading the 2080× row fan-out for sketch-style state;
+    * the shuffle shape is identical.) Per-dim sums ride the same
+    * exploded pass through a second tiny aggregate; n is a 1-row
+    * broadcast. */
+  val q148GramMatrix: Q = Q.sql(
+    "q148_gram_matrix",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) for x in embedding] AS qv
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT i, j, SUM(qv[i + 1] * qv[j + 1]) AS s_ij
+      |  FROM q, UNNEST(range(0, 64)) a(i), UNNEST(range(0, 64)) b(j)
+      |  WHERE j >= i GROUP BY 1, 2
+      |), dims AS (
+      |  SELECT i, SUM(qv[i + 1]) AS s FROM q, UNNEST(range(0, 64)) a(i)
+      |  GROUP BY 1
+      |), nn AS (SELECT COUNT(*) AS n FROM embeddings)
+      |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+      |  CAST(nn.n AS BIGINT) AS n,
+      |  CAST(di.s AS BIGINT) AS s_i, CAST(dj.s AS BIGINT) AS s_j,
+      |  CAST(p.s_ij AS BIGINT) AS s_ij,
+      |  CAST(p.s_ij AS DOUBLE) / nn.n
+      |    - (CAST(di.s AS DOUBLE) / nn.n) * (CAST(dj.s AS DOUBLE) / nn.n)
+      |    AS cov
+      |FROM pairs p
+      |JOIN dims di ON di.i = p.i
+      |JOIN dims dj ON dj.i = p.j
+      |CROSS JOIN nn""".stripMargin,
+    "integer-quantized covariance matrix for embedding whitening") {
+    (s, dir) =>
+      val q = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 128).cast("long")).as("qv"))
+      // flattened upper triangle, built map-side as a PRIMITIVE long array
+      // (a struct per pair costs ~3× in the Generate) — position in the
+      // flattened array identifies (i, j), decoded after the 2080-group
+      // aggregate through a broadcast of the static triangle-order table
+      val pairsCol = flatten(transform(col("qv"), (qi, i) =>
+        transform(slice(col("qv"), i + 1, lit(64) - i), qj => qi * qj)))
+      val posPairs = q.select(posexplode(pairsCol).as(Seq("pos", "p")))
+        .groupBy(col("pos")).agg(sum(col("p")).as("s_ij"))
+      import s.implicits._
+      val decode = (for { i <- 0 until 64; j <- i until 64 } yield (i, j))
+        .zipWithIndex.map { case ((i, j), pos) => (pos, i.toLong, j.toLong) }
+        .toDF("pos", "i", "j")
+      val pairs = posPairs.join(broadcast(decode), Seq("pos"))
+        .select(col("i"), col("j"), col("s_ij"))
+      val dims = q.select(posexplode(col("qv")).as(Seq("i", "qi")))
+        .groupBy(col("i").cast("long").as("i")).agg(sum(col("qi")).as("s"))
+      val n = emb(s, dir).agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(dims.select(col("i"), col("s").as("s_i"))), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"), col("s").as("s_j"))),
+          Seq("j"))
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+          col("s_ij"),
+          (col("s_ij").cast("double") / col("n")
+            - (col("s_i").cast("double") / col("n"))
+              * (col("s_j").cast("double") / col("n"))).as("cov"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
-      q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc)
+      q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
+      q148GramMatrix)
 }

@@ -420,6 +420,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"closure is not a semi-join:\n$p")
   }
 
+  test("q148: Gram pairs partial-agg before the shuffle; dims broadcast") {
+    val p = plan("q148_gram_matrix")
+    // the 2080-group pair aggregation must reduce map-side (partial
+    // HashAggregate under the exchange) and the per-dim sums must ride
+    // in as broadcasts — a sort-merge join would shuffle the pair stream
+    assert(p.contains("BroadcastHashJoin"), s"dims join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pair stream got shuffled for a join:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("q146: VAD islands and the segment roll-up share one doc_id shuffle") {
     val p = plan("q146_audio_segments")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
