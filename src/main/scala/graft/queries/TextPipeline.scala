@@ -2278,6 +2278,42 @@ object TextPipeline {
     }
   }
 
+  // ---------------------------------------------------------------- q149
+  /** Leakage-aware train/val/test split — the FIX for the contamination
+    * q89 measures: a naive per-document hash split strands near-dup
+    * twins on opposite sides of the train/eval boundary; splitting by
+    * the q29 dedup CLUSTER id instead sends every member of a near-dup
+    * family to the same side by construction (AnalyticsSpec asserts
+    * zero straddling q25 pairs end-to-end). The 90/5/5 draw is the q76
+    * hash-Bernoulli discipline on the CLUSTER key — deterministic,
+    * engine-portable, map-side after the cluster assignment; the one
+    * real cost is the dedup clustering itself, which a pipeline has
+    * already paid (q29/q46/q104 share the stage). */
+  val q149LeakageSplit: Q = Q.sql(
+    "q149_leakage_split",
+    s"""WITH RECURSIVE $clustersSql,
+       |sp AS (
+       |  SELECT doc_id, cluster_id,
+       |    ('0x' || substr(md5('spl|' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 100 AS bucket
+       |  FROM comp
+       |)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM sp""".stripMargin,
+    "leakage-aware split: near-dup clusters assigned whole to train/val/test") {
+    (s, dir) =>
+      val bucket = Text.baseHash(
+        concat(lit("spl|"), col("cluster_id").cast("string"))) % 100
+      dedupClusters(s, dir)
+        .withColumn("bucket", bucket)
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2288,5 +2324,5 @@ object TextPipeline {
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
-    q136Redact, q140OovRate, q141LexicalStats, q144PpsSample)
+    q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit)
 }

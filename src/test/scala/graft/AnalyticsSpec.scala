@@ -216,6 +216,39 @@ class AnalyticsSpec extends AnyFunSuite {
     j.unpersist()
   }
 
+  test("q149: no near-dup pair straddles the split; naive doc-hash would") {
+    import graft.ops.Text
+    // sf0.01: the sf0.001 corpus has too few near-dup pairs for the
+    // naive-split counterfactual to be non-vacuous
+    val d01 = "/root/testdata/sf0.01"
+    val split = TextPipeline.q149LeakageSplit.run(spark, d01).cache()
+    val pairs = TextPipeline.q25MinhashDedup.run(spark, d01)
+      .select(col("doc_a"), col("doc_b"))
+    val sa = split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val sb = split.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val straddling = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    assert(straddling.count() == 0, "a near-dup pair crossed the split")
+    // the counterfactual: per-DOC hash bucketing strands some pair across
+    // the boundary on this corpus — the leak q89 measures and q149 fixes
+    val naive = split.select(col("doc_id"),
+      (Text.baseHash(concat(lit("spl|"), col("doc_id").cast("string"))) % 100)
+        .as("bucket"))
+      .select(col("doc_id"), when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test").as("nsplit"))
+    val na = naive.select(col("doc_id").as("doc_a"), col("nsplit").as("split_a"))
+    val nb = naive.select(col("doc_id").as("doc_b"), col("nsplit").as("split_b"))
+    val naiveStraddle = pairs.join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(naiveStraddle > 0,
+      "fixture lost its cross-split near-dups; the counterfactual is vacuous")
+    // 90/5/5 draw lands near its targets at cluster granularity
+    val shares = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares("train") > shares.values.sum * 7 / 10)
+    split.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
