@@ -2314,6 +2314,52 @@ object TextPipeline {
             .otherwise("test").as("split"))
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Corpus snapshot diff — dataset versioning between two crawls: a
+    * full outer join on the document key classifies every id as added /
+    * removed / changed / unchanged by comparing content hashes. The
+    * second snapshot is derived deterministically from the first (10%
+    * dropped, every 7th re-edited, every 13th re-crawled under a new id)
+    * so the operator exercises all four states; in production both
+    * sides are real crawl manifests and the plan is identical — ONE
+    * co-partitioned equi-key shuffle pair, hash compare map-side, no
+    * content ever moves (only doc_id + md5). */
+  val q150SnapshotDiff: Q = Q.sql(
+    "q150_snapshot_diff",
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+      |  FROM documents WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text || ' new')
+      |  FROM documents WHERE doc_id % 13 = 0
+      |)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.h <> b.h THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id""".stripMargin,
+    "CDC-style snapshot diff: added/removed/changed/unchanged by content hash") {
+    (s, dir) =>
+      val a = docs(s, dir).select(col("doc_id"), md5(col("text")).as("ha"))
+      val b = docs(s, dir).filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          md5(concat(col("text"),
+            when(col("doc_id") % 7 === 0, " v2").otherwise(""))).as("hb"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(concat(col("text"), lit(" new"))).as("hb")))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("status"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2324,5 +2370,6 @@ object TextPipeline {
     q105HeavyHitters, q106BloomDecontaminate, q107LineDedup, q108CmsFrequency,
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
-    q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit)
+    q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
+    q150SnapshotDiff)
 }
