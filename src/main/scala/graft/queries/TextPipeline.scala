@@ -279,7 +279,12 @@ object TextPipeline {
     "q24_minhash_bands",
     minhashBandsSql)(minhashBandRows)
 
-  private val minhashDedupSql =
+  /** The LSH candidate pairs with their exact Jaccard, BEFORE any
+    * threshold — shared by the dedup pipeline (≥ 0.5 keeps near-dups)
+    * and the hard-negative miner q151 (< 0.2 keeps lexical colliders
+    * that are NOT dups). Appending the WHERE keeps [[minhashDedupSql]]
+    * byte-identical to its long-gated round-2 form. */
+  private val candJaccardSql =
     s"""WITH bands AS (
       |  $minhashBandsSql
       |), cand AS (
@@ -301,10 +306,12 @@ object TextPipeline {
       |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+      |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
 
-  private def minhashDedupPairs(s: SparkSession, dir: String): DataFrame = {
+  private val minhashDedupSql = candJaccardSql +
+    "\nWHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5"
+
+  private def candidateJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(s, dir)
     val bands = minhashBandRowsFrom(sh).cache()
     val cand = bands.as("a")
@@ -324,9 +331,11 @@ object TextPipeline {
     inter
       .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
+
+  private def minhashDedupPairs(s: SparkSession, dir: String): DataFrame =
+    candidateJaccard(s, dir).filter(col("jaccard") >= 0.5)
 
   // ---------------------------------------------------------------- q25
   /** MinHash LSH near-dup pairs: candidates = docs sharing ≥1 band key
@@ -2314,6 +2323,47 @@ object TextPipeline {
             .otherwise("test").as("split"))
   }
 
+  // ---------------------------------------------------------------- q151
+  /** Hard-negative mining for contrastive training — the pair-generation
+    * step of embedding-model training data: for each anchor document,
+    * the most lexically similar documents that are NOT near-duplicates
+    * (share ≥ 1 LSH band bucket, exact Jaccard < 0.2), top-3 per anchor
+    * by descending similarity. Exactly the q25 candidate machinery with
+    * the threshold inverted — the same bucketed equi-join generates
+    * positives (≥ 0.5, dedup) and hard negatives (< 0.2, training
+    * pairs); the symmetric expansion makes every pair an anchor row
+    * both ways, and WindowGroupLimit prunes the per-anchor top-3 before
+    * the rank sort completes. */
+  val q151HardNegatives: Q = Q.sql(
+    "q151_hard_negatives",
+    s"""WITH cj AS (
+       |  $candJaccardSql
+       |), neg AS (
+       |  SELECT doc_a AS anchor_id, doc_b AS negative_id, jaccard
+       |  FROM cj WHERE jaccard < 0.2
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, jaccard FROM cj WHERE jaccard < 0.2
+       |)
+       |SELECT anchor_id, negative_id, jaccard, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY anchor_id ORDER BY jaccard DESC, negative_id) AS rnk
+       |      FROM neg)
+       |WHERE rnk <= 3""".stripMargin,
+    "hard negatives: top-3 band-colliding non-duplicates per anchor") {
+    (s, dir) =>
+      val cj = candidateJaccard(s, dir).filter(col("jaccard") < 0.2)
+      val sym = cj.select(col("doc_a").as("anchor_id"),
+          col("doc_b").as("negative_id"), col("jaccard"))
+        .unionByName(cj.select(col("doc_b").as("anchor_id"),
+          col("doc_a").as("negative_id"), col("jaccard")))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("jaccard").desc, col("negative_id"))
+      sym.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("anchor_id"), col("negative_id"), col("jaccard"),
+          col("rnk").cast("long").as("rnk"))
+  }
+
   // ---------------------------------------------------------------- q150
   /** Corpus snapshot diff — dataset versioning between two crawls: a
     * full outer join on the document key classifies every id as added /
@@ -2371,5 +2421,5 @@ object TextPipeline {
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
-    q150SnapshotDiff)
+    q150SnapshotDiff, q151HardNegatives)
 }
