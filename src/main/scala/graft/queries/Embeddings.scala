@@ -1096,31 +1096,31 @@ object Embeddings {
       |CROSS JOIN nn""".stripMargin,
     "integer-quantized covariance matrix for embedding whitening") {
     (s, dir) =>
-      val q = emb(s, dir).select(col("vec_id"),
+      val d = 64
+      val tri = d * (d + 1) / 2
+      val q = emb(s, dir).select(
         transform(col("embedding"),
           x => floor(x.cast("double") * 128).cast("long")).as("qv"))
-      // flattened upper triangle, built map-side as a PRIMITIVE long array
-      // (a struct per pair costs ~3× in the Generate) — position in the
-      // flattened array identifies (i, j), decoded after the 2080-group
-      // aggregate through a broadcast of the static triangle-order table
-      val pairsCol = flatten(transform(col("qv"), (qi, i) =>
-        transform(slice(col("qv"), i + 1, lit(64) - i), qj => qi * qj)))
-      val posPairs = q.select(posexplode(pairsCol).as(Seq("pos", "p")))
-        .groupBy(col("pos")).agg(sum(col("p")).as("s_ij"))
+      // ONE mergeable aggregate pass: the native GramSums buffer holds
+      // the 2080 pair sums ++ 64 dim sums ++ count as exact longs — no
+      // triangle of rows is ever materialized (the explode spelling this
+      // replaces measured 93 s at the 100× blow-up; see BASELINE.md).
+      // Position in the flat buffer identifies (i, j) via a broadcast of
+      // the static triangle-order table.
+      val g = q.agg(graft.functions.GramSums.sums(col("qv"), d).as("g"))
       import s.implicits._
-      val decode = (for { i <- 0 until 64; j <- i until 64 } yield (i, j))
+      val decode = (for { i <- 0 until d; j <- i until d } yield (i, j))
         .zipWithIndex.map { case ((i, j), pos) => (pos, i.toLong, j.toLong) }
         .toDF("pos", "i", "j")
-      val pairs = posPairs.join(broadcast(decode), Seq("pos"))
-        .select(col("i"), col("j"), col("s_ij"))
-      val dims = q.select(posexplode(col("qv")).as(Seq("i", "qi")))
-        .groupBy(col("i").cast("long").as("i")).agg(sum(col("qi")).as("s"))
-      val n = emb(s, dir).agg(count(lit(1)).as("n"))
-      pairs
-        .join(broadcast(dims.select(col("i"), col("s").as("s_i"))), Seq("i"))
-        .join(broadcast(dims.select(col("i").as("j"), col("s").as("s_j"))),
-          Seq("j"))
-        .crossJoin(broadcast(n))
+      def at(idx: Column): Column = element_at(col("g"), idx.cast("int"))
+      g.select(col("g"), posexplode(slice(col("g"), 1, tri))
+          .as(Seq("pos", "s_ij")))
+        .join(broadcast(decode), Seq("pos"))
+        .select(col("i"), col("j"),
+          at(lit(tri + d + 1)).as("n"),
+          at(lit(tri + 1) + col("i")).as("s_i"),
+          at(lit(tri + 1) + col("j")).as("s_j"),
+          col("s_ij"))
         .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
           col("s_ij"),
           (col("s_ij").cast("double") / col("n")

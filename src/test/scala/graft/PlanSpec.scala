@@ -420,14 +420,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"closure is not a semi-join:\n$p")
   }
 
-  test("q148: Gram pairs partial-agg before the shuffle; dims broadcast") {
+  test("q148: one mergeable gram_sums pass; decode joins broadcast") {
     val p = plan("q148_gram_matrix")
-    // the 2080-group pair aggregation must reduce map-side (partial
-    // HashAggregate under the exchange) and the per-dim sums must ride
-    // in as broadcasts — a sort-merge join would shuffle the pair stream
-    assert(p.contains("BroadcastHashJoin"), s"dims join is not broadcast:\n$p")
+    // the whole corpus reduces through the native partial aggregate —
+    // no triangle of rows ever materializes before the exchange
+    assert(p.contains("partial_gram_sums"), s"gram_sums did not partial-agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"decode join is not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"pair stream got shuffled for a join:\n$p")
-    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
   }
 
   test("q146: VAD islands and the segment roll-up share one doc_id shuffle") {
