@@ -1184,6 +1184,58 @@ object Relational {
           sum(col("be") - col("bs")).as("covered_us"))
   }
 
+  // ---------------------------------------------------------------- q152
+  /** Time-decay attribution — q142's linear credit replaced by the
+    * marketing-standard exponential decay, halving per day: each
+    * purchase sums weight 2^−⌊Δ/day⌋ over its trailing-30-day clicks.
+    *
+    * The halving base is chosen for DETERMINISM, not just convention:
+    * every weight is the dyadic rational 1/2^k (built by integer
+    * shift — never `pow`, which engines round differently), and partial
+    * sums of values spanning ≤ 30 exponent bits with counts ≤ 2^12 stay
+    * under the 53-bit mantissa — so every intermediate addition is
+    * EXACT and the double sum is order-independent across engines and
+    * partitionings, the property plain double sums never have.
+    *
+    * Shape: one user-keyed equi-join with the 30-day band as a residual
+    * predicate (fan-out bounded by clicks-per-user-month), partial-agg
+    * roll-up; LEFT join keeps zero-click purchases at credit 0. */
+  val q152DecayAttribution: Q = Q.sql(
+    "q152_decay_attribution",
+    """SELECT p.event_id, p.user_id,
+      |  CAST(COUNT(c.event_id) AS BIGINT) AS n_touch,
+      |  COALESCE(SUM(1.0 / (CAST(1 AS BIGINT) <<
+      |    ((epoch_us(p.ts) - epoch_us(c.ts)) // 86400000000))), 0.0)
+      |    AS decay_credit
+      |FROM events p
+      |LEFT JOIN events c ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND c.ts <= p.ts
+      |  AND epoch_us(c.ts) > epoch_us(p.ts) - 2592000000000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2""".stripMargin,
+    "exponential time-decay attribution with exact dyadic weights") {
+    (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ptus"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("ctus"))
+      p.as("p").join(c.as("c"),
+          col("p.user_id") === col("c.user_id") &&
+            col("ctus") <= col("ptus") &&
+            col("ctus") > col("ptus") - 2592000000000L, "left")
+        .select(col("p.event_id").as("event_id"),
+          col("p.user_id").as("user_id"), col("ptus"), col("ctus"),
+          col("c_id"))
+        .withColumn("w", lit(1.0) /
+          expr("shiftleft(cast(1 as bigint), cast((ptus - ctus) div 86400000000 as int))"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(col("c_id")).as("n_touch"),
+          coalesce(sum(col("w")), lit(0.0)).as("decay_credit"))
+  }
+
   // ---------------------------------------------------------------- q147
   /** Data-quality profiling — the one-pass table profile every 100 TB
     * ingestion runs before anything else: per column the row count, null
@@ -1246,5 +1298,5 @@ object Relational {
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
-    q147Profile)
+    q147Profile, q152DecayAttribution)
 }
