@@ -1236,6 +1236,61 @@ object Relational {
           coalesce(sum(col("w")), lit(0.0)).as("decay_credit"))
   }
 
+  // ---------------------------------------------------------------- q153
+  /** Z-order (Morton) layout — the multi-dimensional clustering key a
+    * lakehouse sorts 100 TB by so scans can prune on EITHER dimension:
+    * the two 16-bit keys (user bucket, epoch day) bit-interleave into
+    * one 32-bit z-value via the classic spread-bits mask cascade (pure
+    * integer &/|/shift — identical arithmetic both engines), and rows
+    * roll up per aligned 2^22-wide z-range. Morton's locality guarantee
+    * — an aligned z-range of size 2^(2k) confines each dimension to an
+    * aligned 2^k window — is what makes the layout prunable, and the
+    * emitted per-bucket min/max spans let the oracle AND the spec check
+    * it exactly (span ≤ 2^11 − 1 on both dims). At scale the z-value is
+    * the `repartitionByRange`/`sortWithinPartitions` key; here the
+    * computation is map-side + one partial-agg roll-up. */
+  val q153ZorderLayout: Q = {
+    // spread 8 bits to even positions: the standard mask cascade
+    def spread(x: String, shl: (String, Int) => String): String = {
+      val steps = Seq(4 -> 0x0F0FL, 2 -> 0x3333L, 1 -> 0x5555L)
+      steps.foldLeft(s"($x & 255)") { case (e, (sh, mask)) =>
+        s"(($e | ${shl(e, sh)}) & $mask)"
+      }
+    }
+    def sparkShl(e: String, n: Int) = s"shiftleft($e, $n)"
+    def duckShl(e: String, n: Int) = s"($e << $n)"
+    def z(xs: String, ys: String, shl: (String, Int) => String): String =
+      s"(${spread(xs, shl)} | ${shl(spread(ys, shl), 1)})"
+    val sparkZ = z("(user_id % 256)",
+      "((unix_micros(ts) div 3600000000) % 256)", sparkShl)
+    val duckZ = z("(user_id % 256)",
+      "((epoch_us(ts) // 3600000000) % 256)", duckShl)
+    Q.sql(
+      "q153_zorder_layout",
+      s"""WITH m AS (
+         |  SELECT user_id % 256 AS x,
+         |    (epoch_us(ts) // 3600000000) % 256 AS y,
+         |    $duckZ AS zv
+         |  FROM events
+         |)
+         |SELECT CAST(zv >> 8 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+         |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+         |FROM m GROUP BY 1""".stripMargin,
+      "Z-order clustering key + per-aligned-range dimension spans") {
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(expr("user_id % 256").as("x"),
+            expr("(unix_micros(ts) div 3600000000) % 256").as("y"),
+            expr(sparkZ).as("zv"))
+          .groupBy(expr("zv div 256").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    }
+  }
+
   // ---------------------------------------------------------------- q147
   /** Data-quality profiling — the one-pass table profile every 100 TB
     * ingestion runs before anything else: per column the row count, null
@@ -1298,5 +1353,5 @@ object Relational {
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
-    q147Profile, q152DecayAttribution)
+    q147Profile, q152DecayAttribution, q153ZorderLayout)
 }

@@ -249,6 +249,20 @@ class AnalyticsSpec extends AnyFunSuite {
     split.unpersist()
   }
 
+  test("q153: every aligned z-range confines both dimensions to 2^4") {
+    import graft.queries.Relational
+    // Morton guarantee: an aligned z-range of size 2^(2k) pins each
+    // dimension inside an aligned 2^k window — the property that makes
+    // the layout prunable on EITHER dimension
+    val b = Relational.q153ZorderLayout.run(spark, dir).cache()
+    assert(b.count() > 1, "degenerate layout: one bucket")
+    assert(b.filter(col("x_max") - col("x_min") > 15).count() == 0)
+    assert(b.filter(col("y_max") - col("y_min") > 15).count() == 0)
+    // and the windows are aligned, not just narrow
+    assert(b.filter(expr("x_min div 16") =!= expr("x_max div 16")).count() == 0)
+    b.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
