@@ -2364,6 +2364,74 @@ object TextPipeline {
           col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------- q154
+  /** Conjunctive lexical search — the keyword-retrieval twin of the
+    * embedding ANN family (q30-q33): docs containing ALL query terms,
+    * ranked by summed tf·idf with q79's transcendental-free raw-ratio
+    * idf. The term filter lands BEFORE any aggregation, so the token
+    * stream collapses to query-term postings at the scan (at 100 TB
+    * this is the inverted-index probe: only the 3 terms' postings move);
+    * df/N ride in as one 1-row broadcast, the per-term scores add in
+    * FIXED written order (bit-identical doubles both engines), and the
+    * top-10 is `ORDER BY … LIMIT` — TakeOrderedAndProject, no global
+    * sort. */
+  val q154LexicalSearch: Q = {
+    val terms = Seq("spark", "join", "filter")
+    val sparkScore = terms.map(t =>
+      s"(CAST(tf_$t AS DOUBLE) * n_docs / df_$t)").mkString(" + ")
+    Q.sql(
+      "q154_lexical_search",
+      s"""WITH tk AS (
+         |  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS t
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, t FROM tk WHERE t IN (${sqlList(terms)})
+         |), tf AS (
+         |  SELECT doc_id,
+         |    ${terms.map(t => s"SUM(CASE WHEN t = '$t' THEN 1 ELSE 0 END) AS tf_$t")
+                  .mkString(",\n         |    ")}
+         |  FROM q GROUP BY doc_id
+         |), stats AS (
+         |  SELECT
+         |    ${terms.map(t => s"SUM(CASE WHEN t = '$t' THEN 1 ELSE 0 END) AS df_$t")
+                  .mkString(",\n         |    ")},
+         |    (SELECT COUNT(*) FROM documents) AS n_docs
+         |  FROM (SELECT DISTINCT doc_id, t FROM q)
+         |)
+         |SELECT doc_id,
+         |  ${terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+         |  $sparkScore AS score
+         |FROM tf CROSS JOIN stats
+         |WHERE ${terms.map(t => s"tf_$t > 0").mkString(" AND ")}
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      "conjunctive keyword search, tf-idf ranked top-10") { (s, dir) =>
+      val q = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t0"))
+        .select(col("doc_id"), lower(col("t0")).as("t"))
+        .filter(col("t").isin(terms: _*))
+      val tf = q.groupBy(col("doc_id"))
+        .agg(terms.map(t => sum(when(col("t") === t, 1).otherwise(0))
+          .as(s"tf_$t")).head,
+          terms.map(t => sum(when(col("t") === t, 1).otherwise(0))
+            .as(s"tf_$t")).tail: _*)
+        .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      val dfs = q.distinct().agg(
+        terms.map(t => sum(when(col("t") === t, 1).otherwise(0))
+          .as(s"df_$t")).head,
+        terms.map(t => sum(when(col("t") === t, 1).otherwise(0))
+          .as(s"df_$t")).tail: _*)
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val score = terms.map(t =>
+        col(s"tf_$t").cast("double") * col("n_docs") / col(s"df_$t"))
+        .reduce(_ + _)
+      tf.crossJoin(broadcast(dfs)).crossJoin(broadcast(n))
+        .select(col("doc_id") +:
+          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+          score.as("score"): _*)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }
+  }
+
   // ---------------------------------------------------------------- q150
   /** Corpus snapshot diff — dataset versioning between two crawls: a
     * full outer join on the document key classifies every id as added /
@@ -2421,5 +2489,5 @@ object TextPipeline {
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
-    q150SnapshotDiff, q151HardNegatives)
+    q150SnapshotDiff, q151HardNegatives, q154LexicalSearch)
 }

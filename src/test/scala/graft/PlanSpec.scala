@@ -429,6 +429,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"pair stream got shuffled for a join:\n$p")
   }
 
+  test("q154: search stats broadcast; top-10 is a pushed TakeOrdered") {
+    val p = plan("q154_lexical_search")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for a top-10:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats joined by shuffle:\n$p")
+  }
+
   test("q146: VAD islands and the segment roll-up share one doc_id shuffle") {
     val p = plan("q146_audio_segments")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
