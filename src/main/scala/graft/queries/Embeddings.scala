@@ -1128,9 +1128,62 @@ object Embeddings {
               * (col("s_j").cast("double") / col("n"))).as("cov"))
   }
 
+  // ---------------------------------------------------------------- q155
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval ensembler
+    * (Cormack '09, the RAG-stack default): two rankers' top-k lists
+    * merge per query by RRF(d) = Σ 1/(60 + rank), here fusing the exact
+    * float cosine ranking (q30) with the int8-quantized one (q92).
+    * Exactly two terms add in fixed written order — each a single
+    * double division — so the scores are bit-identical across engines
+    * with no decimal scaffolding. A FULL OUTER join on (query,
+    * neighbor) keeps single-list hits (their missing term coalesces to
+    * exact 0.0); the per-query top-3 rank is WindowGroupLimit-pruned.
+    * Both input rankings are the ALREADY-GATED queries composed whole —
+    * the q116 composition discipline applied to retrieval. */
+  val q155RankFusion: Q = Q.sql(
+    "q155_rank_fusion",
+    s"""WITH a AS (
+       |${q30CosineTopK.oracle.get}
+       |), b AS (
+       |${q92QuantizedAnn.oracle.get}
+       |), f AS (
+       |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+       |    COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+       |    a.rn AS rn_a, b.rn AS rn_b,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + a.rn), 0.0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rn), 0.0) AS rrf
+       |  FROM a FULL OUTER JOIN b
+       |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rn_a IS NOT NULL AS in_exact,
+       |  rn_b IS NOT NULL AS in_quant, rrf, CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rk
+       |      FROM f)
+       |WHERE rk <= 3""".stripMargin,
+    "reciprocal-rank fusion of the exact and quantized ANN rankings") {
+    (s, dir) =>
+      val a = q30CosineTopK.run(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rn_a"))
+      val b = q92QuantizedAnn.run(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rn_b"))
+      val f = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0).cast("double") / (lit(60) + col("rn_a")), lit(0.0))
+            + coalesce(lit(1.0).cast("double") / (lit(60) + col("rn_b")),
+              lit(0.0)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("neighbor_id"))
+      f.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rn_a").isNotNull.as("in_exact"),
+          col("rn_b").isNotNull.as("in_quant"), col("rrf"),
+          col("rk").cast("long").as("rk"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
-      q148GramMatrix)
+      q148GramMatrix, q155RankFusion)
 }
