@@ -1184,6 +1184,80 @@ object Relational {
           sum(col("be") - col("bs")).as("covered_us"))
   }
 
+  // ---------------------------------------------------------------- q156
+  /** Session-scoped funnel — q115's view→click→purchase ladder measured
+    * INSIDE q05's behavioral sessions instead of global time windows:
+    * per session the first view, the first click at-or-after it, the
+    * first purchase at-or-after that, and the resulting funnel depth.
+    * The dependent "first X after Y" chain is three stacked whole-
+    * partition window mins (each conditioned on the previous — no
+    * self-joins), all riding the session shuffle's user_id partitioning;
+    * the roll-up reuses it too. One exchange end to end. */
+  val q156SessionFunnel: Q = Q.sql(
+    "q156_session_funnel",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_type, tus,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), s1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END) OVER sw AS v
+      |  FROM sess WINDOW sw AS (PARTITION BY user_id, session_id)
+      |), s2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND tus >= v THEN tus END)
+      |    OVER sw AS c
+      |  FROM s1 WINDOW sw AS (PARTITION BY user_id, session_id)
+      |), s3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus >= c THEN tus END)
+      |    OVER sw AS p
+      |  FROM s2 WINDOW sw AS (PARTITION BY user_id, session_id)
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(MIN(v) AS BIGINT) AS view_us, CAST(MIN(c) AS BIGINT) AS click_us,
+      |  CAST(MIN(p) AS BIGINT) AS purchase_us,
+      |  CAST(CASE WHEN MIN(p) IS NOT NULL THEN 3
+      |       WHEN MIN(c) IS NOT NULL THEN 2
+      |       WHEN MIN(v) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+      |FROM s3 GROUP BY user_id, session_id""".stripMargin,
+    "view -> click -> purchase funnel measured inside behavioral sessions") {
+    (s, dir) =>
+      val sess = graft.ops.Sessionize(
+          Tables(s, dir, "events"), Seq("user_id"), "ts",
+          gapMicros = 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val sw = Window.partitionBy(col("user_id"), col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      sess
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("tus"))).over(sw))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("tus") >= col("v"),
+            col("tus"))).over(sw))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("tus") >= col("c"),
+            col("tus"))).over(sw))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("v")).as("view_us"), min(col("c")).as("click_us"),
+          min(col("p")).as("purchase_us"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("view_us"), col("click_us"), col("purchase_us"),
+          when(col("purchase_us").isNotNull, 3L)
+            .when(col("click_us").isNotNull, 2L)
+            .when(col("view_us").isNotNull, 1L)
+            .otherwise(0L).as("depth"))
+  }
+
   // ---------------------------------------------------------------- q152
   /** Time-decay attribution — q142's linear credit replaced by the
     * marketing-standard exponential decay, halving per day: each
@@ -1353,5 +1427,5 @@ object Relational {
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
-    q147Profile, q152DecayAttribution, q153ZorderLayout)
+    q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel)
 }

@@ -429,6 +429,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"pair stream got shuffled for a join:\n$p")
   }
 
+  test("q156: sessionize + 3 funnel windows + roll-up ride one shuffle") {
+    val p = plan("q156_session_funnel")
+    assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"dependent-min chain turned into joins:\n$p")
+  }
+
   test("q154: search stats broadcast; top-10 is a pushed TakeOrdered") {
     val p = plan("q154_lexical_search")
     assert(p.contains("TakeOrderedAndProject"), s"global sort for a top-10:\n$p")
