@@ -1184,6 +1184,83 @@ object Relational {
           sum(col("be") - col("bs")).as("covered_us"))
   }
 
+  // ---------------------------------------------------------------- q157
+  /** Referential-integrity audit — the cross-table DQ report an
+    * ingestion runs against the whole star: five FK/usage checks, each
+    * one anti-join count (broken children AND childless parents both
+    * directions), emitted as one (check, total, violations, rate)
+    * report. Dimension sides broadcast; the fact-fact check
+    * (lineitem→orders) is the one co-partitioned shuffle pair. Rates
+    * are exact bigint rationals. */
+  val q157RiAudit: Q = {
+    case class Check(name: String, childSql: String, parentSql: String,
+        childDf: (SparkSession, String) => DataFrame,
+        parentDf: (SparkSession, String) => DataFrame)
+    val checks = Seq(
+      Check("lineitem_to_orders",
+        "SELECT l_orderkey AS k FROM lineitem",
+        "SELECT o_orderkey AS k FROM orders",
+        (s, d) => Tables(s, d, "lineitem").select(col("l_orderkey").as("k")),
+        (s, d) => Tables(s, d, "orders").select(col("o_orderkey").as("k"))),
+      Check("orders_to_customer",
+        "SELECT o_custkey AS k FROM orders",
+        "SELECT c_custkey AS k FROM customer",
+        (s, d) => Tables(s, d, "orders").select(col("o_custkey").as("k")),
+        (s, d) => Tables(s, d, "customer").select(col("c_custkey").as("k"))),
+      Check("events_user_to_customer",
+        "SELECT user_id AS k FROM events",
+        "SELECT c_custkey AS k FROM customer",
+        (s, d) => Tables(s, d, "events").select(col("user_id").as("k")),
+        (s, d) => Tables(s, d, "customer").select(col("c_custkey").as("k"))),
+      Check("customer_without_orders",
+        "SELECT c_custkey AS k FROM customer",
+        "SELECT o_custkey AS k FROM orders",
+        (s, d) => Tables(s, d, "customer").select(col("c_custkey").as("k")),
+        (s, d) => Tables(s, d, "orders").select(col("o_custkey").as("k"))),
+      Check("part_never_ordered",
+        "SELECT p_partkey AS k FROM part",
+        "SELECT l_partkey AS k FROM lineitem",
+        (s, d) => Tables(s, d, "part").select(col("p_partkey").as("k")),
+        (s, d) => Tables(s, d, "lineitem").select(col("l_partkey").as("k"))),
+      // the fixture is referentially intact (every row above audits 0),
+      // so one check runs against a deterministically "purged" parent
+      // set — proving the detection path actually fires
+      Check("orders_to_customer_after_purge",
+        "SELECT o_custkey AS k FROM orders",
+        "SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 <> 0",
+        (s, d) => Tables(s, d, "orders").select(col("o_custkey").as("k")),
+        (s, d) => Tables(s, d, "customer")
+          .filter(col("c_custkey") % 97 =!= 0)
+          .select(col("c_custkey").as("k"))))
+    val oracle = checks.map { c =>
+      s"""SELECT '${c.name}' AS check_name,
+         |  (SELECT COUNT(*) FROM (${c.childSql})) AS n_rows,
+         |  (SELECT COUNT(*) FROM (${c.childSql}) ch
+         |   WHERE NOT EXISTS (SELECT 1 FROM (${c.parentSql}) p WHERE p.k = ch.k))
+         |    AS n_orphaned,
+         |  CAST((SELECT COUNT(*) FROM (${c.childSql}) ch
+         |   WHERE NOT EXISTS (SELECT 1 FROM (${c.parentSql}) p WHERE p.k = ch.k))
+         |   AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM (${c.childSql})) AS orphan_rate""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q.sql("q157_ri_audit", oracle,
+      "cross-table referential-integrity report: five anti-join checks") {
+      (s, dir) =>
+        checks.map { c =>
+          val child = c.childDf(s, dir)
+          val orphans = child
+            .join(c.parentDf(s, dir).distinct(), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphaned"))
+          val total = child.agg(count(lit(1)).as("n_rows"))
+          total.crossJoin(broadcast(orphans))
+            .select(lit(c.name).as("check_name"), col("n_rows"),
+              col("n_orphaned"),
+              (col("n_orphaned").cast("double") / col("n_rows"))
+                .as("orphan_rate"))
+        }.reduce(_.unionByName(_))
+    }
+  }
+
   // ---------------------------------------------------------------- q156
   /** Session-scoped funnel — q115's view→click→purchase ladder measured
     * INSIDE q05's behavioral sessions instead of global time windows:
@@ -1427,5 +1504,6 @@ object Relational {
     q75Quantiles, q82SlidingWindow, q115FunnelSteps, q124Pivot, q126Unpivot,
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
-    q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel)
+    q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
+    q157RiAudit)
 }
