@@ -1181,9 +1181,67 @@ object Embeddings {
           col("rk").cast("long").as("rk"))
   }
 
+  // ---------------------------------------------------------------- q158
+  /** Per-dimension standardization (diagonal whitening) — the
+    * APPLICATION of q148's statistics: every quantized element re-scales
+    * to z = (q − mean_j)/std_j. The corpus-wide mean/std come out of the
+    * SAME native `gram_sums` buffer (diagonal entries + dim sums +
+    * count, one mergeable pass), broadcast as a single row; the rescale
+    * itself is a map-side posexplode with per-element double arithmetic
+    * in fixed operation order — exact-integer statistics in, bit-
+    * identical doubles out, no corpus-order float accumulation
+    * anywhere. Constant dims emit NULL instead of a division by zero. */
+  val q158Standardize: Q = Q.sql(
+    "q158_standardize",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT) for x in embedding] AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, i - 1 AS dim, qv[i] AS qi
+      |  FROM q, UNNEST(range(1, 65)) r(i)
+      |), st AS (
+      |  SELECT dim, SUM(qi) AS s, SUM(qi * qi) AS sq, COUNT(*) AS n
+      |  FROM e GROUP BY 1
+      |), ms AS (
+      |  SELECT dim, CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt(GREATEST(CAST(sq AS DOUBLE) / n
+      |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+      |  FROM st
+      |)
+      |SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+      |  CAST(e.qi AS BIGINT) AS qi,
+      |  CASE WHEN ms.std > 0
+      |       THEN (CAST(e.qi AS DOUBLE) - ms.mean) / ms.std END AS z
+      |FROM e JOIN ms ON ms.dim = e.dim""".stripMargin,
+    "per-dim standardization from the gram_sums statistics buffer") {
+    (s, dir) =>
+      val d = 64
+      val tri = d * (d + 1) / 2
+      val q = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 128).cast("long")).as("qv"))
+      val g = q.agg(graft.functions.GramSums.sums(col("qv"), d).as("g"))
+      // mean_j and std_j read straight out of the broadcast gram buffer:
+      // dim sum at tri+j, squared sum at the triangle diagonal
+      // j·d − j(j−1)/2, count in the last slot
+      def at(idx: Column): Column = element_at(col("g"), idx.cast("int"))
+      val n = at(lit(tri + d + 1))
+      val sj = at(lit(tri + 1) + col("dim"))
+      val sqj = at(col("dim") * d - expr("(dim * (dim - 1)) div 2") + 1)
+      val mean = sj.cast("double") / n
+      val std = sqrt(greatest(
+        sqj.cast("double") / n - mean * mean, lit(0.0)))
+      q.select(col("vec_id"), posexplode(col("qv")).as(Seq("dim", "qi")))
+        .crossJoin(broadcast(g))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("qi"),
+          when(std > 0, (col("qi").cast("double") - mean) / std).as("z"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
-      q148GramMatrix, q155RankFusion)
+      q148GramMatrix, q155RankFusion, q158Standardize)
 }
