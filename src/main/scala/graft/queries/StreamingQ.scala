@@ -1385,11 +1385,32 @@ object StreamingQ {
         col("mean"), col("std"), col("z"), col("is_anomaly"))
   }
 
+  /** Checkpoint restart of the ring-buffer anomaly state — the subtle
+    * restart case the four existing restart gates don't cover: q145's
+    * state carries an ARMED EVENT-TIME TIMEOUT, and a restart must
+    * restore not just the open-bucket counts and 24-entry history but
+    * the timeout registration, or the final no-data flush silently
+    * skips every key that saw no post-restart events. Same discipline
+    * as q117/q118/q121/q127: two query incarnations over a mid-feed
+    * split, one oracle (q145's, verbatim) — recovery has to be
+    * invisible in the output. */
+  val q159StreamAnomalyRestart: Q = Q.sql(
+    "q159_stream_anomaly_restart",
+    q145StreamAnomaly.oracle.get,
+    "checkpoint restart of ring-buffer + armed-timeout anomaly state") {
+    (s, dir) =>
+      streamRestart("anomaly-restart", s, dir) { (sess, watch) =>
+        graft.streaming.StreamingAnomaly(
+          StreamingFeed.eventsStream(sess, watch)).toDF()
+      }.select(col("bucket_start"), col("event_type"), col("n"),
+        col("mean"), col("std"), col("z"), col("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
-    q128StreamIngestGate, q145StreamAnomaly)
+    q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart)
 }
