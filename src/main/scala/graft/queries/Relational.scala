@@ -1184,6 +1184,70 @@ object Relational {
           sum(col("be") - col("bs")).as("covered_us"))
   }
 
+  // ---------------------------------------------------------------- q160
+  /** Percentile winsorization — outlier capping at the per-type
+    * p01/p99, the numeric-cleaning analog of q94b's threshold draw:
+    * values bucket to exact integer centi-units (floor(v·100) — the
+    * q147 canonicalization), the per-(type, bucket) histogram is
+    * BOUNDED by the value range, the two caps come from a cumsum
+    * window over that bounded histogram only (never a corpus-wide
+    * sort/rank — exact-percentile-by-sort is the shape that dies at
+    * 100 TB), and the clamp itself is a map-side broadcast join.
+    * Ceil thresholds are exact integer arithmetic; the winsorized
+    * value re-emits as bucket/100 in double — exact, engine-stable. */
+  val q160Winsorize: Q = Q.sql(
+    "q160_winsorize",
+    """WITH b AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS bk
+      |  FROM events
+      |), hist AS (
+      |  SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, bk, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist
+      |), caps AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cm >= (n + 99) // 100 THEN bk END) AS cap_lo,
+      |    MIN(CASE WHEN cm >= (99 * n + 99) // 100 THEN bk END) AS cap_hi
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT b.event_id, b.event_type, CAST(b.bk AS BIGINT) AS bk,
+      |  CAST(caps.cap_lo AS BIGINT) AS cap_lo,
+      |  CAST(caps.cap_hi AS BIGINT) AS cap_hi,
+      |  CAST(LEAST(GREATEST(b.bk, caps.cap_lo), caps.cap_hi) AS DOUBLE) / 100
+      |    AS winsorized,
+      |  b.bk < caps.cap_lo OR b.bk > caps.cap_hi AS was_clamped
+      |FROM b JOIN caps USING (event_type)""".stripMargin,
+    "p01/p99 winsorization from bounded per-type histograms") { (s, dir) =>
+    val b = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("bk"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val caps = b.groupBy(col("event_type"), col("bk"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cm", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cm") >= expr("(n + 99) div 100"), col("bk")))
+          .as("cap_lo"),
+        min(when(col("cm") >= expr("(99 * n + 99) div 100"), col("bk")))
+          .as("cap_hi"))
+    b.join(broadcast(caps), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("bk"),
+        col("cap_lo"), col("cap_hi"),
+        (least(greatest(col("bk"), col("cap_lo")), col("cap_hi"))
+          .cast("double") / 100).as("winsorized"),
+        (col("bk") < col("cap_lo") || col("bk") > col("cap_hi"))
+          .as("was_clamped"))
+  }
+
   // ---------------------------------------------------------------- q157
   /** Referential-integrity audit — the cross-table DQ report an
     * ingestion runs against the whole star: five FK/usage checks, each
@@ -1505,5 +1569,5 @@ object Relational {
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
-    q157RiAudit)
+    q157RiAudit, q160Winsorize)
 }
