@@ -1559,6 +1559,262 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q161
+  /** CDC apply (MERGE INTO semantics) — the lakehouse upsert: a base
+    * snapshot (per-user state as of a cutoff) has a changelog (events
+    * at/after the cutoff, `error` rows acting as delete tombstones)
+    * applied to it with latest-wins-per-key ordering. A key's final
+    * state is decided ONLY by its last change — upsert replaces, delete
+    * removes, keys untouched by the log carry the base row forward.
+    *
+    * Shape (the one Delta/Iceberg MERGE compiles to): each side reduces
+    * to one row per key via a user-keyed ROW_NUMBER (ts DESC, event_id
+    * DESC unique tie-break — rank-1 prunes via WindowGroupLimit), then
+    * ONE co-partitioned full-outer equi-join decides carry/replace/drop
+    * map-side. Nothing is ever driver-side; both window shuffles and the
+    * join share the user_id key, so AQE plans a single exchange chain. */
+  val q161CdcApply: Q = {
+    val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    Q.sql(
+      "q161_cdc_apply",
+      s"""WITH b0 AS (
+         |  SELECT user_id, value, epoch_us(ts) AS tus,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rk
+         |  FROM events WHERE ts < $cut
+         |), b AS (SELECT user_id, value, tus FROM b0 WHERE rk = 1
+         |), c0 AS (
+         |  SELECT user_id, value, epoch_us(ts) AS tus,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_delete,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rk
+         |  FROM events WHERE ts >= $cut
+         |), c AS (SELECT user_id, value, tus, is_delete FROM c0 WHERE rk = 1)
+         |SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+         |  CASE WHEN c.user_id IS NULL THEN b.value ELSE c.value END AS value,
+         |  CASE WHEN c.user_id IS NULL THEN b.tus ELSE c.tus END AS state_us,
+         |  CASE WHEN c.user_id IS NULL THEN 'base' ELSE 'changelog' END AS src
+         |FROM b FULL OUTER JOIN c ON c.user_id = b.user_id
+         |WHERE c.is_delete IS NULL OR c.is_delete = 0""".stripMargin,
+      "CDC MERGE apply: latest-wins upsert/delete changelog onto a base snapshot") {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events").select(
+          col("user_id"), col("value"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("event_id"), col("ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        val base = ev.filter(col("ts") < cutoff)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("value").as("b_value"),
+            col("tus").as("b_tus"))
+        val chg = ev.filter(col("ts") >= cutoff)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("value").as("c_value"),
+            col("tus").as("c_tus"),
+            when(col("event_type") === "error", 1).otherwise(0).as("is_delete"))
+        base.join(chg, Seq("user_id"), "full_outer")
+          .filter(col("is_delete").isNull || col("is_delete") === 0)
+          .select(col("user_id"),
+            when(col("c_tus").isNull, col("b_value")).otherwise(col("c_value"))
+              .as("value"),
+            when(col("c_tus").isNull, col("b_tus")).otherwise(col("c_tus"))
+              .as("state_us"),
+            when(col("c_tus").isNull, "base").otherwise("changelog").as("src"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q162
+  /** SCD type-2 dimension build — the warehouse-standard versioned
+    * dimension: each user's tracked attribute (their latest event_type)
+    * becomes a run of [valid_from, valid_to) rows, one per CHANGE of the
+    * attribute, with the open current version carrying a NULL valid_to.
+    * Consecutive duplicates collapse (a repeat of the same state extends
+    * the open version rather than opening a new one).
+    *
+    * Shape: change points via LAG, validity intervals via LEAD, version
+    * numbers via ROW_NUMBER — three window passes ALL partitioned by
+    * user_id with compatible orderings, so they ride ONE exchange; no
+    * self-joins, no driver state. At 100 TB this is exactly the
+    * events→dimension compaction job, partitioned by the dimension key. */
+  val q162Scd2: Q = Q.sql(
+    "q162_scd2",
+    """WITH e AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, state, tus, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> state
+      |)
+      |SELECT user_id, state, tus AS valid_from_us,
+      |  LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |    AS valid_to_us,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |    AS BIGINT) AS version,
+      |  CASE WHEN LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |    IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM ch""".stripMargin,
+    "SCD2 versioned dimension: [valid_from, valid_to) rows per attribute change") {
+    (s, dir) =>
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("tus"), col("event_id"), col("ts"))
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ch = ev.withColumn("prev", lag(col("state"), 1).over(wo))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .select(col("user_id"), col("state"), col("tus"), col("event_id"))
+      val wc = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      ch.select(col("user_id"), col("state"), col("tus").as("valid_from_us"),
+        lead(col("tus"), 1).over(wc).as("valid_to_us"),
+        row_number().over(wc).cast("long").as("version"),
+        when(lead(col("tus"), 1).over(wc).isNull, 1).otherwise(0)
+          .as("is_current"))
+  }
+
+  // ---------------------------------------------------------------- q163
+  /** Distribution drift (chi-square) — the data-quality monitor between
+    * a reference window (days 1-15) and a live window (days 16-30): per
+    * event_type the observed live count is scored against the count the
+    * reference proportions predict, emitting the (o−e)²/e chi-square
+    * contribution. PSI needs log (engines round transcendentals apart);
+    * chi-square carries the same drift signal from exact integer counts
+    * — each contribution is a fixed-order double expression over exact
+    * bigints, bit-identical on both engines (the q135 lift-for-PMI
+    * substitution discipline). Contributions stay PER-TYPE rows: a
+    * global sum of doubles would reintroduce order dependence, and the
+    * monitoring consumer thresholds per-cell anyway.
+    *
+    * Shape: one scan, conditional partial-agg per type, totals re-agg'd
+    * from the bounded per-type histogram and broadcast back — the live
+    * side never moves twice. */
+  val q163DriftChisq: Q = {
+    val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    Q.sql(
+      "q163_drift_chisq",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN ts < $cut THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         |    CAST(SUM(CASE WHEN ts >= $cut THEN 1 ELSE 0 END) AS BIGINT) AS live_n
+         |  FROM events GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+         |         CAST(SUM(live_n) AS BIGINT) AS live_total FROM h
+         |)
+         |SELECT event_type, ref_n, live_n,
+         |  CASE WHEN ref_n = 0 THEN NULL
+         |       ELSE CAST(live_total AS DOUBLE) * ref_n / ref_total END
+         |    AS expected,
+         |  CASE WHEN ref_n = 0 THEN NULL
+         |       ELSE (live_n - CAST(live_total AS DOUBLE) * ref_n / ref_total)
+         |          * (live_n - CAST(live_total AS DOUBLE) * ref_n / ref_total)
+         |          / (CAST(live_total AS DOUBLE) * ref_n / ref_total) END
+         |    AS chi_contrib
+         |FROM h CROSS JOIN t""".stripMargin,
+      "chi-square distribution drift: reference vs live window per event_type") {
+      (s, dir) =>
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        val h = Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("ref_n"),
+            sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("live_n"))
+        val t = h.agg(sum(col("ref_n")).as("ref_total"),
+          sum(col("live_n")).as("live_total"))
+        val e = col("live_total").cast("double") * col("ref_n") / col("ref_total")
+        h.crossJoin(broadcast(t))
+          .select(col("event_type"), col("ref_n"), col("live_n"),
+            when(col("ref_n") === 0, lit(null)).otherwise(e).as("expected"),
+            when(col("ref_n") === 0, lit(null))
+              .otherwise((col("live_n") - e) * (col("live_n") - e) / e)
+              .as("chi_contrib"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q165
+  /** Periodicity detection — lag-24 autocorrelation of each type's
+    * hourly event counts (the daily-seasonality check a pipeline runs
+    * before trusting time-bucketed features). The hourly series comes
+    * from a partial-agg histogram densified onto the type's own
+    * min..max hour grid (q130's resample shape — missing hours count
+    * 0, not absent), pairs form via LAG 24 over the grid, and Pearson r
+    * reduces to SIX exact bigint sums (n, Σx, Σy, Σxy, Σx², Σy²) —
+    * the final r is one fixed-order double expression over exact
+    * integers, so the result is partition- and engine-independent
+    * (counts are small enough that every product stays under 2^53).
+    *
+    * Shape: grid + lag + sums all ride one event_type shuffle; the
+    * series length is bounded by the time span (720 rows/type here),
+    * NEVER by the corpus — at 100 TB the histogram is the only thing
+    * that moves past the map side. */
+  val q165Autocorr: Q = Q.sql(
+    "q165_autocorr",
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM h GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM span
+      |), series AS (
+      |  SELECT g.event_type, g.hr, CAST(COALESCE(h.c, 0) AS BIGINT) AS x
+      |  FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+      |), pairs AS (
+      |  SELECT event_type, x,
+      |    LAG(x, 24) OVER (PARTITION BY event_type ORDER BY hr) AS y
+      |  FROM series
+      |), sums AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_pairs, sx, sy,
+      |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+      |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+      |    AS r_lag24
+      |FROM sums""".stripMargin,
+    "lag-24 autocorrelation of hourly counts: daily-seasonality detection") {
+    (s, dir) =>
+      val h = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val grid = h.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val series = grid.join(h, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("c"), lit(0L)).cast("long").as("x"))
+      val wl = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val pairs = series
+        .withColumn("y", lag(col("x"), 24).over(wl))
+        .filter(col("y").isNotNull)
+      val sums = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("event_type"), col("n").as("n_pairs"),
+        col("sx"), col("sy"),
+        when(vx <= 0 || vy <= 0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("r_lag24"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -1569,5 +1825,6 @@ object Relational {
     q129WindowKernel, q130GapFill, q131CohortRetention, q133AnomalyZscore,
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
-    q157RiAudit, q160Winsorize)
+    q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
+    q165Autocorr)
 }

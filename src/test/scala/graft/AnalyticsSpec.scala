@@ -263,6 +263,91 @@ class AnalyticsSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("q161: MERGE semantics — last op decides carry/replace/drop") {
+    import graft.queries.Relational
+    val ev = Tables(spark, dir, "events")
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val r = Relational.q161CdcApply.run(spark, dir).cache()
+    // one row per key, src is a closed enum
+    assert(r.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(r.filter(!col("src").isin("base", "changelog")).count() == 0)
+    // a key whose LAST post-cutoff op is a delete is absent; every other
+    // key with any event survives
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastOp = ev.filter(col("ts") >= cutoff)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"),
+        (col("event_type") === "error").as("deleted"))
+    val allUsers = ev.select("user_id").distinct()
+    val expected = allUsers.join(lastOp, Seq("user_id"), "left")
+      .filter(col("deleted").isNull || !col("deleted"))
+    assert(r.select("user_id").exceptAll(expected.select("user_id")).isEmpty)
+    assert(expected.select("user_id").exceptAll(r.select("user_id")).isEmpty)
+    // keys untouched by the changelog carry the base row (src = base)
+    val untouched = allUsers.join(
+      ev.filter(col("ts") >= cutoff).select("user_id").distinct(),
+      Seq("user_id"), "left_anti")
+    assert(r.join(untouched, Seq("user_id"), "left_semi")
+      .filter(col("src") =!= "base").count() == 0)
+    r.unpersist()
+  }
+
+  test("q162: SCD2 versions tile each user's timeline exactly") {
+    import graft.queries.Relational
+    val d = Relational.q162Scd2.run(spark, dir).cache()
+    // exactly one open (current) version per user
+    val openPerUser = d.groupBy("user_id")
+      .agg(sum(col("is_current")).as("n_open"))
+    assert(openPerUser.filter(col("n_open") =!= 1).count() == 0)
+    // versions are 1..k dense and ordered by valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us", "version")
+    val seq = d.withColumn("rk", row_number().over(w).cast("long"))
+    assert(seq.filter(col("rk") =!= col("version")).count() == 0)
+    // adjacent versions tile: valid_to == next valid_from, no gaps/overlap
+    val tiled = d.withColumn("nxt", lead(col("valid_from_us"), 1).over(w))
+    assert(tiled.filter(col("nxt").isNotNull &&
+      col("valid_to_us") =!= col("nxt")).count() == 0)
+    assert(tiled.filter(col("nxt").isNull &&
+      col("valid_to_us").isNotNull).count() == 0)
+    // no version repeats its predecessor's state (duplicates collapsed)
+    val rep = d.withColumn("pstate", lag(col("state"), 1).over(w))
+      .filter(col("pstate") === col("state"))
+    assert(rep.count() == 0)
+    d.unpersist()
+  }
+
+  test("q163: drift cells reconcile with the raw event counts") {
+    import graft.queries.Relational
+    val d = Relational.q163DriftChisq.run(spark, dir).cache()
+    val total = Tables(spark, dir, "events").count()
+    val sums = d.agg(sum("ref_n").as("r"), sum("live_n").as("l")).head
+    assert(sums.getLong(0) + sums.getLong(1) == total)
+    // chi-square contributions are non-negative wherever defined, and
+    // expected counts redistribute exactly the live total
+    assert(d.filter(col("chi_contrib") < 0).count() == 0)
+    val eSum = d.agg(sum("expected")).head.getDouble(0)
+    assert(math.abs(eSum - sums.getLong(1)) < 1e-6)
+    d.unpersist()
+  }
+
+  test("q165: r bounded, pair counts match the hour span") {
+    import graft.queries.Relational
+    val a = Relational.q165Autocorr.run(spark, dir).cache()
+    assert(a.filter(col("r_lag24") < -1.0 || col("r_lag24") > 1.0).count() == 0)
+    // n_pairs = span - 24: the lag drops exactly the first 24 grid hours
+    val spans = Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg((max(expr("unix_micros(ts) div 3600000000"))
+        - min(expr("unix_micros(ts) div 3600000000")) + 1).as("span"))
+    val bad = a.join(spans, "event_type")
+      .filter(col("n_pairs") =!= col("span") - 24)
+    assert(bad.count() == 0)
+    a.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)

@@ -391,6 +391,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q161: rank-1 prunes; the MERGE join reuses the window shuffles") {
+    val p = plan("q161_cdc_apply")
+    // one exchange per side, and the full-outer join runs on that same
+    // user_id partitioning — a third exchange would re-shuffle the whole
+    // changelog at scale
+    assert(countExchanges(p) == 2, s"expected exactly 2 exchanges:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank-1 not pushed into window:\n$p")
+    assert(p.contains("FullOuter"), s"MERGE is not a full-outer apply:\n$p")
+  }
+
+  test("q162: change-point + validity + version windows ride one shuffle") {
+    val p = plan("q162_scd2")
+    assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a pure window chain:\n$p")
+  }
+
   test("q139: islands + longest-run rank share the shuffle; top-1 prunes") {
     val p = plan("q139_longest_streak")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
