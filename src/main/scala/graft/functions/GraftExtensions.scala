@@ -82,6 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CmsCounts(children.head, depth, width)
       }))
     ext.injectFunction((
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hll_registers(hash, p) takes two arguments")
+        val p = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_registers(hash, p): p must be an INT literal, got $other")
+        }
+        HllRegisters(children.head, p)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_values"),
       new ExpressionInfo(classOf[KmvValues].getName, "kmv_values"),
       (children: Seq[Expression]) => {

@@ -2478,6 +2478,116 @@ object TextPipeline {
             .otherwise("unchanged").as("status"))
   }
 
+  // ---------------------------------------------------------------- q164
+  /** Inverted-index BUILD — the retrieval-side artifact q154 only
+    * probes: per term its document frequency, collection frequency and
+    * the doc_id-ordered postings list (`doc:tf` pairs). This is the
+    * distributed index-construction shape (one groupBy-term shuffle of
+    * (term, doc, tf) triples — how Lucene/ES builds shard in bulk);
+    * terms below df 10 are noise and skipped, and postings MATERIALIZE
+    * only for df ≤ 200 — a stopword's postings list is O(corpus) and a
+    * real build range-shards those few terms (the q93 sharding shape),
+    * so the high-df rows keep their stats and carry NULL postings here.
+    * The collect is per-TERM (bounded by the df cap), never per-corpus. */
+  val q164PostingsIndex: Q = Q.sql(
+    "q164_postings_index",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tk GROUP BY 1, 2
+      |)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |  CASE WHEN COUNT(*) <= 200 THEN
+      |    string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) END AS postings
+      |FROM tf GROUP BY term HAVING COUNT(*) >= 10""".stripMargin,
+    "inverted-index build: df/cf stats + doc-ordered postings per term") {
+    (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              x => concat(x("doc_id").cast("string"), lit(":"),
+                x("tf").cast("string"))), ",").as("p0"))
+        .filter(col("df") >= 10)
+        .select(col("term"), col("df"), col("cf"),
+          when(col("df") <= 200, col("p0")).as("postings"))
+  }
+
+  // ---------------------------------------------------------------- q166
+  /** HyperLogLog distinct tokens per source — the industry-standard
+    * sketch (Flajolet '07) beside the house KMV (q44): ONE pass through
+    * the native mergeable [[graft.functions.HllRegisters]] aggregate
+    * (p=10 → 1 KiB of state per source at ANY corpus size, duplicates
+    * absorbed by register max so no DISTINCT pre-pass exists), with the
+    * estimate derived from the register array by exact-integer Column
+    * arithmetic: S = Σ 2^(51−M) stays a bigint (≤ 2^61 — EXACT, where
+    * the float harmonic sum would be order-dependent), and the raw
+    * estimate α·m²·2^51/S is one fixed-order double expression over
+    * exact integers — bit-identical on both engines. The zero-register
+    * count rides along: production applies linear counting below
+    * 2.5·m via ln (engines round transcendentals apart, so the gate
+    * pins the raw estimate; v_zero = 0 here anyway, making both
+    * branches equal). Exact distinct is aggregated alongside so the
+    * row itself documents the sketch's error (~3% at p=10). */
+  val q166HllDistinct: Q = Q.sql(
+    "q166_hll_distinct",
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), hh AS (
+      |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk
+      |), rg AS (
+      |  SELECT source, h // 1125899906842624 AS idx,
+      |    MAX(CASE WHEN h % 1125899906842624 = 0 THEN 51
+      |             ELSE 51 - length(bin(h % 1125899906842624)) END) AS reg
+      |  FROM hh GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT s.source, g.idx
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN (SELECT unnest(range(0, 1024)) AS idx) g
+      |), regs AS (
+      |  SELECT g.source, COALESCE(r.reg, 0) AS reg
+      |  FROM grid g LEFT JOIN rg r ON r.source = g.source AND r.idx = g.idx
+      |), agg AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (51 - reg)) AS BIGINT) AS s_sum,
+      |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM regs GROUP BY 1
+      |), ex AS (
+      |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+      |  FROM tk GROUP BY 1
+      |)
+      |SELECT e.source, e.n_exact, a.v_zero, a.s_sum,
+      |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 1024.0))
+      |    * (CAST(1048576 AS DOUBLE) * 2251799813685248) / a.s_sum AS hll_est
+      |FROM ex e JOIN agg a ON a.source = e.source""".stripMargin,
+    "HLL distinct-count sketch per source: registers, exact twin, raw estimate") {
+    (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      toks
+        .groupBy(col("source"))
+        .agg(
+          graft.functions.Hll.registers(Text.baseHash(col("tok")), 10)
+            .as("regs"),
+          countDistinct(col("tok")).as("n_exact"))
+        .select(col("source"), col("n_exact"),
+          expr("cast(size(filter(regs, r -> r = 0)) as bigint)").as("v_zero"),
+          expr("aggregate(regs, cast(0 as bigint)," +
+            " (acc, r) -> acc + shiftleft(cast(1 as bigint), 51 - r))")
+            .as("s_sum"),
+          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)))
+            * (lit(1048576.0) * lit(2.251799813685248e15))
+            / col("s_sum")).as("hll_est"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2489,5 +2599,6 @@ object TextPipeline {
     q109CosinePairs, q110ImportanceScore, q113BpeMergeRank, q116CorpusBuild,
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
-    q150SnapshotDiff, q151HardNegatives, q154LexicalSearch)
+    q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
+    q164PostingsIndex, q166HllDistinct)
 }

@@ -407,6 +407,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join in a pure window chain:\n$p")
   }
 
+  test("q164: index build is two partial-agg shuffles, join-free") {
+    val p = plan("q164_postings_index")
+    assert(countExchanges(p) == 2, s"expected exactly 2 exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the index build:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"postings did not partial-aggregate:\n$p")
+  }
+
+  test("q166: HLL registers partial-aggregate before the shuffle") {
+    val p = plan("q166_hll_distinct")
+    // the sketch must fold map-side: the exchange carries 1 KiB buffers
+    // per source, never raw hashes
+    assert(p.contains("partial_hll_registers"),
+      s"hll_registers did not partial-agg:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("q139: islands + longest-run rank share the shuffle; top-1 prunes") {
     val p = plan("q139_longest_streak")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
