@@ -670,6 +670,82 @@ object StreamingQ {
       col("bucket_start"), col("n_events"), col("kmv_users"))
   }
 
+  private def hllStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-hll", spark, dir) { _ =>
+      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Hll.registers(
+            graft.ops.Text.baseHash(col("user_id").cast("string")), 10)
+            .as("regs"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("n_events"),
+          expr("cast(size(filter(regs, r -> r = 0)) as bigint)").as("v_zero"),
+          expr("aggregate(regs, cast(0 as bigint)," +
+            " (acc, r) -> acc + shiftleft(cast(1 as bigint), 51 - r))")
+            .as("s_sum"),
+          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)))
+            * (lit(1048576.0) * lit(2.251799813685248e15))
+            / col("s_sum")).as("hll_raw"))
+    }
+  }
+
+  /** Streaming HLL distinct sketch — q166's register aggregate composed
+    * with the watermarked tumbling window (q96's shape with the other
+    * house sketch): per closed hour the native mergeable
+    * [[graft.functions.HllRegisters]] state (1 KiB per window, register
+    * max absorbs duplicate users with no DISTINCT state) emits the
+    * exact-integer S = Σ 2^(51−M), the zero-register count and the raw
+    * estimate. Per-hour cardinality here sits in the small-range regime
+    * (v_zero > 0) where production applies linear counting — the gate
+    * pins the raw arithmetic and the registers themselves (via S), which
+    * is the engine's contract; the correction is a consumer-side CASE.
+    * Oracle: identical register recomputation per bucket in DuckDB,
+    * q80's ms-truncated watermark cutoff. */
+  val q167StreamHll: Q = Q.sql(
+    "q167_stream_hll",
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events
+      |), rg AS (
+      |  SELECT bucket_start, h // 1125899906842624 AS idx,
+      |    MAX(CASE WHEN h % 1125899906842624 = 0 THEN 51
+      |             ELSE 51 - length(bin(h % 1125899906842624)) END) AS reg
+      |  FROM b GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.bucket_start, g.idx
+      |  FROM (SELECT DISTINCT bucket_start FROM b) d
+      |  CROSS JOIN (SELECT unnest(range(0, 1024)) AS idx) g
+      |), regs AS (
+      |  SELECT g.bucket_start, COALESCE(r.reg, 0) AS reg
+      |  FROM grid g LEFT JOIN rg r
+      |    ON r.bucket_start = g.bucket_start AND r.idx = g.idx
+      |), agg AS (
+      |  SELECT bucket_start,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (51 - reg)) AS BIGINT) AS s_sum,
+      |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM regs GROUP BY 1
+      |), n AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(a.bucket_start AS BIGINT) AS bucket_start,
+      |  CAST(n.n_events AS BIGINT) AS n_events, a.v_zero, a.s_sum,
+      |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 1024.0))
+      |    * (CAST(1048576 AS DOUBLE) * 2251799813685248) / a.s_sum AS hll_raw
+      |FROM agg a JOIN n ON n.bucket_start = a.bucket_start
+      |WHERE (a.bucket_start + 3600) * 1000000 <=
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+    "streaming tumbling-window HLL registers + raw estimate (native mergeable agg)") {
+    (s, dir) =>
+      hllStream(s, dir).select(col("bucket_start"), col("n_events"),
+        col("v_zero"), col("s_sum"), col("hll_raw"))
+  }
+
   /** q90's join with LEFT OUTER semantics: purchases with no click in
     * the band survive as null-extended rows. */
   private def outerJoinStream(spark: SparkSession, dir: String): DataFrame = {
@@ -1412,5 +1488,6 @@ object StreamingQ {
     q100StreamFullJoin, q101StreamSigDedup, q103StreamKmvOverlap,
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
-    q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart)
+    q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
+    q167StreamHll)
 }
