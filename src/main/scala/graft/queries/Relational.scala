@@ -1815,6 +1815,130 @@ object Relational {
           .as("r_lag24"))
   }
 
+  // ---------------------------------------------------------------- q168
+  /** Point-in-time (AS OF) dimension lookup — the consumption side of
+    * q162's SCD2 build, composed WHOLE (the q116/q155 discipline): each
+    * purchase joins the state-version row that was valid at its event
+    * time (valid_from ≤ ts < valid_to, open version unbounded). Since
+    * the dimension derives from the same event stream, every purchase
+    * lands in exactly ONE version — the inner join loses nothing
+    * (AnalyticsSpec pins the bijection).
+    *
+    * Shape: a user-keyed equi-join with the validity range as a
+    * RESIDUAL predicate — fan-out bounded by versions-per-user (the
+    * dimension is the COMPACTED changelog, orders of magnitude smaller
+    * than the fact side), co-partitioned on user_id, AQE free to pick
+    * broadcast when the dimension fits. The union+window as-of (q04)
+    * is the alternative spelling when the dimension is too wide to
+    * join; with SCD2's bounded version counts the equi+residual join
+    * is the standard warehouse plan. */
+  val q168PitJoin: Q = Q.sql(
+    "q168_pit_join",
+    """WITH e AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, state, tus, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> state
+      |), dim AS (
+      |  SELECT user_id, state, tus AS valid_from_us,
+      |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS valid_to_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS BIGINT) AS version
+      |  FROM ch
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.value, d.state, d.version,
+      |  d.valid_from_us
+      |FROM p JOIN dim d ON d.user_id = p.user_id
+      |  AND p.tus >= d.valid_from_us
+      |  AND (d.valid_to_us IS NULL OR p.tus < d.valid_to_us)""".stripMargin,
+    "point-in-time join: each purchase against its SCD2 version valid at ts") {
+    (s, dir) =>
+      val dim = q162Scd2.run(s, dir)
+        .select(col("user_id"), col("state"), col("valid_from_us"),
+          col("valid_to_us"), col("version"))
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      p.as("p").join(dim.as("d"),
+          col("p.user_id") === col("d.user_id") &&
+            col("p.tus") >= col("d.valid_from_us") &&
+            (col("d.valid_to_us").isNull ||
+              col("p.tus") < col("d.valid_to_us")))
+        .select(col("p.event_id").as("event_id"),
+          col("p.user_id").as("user_id"), col("p.value").as("value"),
+          col("d.state").as("state"), col("d.version").as("version"),
+          col("d.valid_from_us").as("valid_from_us"))
+  }
+
+  // ---------------------------------------------------------------- q169
+  /** Session transition matrix — first-order Markov counts of the
+    * event_type → next event_type step WITHIN q05's behavioral
+    * sessions (the user-journey model product analytics fits; q135's
+    * collocation shape applied to the event stream). Transition
+    * probability is the exact bigint rational n(a→b)/Σ_b n(a→b) — one
+    * fixed-order double division per OUTPUT row of the
+    * types²-bounded matrix, never a float fold over the corpus.
+    *
+    * Shape: sessionize + LEAD ride the user_id shuffle q05 already
+    * pays, the pair roll-up partial-aggregates into the bounded
+    * matrix, and the per-source totals join is over that matrix only
+    * (types² rows) — nothing corpus-sized past the map side. */
+  val q169Transitions: Q = Q.sql(
+    "q169_transitions",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), steps AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id, session_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM sess
+      |), m AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out FROM m GROUP BY 1
+      |)
+      |SELECT m.from_type, m.to_type, m.n,
+      |  CAST(m.n AS DOUBLE) / t.n_out AS p
+      |FROM m JOIN tot t ON t.from_type = m.from_type""".stripMargin,
+    "session-scoped Markov transition matrix with exact-rational probabilities") {
+    (s, dir) =>
+      val sess = graft.ops.Sessionize(
+        Tables(s, dir, "events"), Seq("user_id"), "ts",
+        gapMicros = 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+      val ws = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = sess
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(ws).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = m.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
+      m.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_out")).as("p"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -1826,5 +1950,5 @@ object Relational {
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
-    q165Autocorr)
+    q165Autocorr, q168PitJoin, q169Transitions)
 }

@@ -348,6 +348,43 @@ class AnalyticsSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("q168: point-in-time lookup is a bijection on purchases") {
+    import graft.queries.Relational
+    val r = Relational.q168PitJoin.run(spark, dir).cache()
+    val nPurchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    // exactly one version matches each purchase — no loss, no fan-out
+    assert(r.count() == nPurchases)
+    assert(r.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    // the matched version was indeed open at the purchase time
+    val ts = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    val stale = r.join(ts, "event_id")
+      .filter(col("tus") < col("valid_from_us"))
+    assert(stale.count() == 0)
+    // and a purchase's state is by construction 'purchase': the purchase
+    // event itself opens or extends the version covering its timestamp
+    assert(r.filter(col("state") =!= "purchase").count() == 0)
+    r.unpersist()
+  }
+
+  test("q169: transition mass conserves and rows normalize per source") {
+    import graft.queries.Relational
+    val m = Relational.q169Transitions.run(spark, dir).cache()
+    // total transitions = Σ (session length − 1)
+    val sessLens = graft.ops.Sessionize(
+        Tables(spark, dir, "events"), Seq("user_id"), "ts",
+        gapMicros = 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+      .groupBy("user_id", "session_id").count()
+    val expectedSteps = sessLens.agg(sum(col("count") - 1)).head.getLong(0)
+    assert(m.agg(sum("n")).head.getLong(0) == expectedSteps)
+    // each row of the matrix sums to probability 1
+    val rows = m.groupBy("from_type").agg(sum("p").as("psum"))
+    assert(rows.filter(abs(col("psum") - 1.0) > 1e-9).count() == 0)
+    m.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
