@@ -1939,6 +1939,141 @@ object Relational {
           (col("n").cast("double") / col("n_out")).as("p"))
   }
 
+  // ---------------------------------------------------------------- q170
+  /** Incremental view maintenance — the aggregate-refresh twin of
+    * q161's row-level MERGE: a materialized per-(user, type) count/sum
+    * view (state before the cutoff) is refreshed by folding in ONLY the
+    * delta partition (events at/after the cutoff), never rescanning the
+    * base. COUNT and SUM are self-maintainable under inserts — the
+    * refresh is a co-partitioned full-outer merge of two partial
+    * aggregates with exact-decimal addition (order-independent), and a
+    * `refreshed` flag marks the touched keys (the rows a real engine
+    * would rewrite).
+    *
+    * Shape: at 100 TB the base side is the stored view (O(keys), never
+    * re-aggregated — here it is recomputed only because the gate needs
+    * a closed form) and the delta aggregation touches the new partition
+    * alone; the merge shuffles O(keys) + O(delta keys). AnalyticsSpec
+    * proves refresh ≡ full recompute — the IVM contract. */
+  val q170IvmRefresh: Q = {
+    val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    Q.sql(
+      "q170_ivm_refresh",
+      s"""WITH b AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+         |    SUM(CAST(value AS DECIMAL(28,2))) AS s0
+         |  FROM events WHERE ts < $cut GROUP BY 1, 2
+         |), d AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS dn,
+         |    SUM(CAST(value AS DECIMAL(28,2))) AS ds
+         |  FROM events WHERE ts >= $cut GROUP BY 1, 2
+         |)
+         |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+         |  COALESCE(b.event_type, d.event_type) AS event_type,
+         |  COALESCE(b.n0, 0) + COALESCE(d.dn, 0) AS n,
+         |  CAST(COALESCE(b.s0, 0) + COALESCE(d.ds, 0) AS DOUBLE) AS value_sum,
+         |  CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS refreshed
+         |FROM b FULL OUTER JOIN d
+         |  ON d.user_id = b.user_id AND d.event_type = b.event_type""".stripMargin,
+      "incremental view refresh: delta partial-aggs merged into the base view") {
+      (s, dir) =>
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        val ev = Tables(s, dir, "events")
+        def agg(df: DataFrame, n: String, sm: String): DataFrame =
+          df.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as(n), sum(dec(col("value"))).as(sm))
+        val base = agg(ev.filter(col("ts") < cutoff), "n0", "s0")
+        val delta = agg(ev.filter(col("ts") >= cutoff), "dn", "ds")
+        base.join(delta, Seq("user_id", "event_type"), "full_outer")
+          .select(col("user_id"), col("event_type"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s0"), lit(0).cast("decimal(28,2)"))
+              + coalesce(col("ds"), lit(0).cast("decimal(28,2)")))
+              .cast("double").as("value_sum"),
+            when(col("dn").isNull, 0).otherwise(1).as("refreshed"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** Sliding-window distinct via HLL pane MERGE — the reason sketches
+    * exist in windowed systems: the 6-hour distinct-user estimate per
+    * hour is built by elementwise-max-merging the SIX per-hour register
+    * arrays (panes), never re-touching raw events per window. The
+    * DuckDB oracle recomputes each window's registers DIRECTLY from the
+    * raw 6-hour slice — so the hash gate IS the mergeability theorem
+    * (merge of panes ≡ sketch of the union) checked end-to-end.
+    *
+    * Shape: one hourly partial-agg pass (1 KiB per pane), then the
+    * pane merge runs over the BOUNDED hour grid (q113's documented
+    * bounded-input global window — 720 rows here, O(time span) always,
+    * never O(corpus)); empty hours merge as the all-zero neutral
+    * array. At 100 TB only the hourly register frame moves past the
+    * map side, and each window's merge is 6 × 1 KiB of arithmetic. */
+  val q171HllPaneMerge: Q = Q.sql(
+    "q171_hll_pane_merge",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events
+      |), span AS (
+      |  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM b
+      |), grid AS (
+      |  SELECT unnest(range(h0 + 5, h1 + 1)) AS hr FROM span
+      |), win AS (
+      |  SELECT g.hr, b.h FROM grid g JOIN b ON b.hr BETWEEN g.hr - 5 AND g.hr
+      |), rg AS (
+      |  SELECT hr, h // 1125899906842624 AS idx,
+      |    MAX(CASE WHEN h % 1125899906842624 = 0 THEN 51
+      |             ELSE 51 - length(bin(h % 1125899906842624)) END) AS reg
+      |  FROM win GROUP BY 1, 2
+      |), fullgrid AS (
+      |  SELECT g.hr, i.idx
+      |  FROM grid g CROSS JOIN (SELECT unnest(range(0, 1024)) AS idx) i
+      |), regs AS (
+      |  SELECT f.hr, COALESCE(r.reg, 0) AS reg
+      |  FROM fullgrid f LEFT JOIN rg r ON r.hr = f.hr AND r.idx = f.idx
+      |), agg AS (
+      |  SELECT hr,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (51 - reg)) AS BIGINT) AS s_sum,
+      |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM regs GROUP BY 1
+      |)
+      |SELECT CAST(hr * 3600 AS BIGINT) AS bucket_start, v_zero, s_sum,
+      |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 1024.0))
+      |    * (CAST(1048576 AS DOUBLE) * 2251799813685248) / s_sum AS hll_raw
+      |FROM agg""".stripMargin,
+    "sliding 6-hour distinct estimate by merging per-hour HLL register panes") {
+    (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(graft.functions.Hll.registers(
+          graft.ops.Text.baseHash(col("user_id").cast("string")), 10)
+          .as("regs"))
+      val grid = hourly.agg(min(col("hr")).as("g0"), max(col("hr")).as("g1"))
+        .select(explode(sequence(col("g0"), col("g1"))).as("hr"))
+      val panes = grid.join(hourly, Seq("hr"), "left")
+        .withColumn("regs",
+          coalesce(col("regs"), array_repeat(lit(0), 1024)))
+      // bounded-input global window (q113 discipline): the hour grid is
+      // O(time span), 720 rows here — never the corpus
+      val w = Window.orderBy(col("hr")).rowsBetween(-5, 0)
+      panes
+        .withColumn("panes", collect_list(col("regs")).over(w))
+        .withColumn("nh", count(lit(1)).over(w))
+        .filter(col("nh") === 6)
+        .withColumn("m", expr("aggregate(panes, array_repeat(0, 1024)," +
+          " (acc, a) -> zip_with(acc, a, (x, y) -> greatest(x, y)))"))
+        .select((col("hr") * 3600).cast("long").as("bucket_start"),
+          expr("cast(size(filter(m, r -> r = 0)) as bigint)").as("v_zero"),
+          expr("aggregate(m, cast(0 as bigint)," +
+            " (acc, r) -> acc + shiftleft(cast(1 as bigint), 51 - r))")
+            .as("s_sum"),
+          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)))
+            * (lit(1048576.0) * lit(2.251799813685248e15))
+            / col("s_sum")).as("hll_raw"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -1950,5 +2085,6 @@ object Relational {
     q137AsOfNearest, q139LongestStreak, q142MultiTouch, q143IntervalUnion,
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
-    q165Autocorr, q168PitJoin, q169Transitions)
+    q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
+    q171HllPaneMerge)
 }

@@ -385,6 +385,41 @@ class AnalyticsSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("q170: incremental refresh equals the full recompute") {
+    import graft.queries.Relational
+    val r = Relational.q170IvmRefresh.run(spark, dir)
+      .select("user_id", "event_type", "n", "value_sum")
+    val direct = Tables(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).cast("double")
+          .as("value_sum"))
+    assert(r.exceptAll(direct).isEmpty && direct.exceptAll(r).isEmpty)
+  }
+
+  test("q171: merged panes equal the sketch of the raw 6-hour union") {
+    import graft.queries.Relational
+    import graft.functions.Hll
+    import graft.ops.Text
+    val r = Relational.q171HllPaneMerge.run(spark, dir).cache()
+    val last = r.agg(max("bucket_start")).head.getLong(0)
+    val hrEnd = last / 3600
+    val direct = Tables(spark, dir, "events")
+      .filter(expr(
+        s"unix_micros(ts) div 3600000000 between ${hrEnd - 5} and $hrEnd"))
+      .agg(Hll.registers(Text.baseHash(col("user_id").cast("string")), 10)
+        .as("m"))
+      .select(expr("aggregate(m, cast(0 as bigint)," +
+        " (acc, r) -> acc + shiftleft(cast(1 as bigint), 51 - r))")
+        .as("s_sum"))
+      .head.getLong(0)
+    val merged = r.filter(col("bucket_start") === last)
+      .head.getAs[Long]("s_sum")
+    assert(merged == direct,
+      s"pane merge diverged from the union sketch: $merged vs $direct")
+    r.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
