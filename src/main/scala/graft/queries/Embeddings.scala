@@ -22,10 +22,10 @@ object Embeddings {
 
   /** DuckDB-side dot product matching [[Vectors.dot]] bit-for-bit:
     * cast-to-double products, strict left fold. */
-  private def duckDot(a: String, b: String): String =
-    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)"
-  private def duckCos(a: String, b: String): String =
-    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+  private def duckDot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${dim + 1})], (x, y) -> x + y)"
+  private def duckCos(a: String, b: String, dim: Int = 64): String =
+    s"${duckDot(a, b, dim)} / (sqrt(${duckDot(a, a, dim)}) * sqrt(${duckDot(b, b, dim)}))"
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -1239,9 +1239,78 @@ object Embeddings {
           when(std > 0, (col("qi").cast("double") - mean) / std).as("z"))
   }
 
+  // ---------------------------------------------------------------- q172
+  /** Matryoshka truncation recall — the serving-dimension eval for
+    * MRL-style embeddings (Kusupati et al. '22): recall@5 of a
+    * brute-force cosine ranking that reads only the FIRST 16 of 64
+    * dimensions against the full-dimension exact top-5. This is the
+    * q95 measure-then-choose harness pointed at the third ANN
+    * compression axis (q92 quantizes precision, q122/q125 quantize by
+    * codebook, q172 truncates dimensions) — at serving time a prefix
+    * slice is a free 4× scan/bandwidth cut IF the measured recall
+    * holds, and this query is the measurement. On these synthetic
+    * near-uniform vectors prefix cosine preserves little ranking —
+    * the honest result the harness exists to expose; MRL-trained
+    * embeddings front-load information and move the number.
+    *
+    * Shape: both rankings broadcast the 20-query frame against the
+    * corpus (the q30/q95 exact-baseline shape, linear map-side scan);
+    * the truncated branch's `slice` happens BEFORE the cosine so the
+    * codegen'd fold runs 16 wide, and per-query top-5 prunes via
+    * WindowGroupLimit. */
+  val q172MatryoshkaRecall: Q = Q.sql(
+    "q172_matryoshka_recall",
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 20
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${duckCos("qe", "e.embedding")} DESC, e.vec_id) AS rn
+       |    FROM qs, embeddings e WHERE e.vec_id <> query_id)
+       |  WHERE rn <= 5
+       |), trunc AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${duckCos("qe", "e.embedding", 16)} DESC, e.vec_id) AS rn
+       |    FROM qs, embeddings e WHERE e.vec_id <> query_id)
+       |  WHERE rn <= 5
+       |)
+       |SELECT exact.query_id,
+       |  CAST(count(trunc.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(trunc.neighbor_id) AS DOUBLE) / 5 AS recall_dim16
+       |FROM exact LEFT JOIN trunc USING (query_id, neighbor_id)
+       |GROUP BY 1""".stripMargin,
+    "Matryoshka eval: recall@5 of first-16-dim cosine vs full-dim exact") {
+    (s, dir) =>
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      def top5(cand: DataFrame, cos: Column): DataFrame = cand
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .crossJoin(broadcast(qs))
+      val exact = top5(cand, Vectors.cosine(col("qe"), col("embedding")))
+      val trunc = top5(cand,
+        Vectors.cosine(slice(col("qe"), 1, 16), slice(col("embedding"), 1, 16)))
+      exact.join(trunc.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / 5).as("recall_dim16"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
-      q148GramMatrix, q155RankFusion, q158Standardize)
+      q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall)
 }
