@@ -2074,6 +2074,160 @@ object Relational {
             / col("s_sum")).as("hll_raw"))
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Robust outlier detection — the modified z-score M = 0.6745·(x −
+    * median)/MAD (Iglewicz–Hoaglin), the robust-statistics member
+    * beside q133's moment-based z-score (one far outlier inflates a
+    * std; it cannot move a median). Both the median and the MAD come
+    * from q160's bounded-histogram discipline: values bucket to exact
+    * integer centi-units, each percentile is a cumsum window over the
+    * per-(type, bucket) histogram — TWO bounded passes (values, then
+    * absolute deviations), never a corpus sort — and the caps broadcast
+    * back for a map-side score. M is one fixed-order double expression
+    * over exact integers; a zero MAD (constant type) yields NULL, not a
+    * division blow-up. */
+  val q173MadOutliers: Q = Q.sql(
+    "q173_mad_outliers",
+    """WITH b AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS bk
+      |  FROM events
+      |), h1 AS (
+      |  SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT event_type, bk,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h1
+      |), med AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cm >= (n + 1) // 2 THEN bk END) AS med_bk
+      |  FROM c1 GROUP BY 1
+      |), d AS (
+      |  SELECT b.event_id, b.event_type, b.bk, m.med_bk,
+      |    abs(b.bk - m.med_bk) AS dv
+      |  FROM b JOIN med m USING (event_type)
+      |), h2 AS (
+      |  SELECT event_type, dv, COUNT(*) AS c FROM d GROUP BY 1, 2
+      |), c2 AS (
+      |  SELECT event_type, dv,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY dv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h2
+      |), mad AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cm >= (n + 1) // 2 THEN dv END) AS mad_bk
+      |  FROM c2 GROUP BY 1
+      |)
+      |SELECT d.event_id, d.event_type, d.bk, d.med_bk, a.mad_bk,
+      |  CASE WHEN a.mad_bk = 0 THEN NULL
+      |       ELSE CAST(0.6745 AS DOUBLE) * (d.bk - d.med_bk) / a.mad_bk END
+      |    AS mz,
+      |  CASE WHEN a.mad_bk = 0 THEN FALSE
+      |       ELSE abs(CAST(0.6745 AS DOUBLE) * (d.bk - d.med_bk) / a.mad_bk)
+      |            > 3.5 END AS is_outlier
+      |FROM d JOIN mad a USING (event_type)""".stripMargin,
+    "modified z-score outliers: median + MAD from bounded per-type histograms") {
+    (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("bk"))
+      def pctl(hist: DataFrame, vc: String, out: String): DataFrame = {
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("event_type"))
+        hist
+          .withColumn("cm", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cm") >= expr("(n + 1) div 2"), col(vc)))
+            .as(out))
+      }
+      val med = pctl(
+        b.groupBy(col("event_type"), col("bk")).agg(count(lit(1)).as("c")),
+        "bk", "med_bk")
+      val d = b.join(broadcast(med), Seq("event_type"))
+        .withColumn("dv", abs(col("bk") - col("med_bk")))
+      val mad = pctl(
+        d.groupBy(col("event_type"), col("dv")).agg(count(lit(1)).as("c")),
+        "dv", "mad_bk")
+      val mz = lit(0.6745) * (col("bk") - col("med_bk")) / col("mad_bk")
+      d.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("bk"), col("med_bk"),
+          col("mad_bk"),
+          when(col("mad_bk") === 0, lit(null)).otherwise(mz).as("mz"),
+          when(col("mad_bk") === 0, lit(false))
+            .otherwise(abs(mz) > 3.5).as("is_outlier"))
+  }
+
+  // ---------------------------------------------------------------- q174
+  /** A/B conversion test — the experimentation primitive: users split
+    * deterministically into two arms (user_id parity — in production a
+    * salted hash bucket, q76's draw), per-arm user-level conversion
+    * (any purchase), and the two-proportion pooled z statistic. Every
+    * count is an exact bigint; rates and z are fixed-order double
+    * expressions over those integers (sqrt is correctly-rounded IEEE on
+    * both engines), so the whole report is hash-stable. Degenerate
+    * pools (0% or 100% conversion) yield NULL rather than a division
+    * blow-up.
+    *
+    * Shape: one user-keyed partial-agg pass (conversion flag via MAX),
+    * then a single-row conditional roll-up — nothing but the per-user
+    * frame ever shuffles, and at 100 TB the per-user reduction is the
+    * same map-side combine every funnel query here rides. */
+  val q174AbTest: Q = Q.sql(
+    "q174_ab_test",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM u
+      |)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a AS DOUBLE) / n_a AS p_a,
+      |  CAST(x_b AS DOUBLE) / n_b AS p_b,
+      |  CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+      |       ELSE (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+      |            / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |                 * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |                 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+      |  END AS z
+      |FROM s""".stripMargin,
+    "two-proportion A/B conversion z-test from exact per-arm counts") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val st = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long")
+          .as("x_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long")
+          .as("x_b"))
+      val pa = col("x_a").cast("double") / col("n_a")
+      val pb = col("x_b").cast("double") / col("n_b")
+      val pp = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      st.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        when(col("x_a") + col("x_b") === 0 ||
+          col("x_a") + col("x_b") === col("n_a") + col("n_b"), lit(null))
+          .otherwise((pa - pb) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .as("z"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2086,5 +2240,5 @@ object Relational {
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
-    q171HllPaneMerge)
+    q171HllPaneMerge, q173MadOutliers, q174AbTest)
 }

@@ -420,6 +420,35 @@ class AnalyticsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q173: the histogram draw lands on the true lower median") {
+    import graft.queries.Relational
+    val r = Relational.q173MadOutliers.run(spark, dir).cache()
+    // per type: at least half the mass sits at-or-below med_bk, and
+    // strictly less than half sits strictly below — the lower-median
+    // property the cumsum threshold must reproduce exactly
+    val chk = r.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bk") <= col("med_bk"), 1L).otherwise(0L)).as("le"),
+        sum(when(col("bk") < col("med_bk"), 1L).otherwise(0L)).as("lt"))
+    assert(chk.filter(col("le") * 2 < col("n")).count() == 0)
+    assert(chk.filter(col("lt") * 2 >= col("n") + 1).count() == 0)
+    // outliers are exactly the |mz| > 3.5 rows
+    assert(r.filter(col("is_outlier") =!= (abs(col("mz")) > 3.5))
+      .count() == 0)
+    r.unpersist()
+  }
+
+  test("q174: arm counts reconcile with the user population") {
+    import graft.queries.Relational
+    val row = Relational.q174AbTest.run(spark, dir).head
+    val users = Tables(spark, dir, "events").select("user_id").distinct()
+    assert(row.getLong(0) + row.getLong(2) == users.count())
+    assert(row.getLong(1) <= row.getLong(0) && row.getLong(3) <= row.getLong(2))
+    // parity split: arm sizes derive from the actual user-id parities
+    val odd = users.filter(col("user_id") % 2 === 1).count()
+    assert(row.getLong(2) == odd)
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
