@@ -2228,6 +2228,113 @@ object Relational {
           .as("z"))
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Time-weighted average (TWAP) — each user's value treated as a step
+    * function held until their next event, averaged by HELD TIME rather
+    * than by event count (the metrics/position-average the plain AVG
+    * silently gets wrong on irregular sampling). Exactness: value in
+    * centi-units (bigint) × integer µs duration stays under 2^63 per
+    * term (≤ 2.6e16), and the per-user sum accumulates in
+    * DECIMAL(38,0) — exact at any event count — so the final
+    * double-division is one fixed-order expression over exact numbers.
+    * A user's last event has no successor and is excluded (no held
+    * interval); single-event users drop out entirely on both engines.
+    *
+    * Shape: LEAD + roll-up on one user_id shuffle. */
+  val q175Twap: Q = Q.sql(
+    "q175_twap",
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vc,
+      |    epoch_us(ts) AS tus, event_id
+      |  FROM events
+      |), h AS (
+      |  SELECT user_id, vc,
+      |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      - tus AS dur
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+      |  CAST(SUM(dur) AS BIGINT) AS held_us,
+      |  CAST(SUM(CAST(vc * dur AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(SUM(dur) AS DOUBLE) / 100 AS twap
+      |FROM h WHERE dur IS NOT NULL GROUP BY 1""".stripMargin,
+    "time-weighted average value per user from exact integer hold durations") {
+    (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("vc"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      e.withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("dur")).as("held_us"),
+          (sum((col("vc") * col("dur")).cast("decimal(38,0)")).cast("double")
+            / sum(col("dur")).cast("double") / 100).as("twap"))
+  }
+
+  // ---------------------------------------------------------------- q176
+  /** Concentration report (Gini) — how unevenly document mass is
+    * distributed within each source, the inequality statistic a data
+    * team reads before setting mixture weights (q120): a source whose
+    * char mass sits in a few giant documents behaves differently under
+    * packing (q87) and token budgets (q94) than a uniform one. Computed
+    * ENTIRELY from the bounded per-(source, n_chars) value histogram —
+    * rank sums over a tie group are closed-form (c·F₀ + c(c+1)/2), so
+    * the sorted-corpus window the textbook formula implies never runs;
+    * every accumulator is an exact bigint (products bounded ≤ ~6e14 at
+    * the 100× blow-up — documented headroom under 2^63) and the final
+    * Gini is one fixed-order double expression. All-empty sources
+    * yield NULL, not a division blow-up.
+    *
+    * Shape: partial-agg histogram, cumsum window over the BOUNDED
+    * value domain, exact roll-up — the q160 discipline pointed at an
+    * inequality measure. */
+  val q176Gini: Q = Q.sql(
+    "q176_gini",
+    """WITH h AS (
+      |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, v, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f0
+      |  FROM h
+      |), s AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(v * c) AS BIGINT) AS t,
+      |    CAST(SUM(v * (c * f0 + (c * (c + 1)) // 2)) AS BIGINT) AS s1
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT source, n AS n_docs, t AS total_chars,
+      |  CASE WHEN t = 0 THEN NULL
+      |       ELSE CAST(2 * s1 - (n + 1) * t AS DOUBLE)
+      |            / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
+      |FROM s""".stripMargin,
+    "per-source Gini concentration of document mass from bounded histograms") {
+    (s, dir) =>
+      val h = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wPrev = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = h.withColumn("f0",
+        coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      val st = cum.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("v") * col("c")).as("t"),
+          sum(col("v") * (col("c") * col("f0")
+            + expr("(c * (c + 1)) div 2"))).as("s1"))
+      st.select(col("source"), col("n").as("n_docs"),
+        col("t").as("total_chars"),
+        when(col("t") === 0, lit(null))
+          .otherwise((lit(2) * col("s1") - (col("n") + 1) * col("t"))
+            .cast("double")
+            / (col("n").cast("double") * col("t").cast("double")))
+          .as("gini"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2240,5 +2347,5 @@ object Relational {
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
-    q171HllPaneMerge, q173MadOutliers, q174AbTest)
+    q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini)
 }

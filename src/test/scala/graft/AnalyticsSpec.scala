@@ -449,6 +449,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getLong(2) == odd)
   }
 
+  test("q175: hold durations tile each user's span exactly") {
+    import graft.queries.Relational
+    val r = Relational.q175Twap.run(spark, dir)
+    val span = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        .as("span"),
+        count(lit(1)).as("n_ev"))
+      .filter(col("n_ev") > 1)
+    val bad = r.join(span, "user_id")
+      .filter(col("held_us") =!= col("span") ||
+        col("n_holds") =!= col("n_ev") - 1)
+    assert(bad.count() == 0)
+  }
+
+  test("q176: histogram Gini equals the textbook sorted-rank Gini") {
+    import graft.queries.Relational
+    import org.apache.spark.sql.expressions.Window
+    val g = Relational.q176Gini.run(spark, dir)
+    // brute-force recompute: explicit per-doc ranks (ties broken by
+    // doc_id — rank sums within a tie group are order-invariant, which
+    // is exactly what the closed form exploits)
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val tb = ranked.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("t"),
+        sum(col("i") * col("n_chars")).as("s1"))
+      .select(col("source"),
+        ((lit(2) * col("s1") - (col("n") + 1) * col("t")).cast("double")
+          / (col("n").cast("double") * col("t").cast("double")))
+          .as("gini_tb"))
+    val diff = g.join(tb, "source").filter(col("gini") =!= col("gini_tb"))
+    assert(diff.count() == 0, "closed-form Gini diverged from sorted ranks")
+    assert(g.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() == 0)
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
