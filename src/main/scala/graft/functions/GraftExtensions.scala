@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.IntegerType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // portable HOF dot-product spellings → the fused codegen'd kernels
+    // (strictly guarded pattern match; see FuseVectorOps)
+    ext.injectOptimizerRule(_ => FuseVectorOps)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
