@@ -2335,6 +2335,67 @@ object Relational {
           .as("gini"))
   }
 
+  // ---------------------------------------------------------------- q177
+  /** Market-basket co-occurrence — the recsys/affinity-analysis member:
+    * part pairs ordered together in ≥ 2 baskets, with exact support
+    * counts and the two standard association scores — cosine affinity
+    * c_ab/√(c_a·c_b) and lift c_ab·N/(c_a·c_b) — both fixed-order
+    * double expressions over exact bigints (q135's transcendental-free
+    * discipline: lift ranks identically to PMI).
+    *
+    * Shape: the pair join is a SELF-JOIN ON THE BASKET KEY, so fan-out
+    * is bounded by items-per-basket squared (≤ 13 items here, ≤ C(13,2)
+    * pairs per order — a data constant, never corpus-dimensional), then
+    * one partial-agg roll-up; item frequencies join the pair frame
+    * (vocabulary-sized) and the 1-row basket total broadcasts. The
+    * itemset-mining support cut keeps the output the signal, not the
+    * noise floor. */
+  val q177Copurchase: Q = Q.sql(
+    "q177_copurchase",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), freq AS (
+      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+      |), pairs AS (
+      |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM items a JOIN items b ON b.ok = a.ok AND b.pk > a.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |)
+      |SELECT pk_a, pk_b, c_ab, fa.c AS c_a, fb.c AS c_b,
+      |  CAST(c_ab AS DOUBLE)
+      |    / (sqrt(CAST(fa.c AS DOUBLE)) * sqrt(CAST(fb.c AS DOUBLE)))
+      |    AS cosine,
+      |  CAST(c_ab AS DOUBLE) * n_orders / (fa.c * fb.c) AS lift
+      |FROM pairs
+      |JOIN freq fa ON fa.pk = pairs.pk_a
+      |JOIN freq fb ON fb.pk = pairs.pk_b
+      |CROSS JOIN t""".stripMargin,
+    "market-basket co-occurrence pairs with exact support, cosine and lift") {
+    (s, dir) =>
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val t = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("b.ok") === col("a.ok") && col("b.pk") > col("a.pk"))
+        .groupBy(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      pairs
+        .join(freq.select(col("pk").as("pk_a"), col("c").as("c_a")), "pk_a")
+        .join(freq.select(col("pk").as("pk_b"), col("c").as("c_b")), "pk_b")
+        .crossJoin(broadcast(t))
+        .select(col("pk_a"), col("pk_b"), col("c_ab"), col("c_a"), col("c_b"),
+          (col("c_ab").cast("double")
+            / (sqrt(col("c_a").cast("double"))
+              * sqrt(col("c_b").cast("double")))).as("cosine"),
+          (col("c_ab").cast("double") * col("n_orders")
+            / (col("c_a") * col("c_b"))).as("lift"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2347,5 +2408,6 @@ object Relational {
     q147Profile, q152DecayAttribution, q153ZorderLayout, q156SessionFunnel,
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
-    q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini)
+    q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
+    q177Copurchase)
 }
