@@ -2396,6 +2396,74 @@ object Relational {
             / (col("c_a") * col("c_b"))).as("lift"))
   }
 
+  // ---------------------------------------------------------------- q178
+  /** Skyline (Pareto frontier) — the multi-criteria "best trade-off"
+    * operator (Börzsönyi '01): every order not DOMINATED on
+    * (total price, order recency) — no other order is ≥ on both axes
+    * and strictly better on one. Price quantizes to exact centi-units
+    * and the date to epoch days, so dominance is pure integer compare.
+    *
+    * Scale shape — the naive spelling is one corpus-wide sort window;
+    * this plan is the standard distributed two-phase skyline instead:
+    * (1) a BOUNDED price-band histogram (one partial-agg pass) yields
+    * each band's max date, whose suffix running-max forms a coarse
+    * frontier of O(bands) rows that BROADCASTS back; (2) a map-side
+    * prune drops every point dominated by a strictly-higher band's
+    * maximum (any such point loses on price by construction) — in
+    * practice almost the whole corpus; (3) the exact window pass runs
+    * only over the pruned survivors (frontier + band-boundary
+    * residue). The final window is q113's documented bounded-input
+    * global window. The DuckDB oracle computes the same skyline from
+    * the closed-form single-window spelling — agreement proves the
+    * prune drops no frontier point. */
+  val q178Skyline: Q = Q.sql(
+    "q178_skyline",
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+      |    epoch_us(o_orderdate) // 86400000000 AS d
+      |  FROM orders
+      |), w AS (
+      |  SELECT o_orderkey, pc, d,
+      |    MAX(d) OVER (ORDER BY pc DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS md_strict,
+      |    MAX(d) OVER (PARTITION BY pc) AS md_peer
+      |  FROM pts
+      |)
+      |SELECT o_orderkey, pc, CAST(d AS BIGINT) AS d
+      |FROM w
+      |WHERE (md_strict IS NULL OR md_strict < d) AND d = md_peer""".stripMargin,
+    "Pareto skyline on (price, recency) via band-prune + exact residual pass") {
+    (s, dir) =>
+      val pts = Tables(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("pc"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("d"))
+        .withColumn("bkt", expr("pc div 1000000"))
+      // phase 1: per price-band max date; suffix running max over the
+      // O(bands) frame = the coarse frontier (broadcast back)
+      val wb = Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bands = pts.groupBy(col("bkt")).agg(max(col("d")).as("bd"))
+        .withColumn("bd_above", max(col("bd")).over(wb))
+        .select(col("bkt"), col("bd_above"))
+      // phase 2: map-side prune — a strictly-higher band's max wins on
+      // price by construction, so bd_above >= d is certain dominance
+      val survivors = pts.join(broadcast(bands), Seq("bkt"))
+        .filter(col("bd_above").isNull || col("bd_above") < col("d"))
+      // phase 3: exact skyline over the pruned residue (bounded-input
+      // global window, q113 discipline)
+      val ws = Window.orderBy(col("pc").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wp = Window.partitionBy(col("pc"))
+      survivors
+        .withColumn("md_strict", max(col("d")).over(ws))
+        .withColumn("md_peer", max(col("d")).over(wp))
+        .filter((col("md_strict").isNull || col("md_strict") < col("d")) &&
+          col("d") === col("md_peer"))
+        .select(col("o_orderkey"), col("pc"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2409,5 +2477,5 @@ object Relational {
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
-    q177Copurchase)
+    q177Copurchase, q178Skyline)
 }

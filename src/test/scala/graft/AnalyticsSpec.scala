@@ -487,6 +487,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(g.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() == 0)
   }
 
+  test("q178: skyline equals the brute-force dominance anti-join") {
+    import graft.queries.Relational
+    val pts = Tables(spark, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("pc"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("d"))
+    // brute force: a point survives iff NO other point is >= on both
+    // axes and strictly better on one
+    val dominated = pts.as("p").join(pts.as("q"),
+      col("q.pc") >= col("p.pc") && col("q.d") >= col("p.d") &&
+        (col("q.pc") > col("p.pc") || col("q.d") > col("p.d")),
+      "left_semi")
+    val expected = pts.exceptAll(dominated)
+    val got = Relational.q178Skyline.run(spark, dir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
