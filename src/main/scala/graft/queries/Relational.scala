@@ -2464,6 +2464,82 @@ object Relational {
         .select(col("o_orderkey"), col("pc"), col("d"))
   }
 
+  // ---------------------------------------------------------------- q179
+  /** Per-user activity trend — ordinary-least-squares slope, intercept
+    * and R² of daily event value over time, the per-entity trend
+    * detector (q165's six-exact-sums machinery pointed at regression
+    * instead of correlation). The regressor is the day offset from the
+    * user's own first day (≤ 30 here) and the response the daily value
+    * sum in centi-units, so every moment sum — n, Σt, Σy, Σty, Σt²,
+    * Σy² — is an exact bigint with documented headroom, and
+    * slope/intercept/R² are fixed-order double expressions over exact
+    * integers. Users with a single active day (zero time variance)
+    * emit NULLs. R² = (nΣty−ΣtΣy)² / ((nΣt²−(Σt)²)(nΣy²−(Σy)²)) —
+    * both factors exact, one double division.
+    *
+    * Shape: daily partial-agg roll-up, then moment sums — both on the
+    * user_id key; nothing holds a per-user series in memory. */
+  val q179TrendOls: Q = Q.sql(
+    "q179_trend_ols",
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      |  FROM events GROUP BY 1, 2
+      |), ctr AS (
+      |  SELECT user_id, day - MIN(day) OVER (PARTITION BY user_id) AS t, yc
+      |  FROM daily
+      |), m AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(yc) AS BIGINT) AS sy,
+      |    CAST(SUM(t * yc) AS BIGINT) AS sty,
+      |    CAST(SUM(t * t) AS BIGINT) AS stt,
+      |    CAST(SUM(yc * yc) AS BIGINT) AS syy
+      |  FROM ctr GROUP BY 1
+      |)
+      |SELECT user_id, n AS n_days,
+      |  CASE WHEN n * stt - st * st = 0 THEN NULL
+      |       ELSE CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) / 100
+      |  END AS slope_per_day,
+      |  CASE WHEN n * stt - st * st = 0 THEN NULL
+      |       ELSE (CAST(sy AS DOUBLE) / n
+      |             - CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st)
+      |               * st / n) / 100
+      |  END AS intercept,
+      |  CASE WHEN n * stt - st * st = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |       ELSE CAST(n * sty - st * sy AS DOUBLE)
+      |            * (n * sty - st * sy)
+      |            / (CAST(n * stt - st * st AS DOUBLE) * (n * syy - sy * sy))
+      |  END AS r2
+      |FROM m""".stripMargin,
+    "per-user OLS trend: slope/intercept/R² from exact integer moment sums") {
+    (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("yc"))
+      val wMin = Window.partitionBy(col("user_id"))
+      val ctr = daily.select(col("user_id"),
+        (col("day") - min(col("day")).over(wMin)).as("t"), col("yc"))
+      val m = ctr.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).as("st"), sum(col("yc")).as("sy"),
+          sum(col("t") * col("yc")).as("sty"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("yc") * col("yc")).as("syy"))
+      val dt = col("n") * col("stt") - col("st") * col("st")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val cov = col("n") * col("sty") - col("st") * col("sy")
+      val slope = cov.cast("double") / dt
+      m.select(col("user_id"), col("n").as("n_days"),
+        when(dt === 0, lit(null)).otherwise(slope / 100).as("slope_per_day"),
+        when(dt === 0, lit(null))
+          .otherwise((col("sy").cast("double") / col("n")
+            - slope * col("st") / col("n")) / 100).as("intercept"),
+        when(dt === 0 || dy === 0, lit(null))
+          .otherwise(cov.cast("double") * cov / (dt.cast("double") * dy))
+          .as("r2"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2477,5 +2553,5 @@ object Relational {
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
-    q177Copurchase, q178Skyline)
+    q177Copurchase, q178Skyline, q179TrendOls)
 }

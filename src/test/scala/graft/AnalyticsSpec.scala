@@ -505,6 +505,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("q179: R² bounded and the fit passes through the mean point") {
+    import graft.queries.Relational
+    val r = Relational.q179TrendOls.run(spark, dir).cache()
+    assert(r.filter(col("r2") < 0.0 || col("r2") > 1.0 + 1e-12).count() == 0)
+    // OLS identity: ȳ = intercept + slope·t̄ (recomputed from raw data)
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("yc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val means = daily
+      .select(col("user_id"),
+        (col("day") - min(col("day")).over(w)).as("t"), col("yc"))
+      .groupBy("user_id")
+      .agg((sum("t").cast("double") / count(lit(1))).as("tbar"),
+        (sum("yc").cast("double") / count(lit(1)) / 100).as("ybar"))
+    val broken = r.filter(col("slope_per_day").isNotNull).join(means, "user_id")
+      .filter(abs(col("intercept") + col("slope_per_day") * col("tbar")
+        - col("ybar")) > 1e-6)
+    assert(broken.count() == 0)
+    r.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)
