@@ -2540,6 +2540,78 @@ object Relational {
           .as("r2"))
   }
 
+  // ---------------------------------------------------------------- q180
+  /** Grid-partitioned spatial join — the geo/metric-space member: all
+    * point pairs within L∞ radius r, via the classic cell-bucketed
+    * plan. Points derive deterministically from the user population
+    * (md5 coordinates — engine-portable, the house 60-bit hash mod the
+    * domain), each LEFT point replicates to its 3×3 neighbor cells
+    * (constant fan-out), candidates meet RIGHT points in their HOME
+    * cell through one EQUI-join on the cell key, and the exact
+    * distance predicate filters residually. A pair is generated
+    * exactly once (in the right point's home cell, a < b orienting),
+    * so no dedup pass exists.
+    *
+    * The oracle is the brute-force THETA join — so the hash gate
+    * proves the grid decomposition is lossless: every in-radius pair
+    * and nothing else. At 100 TB the theta spelling is a cross join;
+    * the grid spelling shuffles each point 9× on a key whose
+    * selectivity is the cell occupancy — the standard distributed
+    * spatial-join shape (cell size = r keeps the 3×3 neighborhood
+    * sufficient and the candidate set sharp). */
+  val q180SpatialJoin: Q = {
+    val r = 20000L // L∞ radius; cell size = r ⇒ 3×3 neighborhood suffices
+    Q.sql(
+      "q180_spatial_join",
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events
+         |), pts AS (
+         |  SELECT user_id,
+         |    ('0x' || substr(md5('x' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000000 AS x,
+         |    ('0x' || substr(md5('y' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000000 AS y
+         |  FROM u
+         |)
+         |SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |  a.x - b.x AS dx, a.y - b.y AS dy,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |FROM pts a JOIN pts b
+         |  ON b.user_id > a.user_id
+         |  AND abs(a.x - b.x) <= $r AND abs(a.y - b.y) <= $r""".stripMargin,
+      "all point pairs within L-inf radius via a 3x3 grid-cell equi-join") {
+      (s, dir) =>
+        val pts = Tables(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id"),
+            (graft.ops.Text.baseHash(concat(lit("x"), col("user_id").cast("string")))
+              % 1000000L).as("x"),
+            (graft.ops.Text.baseHash(concat(lit("y"), col("user_id").cast("string")))
+              % 1000000L).as("y"))
+        // left side fans out to the 3×3 neighborhood of its home cell
+        val offsets = explode(array((-1 to 1).flatMap(i =>
+          (-1 to 1).map(j => struct(lit(i.toLong).as("oi"),
+            lit(j.toLong).as("oj")))): _*)).as("o")
+        val left = pts.select(col("user_id").as("user_a"),
+            col("x").as("ax"), col("y").as("ay"), offsets)
+          .select(col("user_a"), col("ax"), col("ay"),
+            (expr(s"ax div $r") + col("o.oi")).as("cx"),
+            (expr(s"ay div $r") + col("o.oj")).as("cy"))
+        val right = pts.select(col("user_id").as("user_b"),
+          col("x").as("bx"), col("y").as("by"),
+          expr(s"bx div $r").as("cx"), expr(s"by div $r").as("cy"))
+        left.join(right, Seq("cx", "cy"))
+          .filter(col("user_b") > col("user_a") &&
+            abs(col("ax") - col("bx")) <= r &&
+            abs(col("ay") - col("by")) <= r)
+          .select(col("user_a"), col("user_b"),
+            (col("ax") - col("bx")).as("dx"),
+            (col("ay") - col("by")).as("dy"),
+            ((col("ax") - col("bx")) * (col("ax") - col("bx"))
+              + (col("ay") - col("by")) * (col("ay") - col("by")))
+              .as("dist2"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2553,5 +2625,5 @@ object Relational {
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
-    q177Copurchase, q178Skyline, q179TrendOls)
+    q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin)
 }

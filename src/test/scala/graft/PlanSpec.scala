@@ -424,6 +424,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("q180: spatial candidates meet through an equi-join, never a cross") {
+    val p = plan("q180_spatial_join")
+    // the grid cell key must carry the join — a theta/cross fallback is
+    // the O(n²) plan the decomposition exists to avoid
+    assert(!p.contains("CartesianProduct"), s"spatial join went quadratic:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join fell back to NLJ:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join in the plan:\n$p")
+  }
+
   test("q139: islands + longest-run rank share the shuffle; top-1 prunes") {
     val p = plan("q139_longest_streak")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
