@@ -120,5 +120,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val dfCms = Tables(spark, dir, "events")
       .agg(graft.functions.CmsCounts.counts(col("user_id"), 4, 64).as("cms"))
     assert(canon(sqlCms) == canon(dfCms))
+
+    // hll_registers: SQL aggregate equals the Column aggregate (register
+    // max is a deterministic function of the input SET)
+    val sqlHll = SqlSurface.sql(spark,
+      """SELECT lang, hll_registers(
+        |  CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT), 10) AS r
+        |FROM documents GROUP BY lang""".stripMargin)
+    val dfHll = Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(graft.functions.Hll.registers(
+        graft.ops.Text.baseHash(col("text")), 10).as("r"))
+    assert(canon(sqlHll) == canon(dfHll))
   }
 }
