@@ -2560,7 +2560,10 @@ object Relational {
     * spatial-join shape (cell size = r keeps the 3×3 neighborhood
     * sufficient and the candidate set sharp). */
   val q180SpatialJoin: Q = {
-    val r = 20000L // L∞ radius; cell size = r ⇒ 3×3 neighborhood suffices
+    // L∞ radius; cell size = r ⇒ 3×3 neighborhood suffices. 50k (5% of
+    // the domain side) keeps the smoke fixture's ~50-point population
+    // from going pair-free.
+    val r = 50000L
     Q.sql(
       "q180_spatial_join",
       s"""WITH u AS (
