@@ -165,4 +165,54 @@ object OpsProperties extends Properties("graft.ops") {
       lev(w, w2) > 2 || (del2(w) intersect del2(w2)).nonEmpty
     }
   }
+
+  property("HLL registers: merge of any split == sketch of the union") = {
+    // the mergeability theorem q171's pane design rests on, over random
+    // hash sets and random split points — in-memory, via the aggregate's
+    // own update/merge (partition-shape independence is HllSpec's job)
+    val gen = for {
+      hs <- Gen.listOfN(200, Gen.choose(0L, (1L << 60) - 1))
+      cut <- Gen.choose(0, 200)
+    } yield (hs, cut)
+    Prop.forAll(gen) { case (hs, cut) =>
+      import org.apache.spark.sql.GraftBridge
+      val agg = graft.functions.HllRegisters(
+        GraftBridge.expression(lit(0L)), 10)
+      def fold(xs: Seq[Long]) = xs.foldLeft(agg.createAggregationBuffer()) {
+        (b, h) =>
+          val idx = (h >>> 50).toInt & 1023
+          val low = h & ((1L << 50) - 1)
+          val rho = if (low == 0L) 51
+            else 51 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+          if (rho > b(idx)) b(idx) = rho.toByte
+          b
+      }
+      val (l, r) = hs.splitAt(cut)
+      val merged = agg.merge(fold(l), fold(r))
+      merged.toSeq == fold(hs).toSeq
+    }
+  }
+
+  property("fused dot product == left-fold reference on random vectors") = {
+    // the value identity FuseVectorOps relies on, over random lengths
+    // and contents (including the length-mismatch NULL contract); the
+    // reference is an IN-MEMORY strict left fold — comparing two Spark
+    // spellings would be trivialized by the rewrite rule itself
+    val vec = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 7.0f)))
+    Prop.forAll(Gen.zip(vec, vec)) { case (a, b) =>
+      import spark.implicits._
+      val row = spark.createDataset(Seq((a.toArray, b.toArray)))
+        .toDF("a", "b")
+        .select(graft.ops.Vectors.dot(col("a"), col("b")).as("fused"))
+        .head()
+      if (a.length != b.length) row.isNullAt(0)
+      else {
+        val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + x.toDouble * y.toDouble
+        }
+        row.getDouble(0) == expected
+      }
+    }
+  }
 }
