@@ -435,6 +435,38 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"no equi-join in the plan:\n$p")
   }
 
+  test("q171: panes partial-agg map-side; the grid join broadcasts") {
+    val p = plan("q171_hll_pane_merge")
+    assert(p.contains("partial_hll_registers"),
+      s"hourly registers did not partial-agg:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"hour-grid join not broadcast:\n$p")
+  }
+
+  test("q173: the median/MAD caps broadcast back; corpus never re-sorts") {
+    val p = plan("q173_mad_outliers")
+    // both percentile draws run over bounded histograms and the scoring
+    // joins must be broadcasts — a shuffle join here would move the
+    // corpus twice for two tiny per-type frames
+    assert(p.contains("BroadcastHashJoin"), s"caps joined by shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for cap join:\n$p")
+  }
+
+  test("q175/q176: hold-fold and Gini ride their minimal exchanges") {
+    val p175 = plan("q175_twap")
+    assert(countExchanges(p175) == 1, s"q175 expected 1 exchange:\n$p175")
+    assert(!p175.contains("Join"), s"q175 unexpected join:\n$p175")
+    val p176 = plan("q176_gini")
+    assert(countExchanges(p176) == 2, s"q176 expected 2 exchanges:\n$p176")
+    assert(!p176.contains("Join"), s"q176 unexpected join:\n$p176")
+  }
+
+  test("q177: basket pairs never go cartesian") {
+    val p = plan("q177_copurchase")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation went quadratic:\n$p")
+  }
+
   test("q139: islands + longest-run rank share the shuffle; top-1 prunes") {
     val p = plan("q139_longest_streak")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
