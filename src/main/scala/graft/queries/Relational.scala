@@ -2615,6 +2615,73 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q181
+  /** Pattern with NEGATION — "a purchase preceded by a view with NO
+    * error in between", the MATCH_RECOGNIZE-class refinement plain
+    * funnels (q115/q156) can't express: the absence of an event is not
+    * a join. Spelling: one user-ordered pass carries a running error
+    * count (strictly-before frame), a second stacked window
+    * forward-fills the count AS OF the latest view (`last_value …
+    * IGNORE NULLS` — q130's LOCF shape), and the negation is then pure
+    * arithmetic: `errors_before(purchase) − errors_before(view) = 0`.
+    * No anti-join, no band join, no self-join — the absent-event test
+    * costs two subtractions. Purchases with no prior view keep NULLs
+    * (the un-matchable case stays visible).
+    *
+    * Shape: both window layers share ONE user_id exchange (PlanSpec);
+    * the strictly-before error frame makes same-timestamp boundaries
+    * deterministic under the (ts, event_id) total order. */
+  val q181PatternNegation: Q = Q.sql(
+    "q181_pattern_negation",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus, ts,
+      |    COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS err_before
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, event_type, tus, err_before,
+      |    last_value(CASE WHEN event_type = 'view' THEN tus END IGNORE NULLS)
+      |      OVER w AS view_us,
+      |    last_value(CASE WHEN event_type = 'view' THEN err_before END
+      |               IGNORE NULLS) OVER w AS err_at_view
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, tus AS purchase_us, view_us,
+      |  CAST(err_before - err_at_view AS BIGINT) AS errs_between,
+      |  err_before - err_at_view = 0 AS clean_path
+      |FROM f WHERE event_type = 'purchase'""".stripMargin,
+    "purchase preceded by a view with no error between: negation by window arithmetic") {
+    (s, dir) =>
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("ts"))
+        .withColumn("err_before",
+          coalesce(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .over(wPrev), lit(0L)))
+        .withColumn("view_us",
+          last(when(col("event_type") === "view", col("tus")),
+            ignoreNulls = true).over(wCur))
+        .withColumn("err_at_view",
+          last(when(col("event_type") === "view", col("err_before")),
+            ignoreNulls = true).over(wCur))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus").as("purchase_us"),
+          col("view_us"),
+          (col("err_before") - col("err_at_view")).cast("long")
+            .as("errs_between"),
+          (col("err_before") - col("err_at_view") === 0).as("clean_path"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2628,5 +2695,6 @@ object Relational {
     q157RiAudit, q160Winsorize, q161CdcApply, q162Scd2, q163DriftChisq,
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
-    q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin)
+    q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
+    q181PatternNegation)
 }

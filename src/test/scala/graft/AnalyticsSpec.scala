@@ -528,6 +528,43 @@ class AnalyticsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q181: window arithmetic agrees with the brute-force interval test") {
+    import graft.queries.Relational
+    val r = Relational.q181PatternNegation.run(spark, dir).cache()
+    val nPurch = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(r.count() == nPurch)
+    // brute force: an error strictly inside (view_ts, purchase_ts] by the
+    // (ts, event_id) total order flips clean_path — recompute via a band
+    // join and compare the boolean per purchase
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("tus").as("e_tus"),
+        col("event_id").as("e_id"))
+    val withView = r.filter(col("view_us").isNotNull)
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("event_id").as("p_id")), "event_id")
+    // closed band [view, purchase] is a superset of the window's strict
+    // (ts, event_id)-ordered interval, so flagged ⇒ error-in-band holds
+    val dirty = withView.join(errs,
+        col("e_user") === col("user_id") &&
+          col("e_tus") >= col("view_us") &&
+          col("e_tus") <= col("purchase_us"), "left_semi")
+    // spot-consistency: every purchase the window calls dirty has at
+    // least one error in its [view, purchase] closed band, and clean
+    // ones have errs_between = 0
+    assert(r.filter(col("clean_path") && col("errs_between") =!= 0)
+      .count() == 0)
+    assert(r.filter(!col("clean_path") && col("errs_between") <= 0)
+      .count() == 0)
+    val flagged = r.filter(col("view_us").isNotNull && !col("clean_path"))
+    assert(flagged.join(dirty.select("event_id"), Seq("event_id"), "left_anti")
+      .count() == 0, "window-flagged purchase has no error in its band")
+    r.unpersist()
+  }
+
   test("q144: the PPS draw includes exactly the under-threshold hashes") {
     val p = TextPipeline.q144PpsSample.run(spark, dir).cache()
     assert(p.filter(col("p_incl") <= 0.0 || col("p_incl") > 1.0).count() == 0)

@@ -467,6 +467,12 @@ class PlanSpec extends AnyFunSuite {
       s"pair generation went quadratic:\n$p")
   }
 
+  test("q181: negation pattern rides one exchange, join-free") {
+    val p = plan("q181_pattern_negation")
+    assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"absence test turned into a join:\n$p")
+  }
+
   test("q139: islands + longest-run rank share the shuffle; top-1 prunes") {
     val p = plan("q139_longest_streak")
     assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
