@@ -2682,6 +2682,57 @@ object Relational {
           (col("err_before") - col("err_at_view") === 0).as("clean_path"))
   }
 
+  // ---------------------------------------------------------------- q182
+  /** Quantile normalization — the feature transform (sklearn's
+    * QuantileTransformer shape): each event's value maps to its
+    * empirical CDF position within its type, computed ENTIRELY from the
+    * bounded centi-unit histogram (q160/q173's discipline): cdf =
+    * (rows strictly below the bucket + half the bucket's own mass) / n,
+    * an exact bigint rational emitted as one double division — the
+    * mid-rank convention, so ties share a position and the transform
+    * is a pure function of the value. The corpus-wide sort the
+    * textbook rank spelling implies never runs; the scoring join is a
+    * broadcast of the bounded histogram.
+    *
+    * Shape: one partial-agg histogram pass + cumsum window over the
+    * BOUNDED bucket domain + map-side broadcast join back. */
+  val q182QuantileNorm: Q = Q.sql(
+    "q182_quantile_norm",
+    """WITH b AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS bk
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, bk, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, bk, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h
+      |)
+      |SELECT b.event_id, b.event_type, b.bk,
+      |  CAST(2 * cum.below + cum.c AS DOUBLE) / (2 * cum.n) AS cdf_pos
+      |FROM b JOIN cum ON cum.event_type = b.event_type AND cum.bk = b.bk""".stripMargin,
+    "quantile normalization: mid-rank empirical CDF from bounded histograms") {
+    (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("bk"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = b.groupBy(col("event_type"), col("bk"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wAll))
+      b.join(broadcast(cum), Seq("event_type", "bk"))
+        .select(col("event_id"), col("event_type"), col("bk"),
+          ((lit(2) * col("below") + col("c")).cast("double")
+            / (lit(2) * col("n"))).as("cdf_pos"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
