@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * HOF spelling has via zip_with's null padding.
   *
   * The match is deliberately strict — it fires ONLY when:
-  *   - the zero literal is exactly 0.0 / 0L and the finish lambda is the
-  *     identity (the shapes `aggregate` generates for a plain sum);
+  *   - the zero literal is bit-exactly +0.0 / 0L and the finish lambda is
+  *     the identity (the shapes `aggregate` generates for a plain sum); a
+  *     -0.0 seed compares == 0.0 but folds to -0.0 over empty arrays, so
+  *     the double guard checks `doubleToRawLongBits(zero) == 0L`;
   *   - the merge lambda is `acc + v` in that argument order;
   *   - the element lambda is `x * y` with each side the corresponding
   *     lambda variable, bare or under a single widening cast;
@@ -90,7 +92,8 @@ object FuseVectorOps extends Rule[LogicalPlan] {
     else plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, mul), Literal(zero: Double, DoubleType),
           merge, finish)
-          if zero == 0.0 && floatish(a) && floatish(b) &&
+          if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            floatish(a) && floatish(b) &&
             isElementwiseMul(mul, DoubleType) && isSum(merge) &&
             isIdentity(finish) =>
         DotProduct(a, b)

@@ -2747,5 +2747,5 @@ object Relational {
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
-    q181PatternNegation)
+    q181PatternNegation, q182QuantileNorm)
 }

@@ -2488,7 +2488,14 @@ object TextPipeline {
     * only for df ≤ 200 — a stopword's postings list is O(corpus) and a
     * real build range-shards those few terms (the q93 sharding shape),
     * so the high-df rows keep their stats and carry NULL postings here.
-    * The collect is per-TERM (bounded by the df cap), never per-corpus. */
+    * The bounded-state contract is structural, not cosmetic: df/cf come
+    * from a partial-agg stats pass with NO list buffer, and the
+    * collect_list pass runs only over rows that survive a semi-join on
+    * the df≤200 term set — a stopword term never feeds ANY aggregation
+    * buffer with its O(corpus) postings; the largest buffer any reducer
+    * holds is 200 entries. Three term-keyed hash exchanges (stats,
+    * semi, collect) that AQE co-plans; the final left join stitches
+    * NULL postings onto the high-df rows. */
   val q164PostingsIndex: Q = Q.sql(
     "q164_postings_index",
     """WITH tk AS (
@@ -2508,16 +2515,21 @@ object TextPipeline {
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("doc_id"), col("tf")))),
-              x => concat(x("doc_id").cast("string"), lit(":"),
-                x("tf").cast("string"))), ",").as("p0"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
         .filter(col("df") >= 10)
-        .select(col("term"), col("df"), col("cf"),
-          when(col("df") <= 200, col("p0")).as("postings"))
+      // postings buffers exist ONLY for df<=200 terms (max 200 entries)
+      val postings = tf
+        .join(stats.filter(col("df") <= 200).select(col("term")),
+          Seq("term"), "left_semi")
+        .groupBy(col("term"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            x => concat(x("doc_id").cast("string"), lit(":"),
+              x("tf").cast("string"))), ",").as("postings"))
+      stats.join(postings, Seq("term"), "left_outer")
+        .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 
   // ---------------------------------------------------------------- q166

