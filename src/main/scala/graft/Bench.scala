@@ -64,6 +64,27 @@ object Bench {
     dst.resolve(src.getFileName).toString
   }
 
+  /** Single-thread CPU calibration: fixed xorshift-mix work, reported as
+    * M ops/s. The r6→r7 regression hunt's lesson: the host can lose
+    * ~35% effective CPU speed across measurement windows while
+    * io_calibration AND cpu_steal both look healthy (same-code A/B:
+    * the r5 snapshot re-benched 96.4 s → 148.2 s same surface, io
+    * 457 MB/s, steal 0.01) — frequency scaling / SMT-neighbor effects
+    * show up in no /proc/stat field, so the bench must carry its own
+    * CPU yardstick for cross-window comparability. */
+  def cpuCalibrationMops(iters: Long = 400000000L): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    // fold x into the result so the loop cannot be dead-code eliminated
+    val dt = (System.nanoTime() - t0) / 1e9
+    (iters / 1e6) / dt + (x & 1) * 1e-9
+  }
+
   /** (steal, total) jiffies from the aggregate /proc/stat cpu line; the
     * delta across the run exposes host CPU contention — the round-5
     * observation that a throttle window can ALSO steal cycles, smearing
@@ -81,6 +102,7 @@ object Bench {
     val sfDirRaw = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // calibrate the host volume BEFORE staging reads warm the page cache
     val ioMbps = ioCalibrationMbps(sys.props("java.io.tmpdir"))
+    val cpuMops = cpuCalibrationMops()
     val cpu0 = cpuStatTicks()
     val sfDir = stageInput(sfDirRaw)
     System.err.println(
@@ -113,14 +135,41 @@ object Bench {
     spark.range(100)
       .groupBy((org.apache.spark.sql.functions.col("id") % 4).as("k"))
       .count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q60,q64 — prefix-matched subset (same contract as
+    // Verify): lets a like-for-like surface re-run isolate in-session
+    // effects (the r6 regression hunt benched the r5 surface alone).
+    // SPARK_GRAFT_REVERSE=1 reverses the run order — the order-independence
+    // experiment's lever, nothing else changes.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.exists(kv._1.startsWith)))
+    val ordered = if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
+      ordered0.reverse else ordered0
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    var gcTotal = 0L
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val g0 = gcMillis()
       // a failed query must be visible as a failure, never as a timing
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gq = gcMillis() - g0
+      gcTotal += gq
+      // attribute session-cache builds/evictions and GC stalls to the
+      // query that paid for them (the r6->r7 in-session regression hunt)
+      var ev = List.empty[String]
+      var e = SessionCache.events.poll()
+      while (e != null) { ev ::= e; e = SessionCache.events.poll() }
+      if (ev.nonEmpty || gq > 500) System.err.println(
+        f"[graft.Bench] $name%-28s $dt%7.2fs gc=${gq / 1000.0}%.1fs" +
+          (if (ev.nonEmpty) s" cache: ${ev.reverse.mkString("; ")}" else ""))
+      (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -136,10 +185,11 @@ object Bench {
     // healthy at both ends = 148 s; run 2 started at 277 MB/s, ended
     // throttled, total inflated 42%)
     val ioEnd = ioCalibrationMbps(sys.props("java.io.tmpdir"))
+    val cpuMopsEnd = cpuCalibrationMops()
     val stealPct = (for ((s0, t0) <- cpu0; (s1, t1) <- cpuStatTicks()
       if t1 > t0) yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     val ioField = f"$ioMbps%.1f"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
     println(json)
     // sidecar: the driver's stdout capture truncates long lines (BENCH_r05
     // lost q01-q29), so round-over-round per-query diffs need the full map

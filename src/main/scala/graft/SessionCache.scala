@@ -40,6 +40,16 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionCache {
 
+  /** Observability (r6→r7 regression hunt): every memo build appends a
+    * `build <key>` event; a soft-cleared value detected at lookup appends
+    * `cleared <key>` before its rebuild; plain hits only bump [[hits]].
+    * `Bench` drains [[events]] per query to attribute in-session cache
+    * pressure to the query that paid for it. Bounded: one entry per
+    * build/eviction, never per lookup. */
+  val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val hitsC = new java.util.concurrent.atomic.LongAdder
+  def hits: Long = hitsC.sum()
+
   private sealed trait Box { def get: AnyRef; def onCleared(): Unit = () }
   private final class Strong(v: AnyRef) extends Box { def get: AnyRef = v }
   private final class Soft(v: AnyRef) extends Box {
@@ -70,6 +80,7 @@ object SessionCache {
       val prior = inner.putIfAbsent(key, fresh)
       if (prior == null) {
         try {
+          events.add(s"build $key")
           val v = build
           fresh.complete(wrap(v))
           return v
@@ -89,7 +100,8 @@ object SessionCache {
               throw e.getCause
           }
         val v = box.get
-        if (v != null) return v.asInstanceOf[V]
+        if (v != null) { hitsC.increment(); return v.asInstanceOf[V] }
+        events.add(s"cleared $key")
         box.onCleared() // evict the orphaned cache entry before rebuilding
         inner.remove(key, prior) // GC cleared between uses: rebuild
       }

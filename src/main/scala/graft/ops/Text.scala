@@ -94,6 +94,45 @@ object Text {
     md5(array_join(transform(sig, _.cast("string")), "|"))
   }
 
+  /** Apply a ranked BPE merge list to a token array (the ENCODE side of
+    * the q113 trainer; Sennrich et al. '16 §3.2's inference step applied
+    * as one bounded pass per merge, in rank order). Returns the merged
+    * token sequence joined by single spaces ("" for an empty input).
+    *
+    * Spelling: the token array is joined with a TWO-space separator and
+    * wrapped in two spaces; merge i rewrites `" a  b "` → `" ab "`.
+    * Because tokens never contain whitespace, the one-space pattern
+    * margins anchor whole-token matches while leaving each neighbour
+    * boundary with its other space — so after a rewrite every boundary
+    * is again exactly two spaces and consecutive occurrences merge
+    * greedily left-to-right, exactly the BPE scan (`replace` is
+    * left-to-right non-overlapping in both Spark and DuckDB; the merged
+    * token is strictly longer than its left half, so a fresh merge can
+    * never re-trigger the same rule on itself). A missing merge slot
+    * (fewer than `maxMerges` trained) degrades to a U+0001 control-char
+    * pattern that can never match tokenized text (NOT the empty string,
+    * which `replace` would insert at every position).
+    *
+    * All codegen'd string expressions — per-doc cost is `maxMerges`
+    * linear scans of the doc, map-side only; the merge list itself is a
+    * vocab-bounded model artifact the caller broadcasts. */
+  def bpeApply(toks: Column, merges: Column, maxMerges: Int): Column = {
+    def rep(s: Column, pat: Column, to: Column): Column =
+      call_function("replace", s, pat, to)
+    var s: Column = concat(lit("  "), array_join(toks, "  "), lit("  "))
+    for (i <- 1 to maxMerges) {
+      val pair = try_element_at(merges, lit(i)) // "a b", null when untrained
+      val a = element_at(split(pair, " "), 1)
+      val b = element_at(split(pair, " "), 2)
+      val pat = coalesce(
+        concat(lit(" "), a, lit("  "), b, lit(" ")), lit("\u0001"))
+      val to = coalesce(
+        concat(lit(" "), rep(pair, lit(" "), lit("")), lit(" ")), lit("\u0001"))
+      s = rep(s, pat, to)
+    }
+    rep(trim(s), lit("  "), lit(" "))
+  }
+
   /** LSH band keys from a MinHash signature: `bands` keys, each hashing
     * `rows` consecutive signature slots. Docs sharing any band key are
     * near-dup candidates; the band join is an equi-join (shuffle on the

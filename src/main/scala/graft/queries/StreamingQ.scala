@@ -673,39 +673,22 @@ object StreamingQ {
   private def hllStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     streamOnce("stream-hll", spark, dir) { _ =>
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+      hllDerived(StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+        .toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"),
           graft.functions.Hll.registers(
             graft.ops.Text.baseHash(col("user_id").cast("string")), 10)
-            .as("regs"))
-        .select(unix_timestamp(col("window.start")).as("bucket_start"),
-          col("n_events"),
-          expr("cast(size(filter(regs, r -> r = 0)) as bigint)").as("v_zero"),
-          expr("aggregate(regs, cast(0 as bigint)," +
-            " (acc, r) -> acc + shiftleft(cast(1 as bigint), 51 - r))")
-            .as("s_sum"),
-          ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)))
-            * (lit(1048576.0) * lit(2.251799813685248e15))
-            / col("s_sum")).as("hll_raw"))
+            .as("regs")))
     }
   }
 
-  /** Streaming HLL distinct sketch — q166's register aggregate composed
-    * with the watermarked tumbling window (q96's shape with the other
-    * house sketch): per closed hour the native mergeable
-    * [[graft.functions.HllRegisters]] state (1 KiB per window, register
-    * max absorbs duplicate users with no DISTINCT state) emits the
-    * exact-integer S = Σ 2^(51−M), the zero-register count and the raw
-    * estimate. Per-hour cardinality here sits in the small-range regime
-    * (v_zero > 0) where production applies linear counting — the gate
-    * pins the raw arithmetic and the registers themselves (via S), which
-    * is the engine's contract; the correction is a consumer-side CASE.
-    * Oracle: identical register recomputation per bucket in DuckDB,
-    * q80's ms-truncated watermark cutoff. */
-  val q167StreamHll: Q = Q.sql(
-    "q167_stream_hll",
+  /** Shared by q167 (one-shot) and q184 (checkpoint restart): DuckDB
+    * recomputes the per-bucket register array closed-form, so ONE lost
+    * or replayed row across a restart moves a register max and fails
+    * the hash via s_sum. */
+  private val hllOracleSql: String =
     """WITH b AS (
       |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -739,10 +722,76 @@ object StreamingQ {
       |    * (CAST(1048576 AS DOUBLE) * 2251799813685248) / a.s_sum AS hll_raw
       |FROM agg a JOIN n ON n.bucket_start = a.bucket_start
       |WHERE (a.bucket_start + 3600) * 1000000 <=
-      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin
+
+  /** Streaming HLL distinct sketch — q166's register aggregate composed
+    * with the watermarked tumbling window (q96's shape with the other
+    * house sketch): per closed hour the native mergeable
+    * [[graft.functions.HllRegisters]] state (1 KiB per window, register
+    * max absorbs duplicate users with no DISTINCT state) emits the
+    * exact-integer S = Σ 2^(51−M), the zero-register count and the raw
+    * estimate. Per-hour cardinality here sits in the small-range regime
+    * (v_zero > 0) where production applies linear counting — the gate
+    * pins the raw arithmetic and the registers themselves (via S), which
+    * is the engine's contract; the correction is a consumer-side CASE.
+    * Oracle: identical register recomputation per bucket in DuckDB,
+    * q80's ms-truncated watermark cutoff. */
+  val q167StreamHll: Q = Q.sql(
+    "q167_stream_hll",
+    hllOracleSql,
     "streaming tumbling-window HLL registers + raw estimate (native mergeable agg)") {
     (s, dir) =>
       hllStream(s, dir).select(col("bucket_start"), col("n_events"),
+        col("v_zero"), col("s_sum"), col("hll_raw"))
+  }
+
+  /** The post-agg projection both the one-shot (q167) and restarted
+    * (q184) HLL streams share: exact-integer S-sum, zero-register count
+    * and the fixed-order raw estimate off the register array. */
+  private def hllDerived(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(unix_timestamp(col("window.start")).as("bucket_start"),
+      col("n_events"),
+      expr("cast(size(filter(regs, r -> r = 0)) as bigint)").as("v_zero"),
+      expr("aggregate(regs, cast(0 as bigint)," +
+        " (acc, r) -> acc + shiftleft(cast(1 as bigint), 51 - r))")
+        .as("s_sum"),
+      ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)))
+        * (lit(1048576.0) * lit(2.251799813685248e15))
+        / col("s_sum")).as("hll_raw"))
+  }
+
+  private def hllRestartStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamRestart("hll-restart", spark, dir) { (sess, watch) =>
+      hllDerived(StreamingFeed.eventsStream(sess, watch).toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Hll.registers(
+            graft.ops.Text.baseHash(col("user_id").cast("string")), 10)
+            .as("regs")))
+    }
+  }
+
+  /** Checkpoint restart of the HLL register buffer — closing the
+    * sketch×restart matrix q127 opened: CMS and HLL share the
+    * TypedImperativeAggregate state-store path but not the buffer
+    * layout (counter matrix vs register-max array), so this gate
+    * exercises the HllRegisters serialize/deserialize round trip across
+    * a kill specifically. The q167 stream is cut mid-feed (q117's
+    * two-incarnation scaffold: first incarnation drains the front half
+    * of the ranked feed and dies, the second resumes from the
+    * checkpoint over the back half); open hours' 1 KiB register arrays
+    * must come back EXACTLY — a single lost or replayed row moves a
+    * register max, shifts s_sum, and fails the hash against q167's
+    * UNCHANGED oracle. Recovery has to be invisible. */
+  val q184StreamHllRestart: Q = Q.sql(
+    "q184_stream_hll_restart",
+    hllOracleSql,
+    "checkpoint restart mid-feed of HLL register sketch state") {
+    (s, dir) =>
+      hllRestartStream(s, dir).select(col("bucket_start"), col("n_events"),
         col("v_zero"), col("s_sum"), col("hll_raw"))
   }
 
@@ -1489,5 +1538,5 @@ object StreamingQ {
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
-    q167StreamHll)
+    q167StreamHll, q184StreamHllRestart)
 }

@@ -2600,6 +2600,94 @@ object TextPipeline {
             / col("s_sum")).as("hll_est"))
   }
 
+  // ---------------------------------------------------------------- q183
+  /** BPE APPLY — the encode side q113 trains: the corpus-wide top-20
+    * merge candidates (q113's exact cnt-DESC/pair-ASC ranking) applied
+    * to every document's base-token sequence in rank order, one bounded
+    * greedy pass per merge ([[graft.ops.Text.bpeApply]]'s double-space
+    * `replace` spelling — left-to-right non-overlapping, whole-token
+    * anchored, engine-portable). This feeds q94's token budgeting with a
+    * LEARNED tokenizer count (`n_merged`) instead of whitespace tokens.
+    *
+    * Contract note: applying a FIXED ranked merge LIST in one pass per
+    * merge is BPE inference over a trained vocabulary (the deployment
+    * shape — tokenization must be frozen once training starts); the
+    * trainer's between-merge count refresh is q113's side of the fence.
+    *
+    * Scale shape: the trainer pass is q113's vocab²-bounded histogram +
+    * a rank window over that bounded frame only; the 20-pair model is a
+    * broadcast; the apply is map-side codegen'd string work — the whole
+    * query adds ONE aggregation shuffle over pair strings, and the
+    * per-doc output rides the scan. */
+  val q183BpeApply: Q = {
+    // the chained-replace apply, generated once for both engines:
+    // DuckDB spells slot i of the broadcast merge list ms[i]
+    val duckApply = (1 to 20).foldLeft(
+      "'  ' || array_to_string(t, '  ') || '  '") { (acc, i) =>
+      s"replace($acc, coalesce(' ' || string_split(ms[$i], ' ')[1] || '  ' || " +
+        s"string_split(ms[$i], ' ')[2] || ' ', chr(1)), " +
+        s"coalesce(' ' || replace(ms[$i], ' ', '') || ' ', chr(1)))"
+    }
+    Q.sql(
+      "q183_bpe_apply",
+      s"""WITH b AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+         |  FROM documents
+         |), p AS (
+         |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS pair
+         |  FROM b, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+         |  WHERE len(t) >= 2
+         |), h AS (
+         |  SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+         |), rk AS (
+         |  SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk FROM h
+         |), m AS (
+         |  SELECT array_agg(pair ORDER BY rnk) AS ms FROM rk WHERE rnk <= 20
+         |), ap AS (
+         |  SELECT doc_id, len(t) AS n_base,
+         |    replace(trim($duckApply), '  ', ' ') AS merged
+         |  FROM b CROSS JOIN m
+         |)
+         |SELECT doc_id, CAST(n_base AS BIGINT) AS n_base,
+         |  CAST(CASE WHEN n_base = 0 THEN 0
+         |       ELSE len(string_split(merged, ' ')) END AS BIGINT) AS n_merged,
+         |  merged
+         |FROM ap""".stripMargin,
+      "BPE apply: encode the corpus with q113's trained top-20 merge list") {
+      (s, dir) =>
+        val bt = col("bt")
+        val pairGrams = when(size(bt) >= 2,
+          transform(sequence(lit(1), size(bt) - 1),
+            i => concat_ws(" ", element_at(bt, i), element_at(bt, i + lit(1)))))
+          .otherwise(array().cast("array<string>"))
+        val h = docs(s, dir)
+          .select(Text.bpeTokens(col("text")).as("bt"))
+          .select(explode(pairGrams).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        // rank window over the vocab²-bounded histogram only (q113's
+        // bounded-input global-window discipline), folded to the 20-pair
+        // model row the apply broadcasts
+        val w = Window.orderBy(col("cnt").desc, col("pair"))
+        val merges = h.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .groupBy()
+          .agg(transform(
+            array_sort(collect_list(struct(col("rnk"), col("pair")))),
+            m => m.getField("pair")).as("ms"))
+        docs(s, dir)
+          .select(col("doc_id"), Text.bpeTokens(col("text")).as("bt"))
+          .crossJoin(broadcast(merges))
+          // materialize merged ONCE (the q135 HOF/recompute lesson)
+          .withColumn("merged", Text.bpeApply(col("bt"), col("ms"), 20))
+          .select(col("doc_id"),
+            size(col("bt")).cast("long").as("n_base"),
+            when(size(col("bt")) === 0, lit(0L))
+              .otherwise(size(split(col("merged"), " ")).cast("long"))
+              .as("n_merged"),
+            col("merged"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2612,5 +2700,5 @@ object TextPipeline {
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
-    q164PostingsIndex, q166HllDistinct)
+    q164PostingsIndex, q166HllDistinct, q183BpeApply)
 }
