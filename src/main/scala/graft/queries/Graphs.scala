@@ -524,6 +524,118 @@ object Graphs {
             .otherwise(lit(0.0)).as("coeff"))
   }
 
+  // ---------------------------------------------------------------- q186
+  /** Weisfeiler–Lehman color refinement, two rounds — the structural
+    * node-feature pass behind graph-ML pipelines (WL subtree kernel,
+    * Shervashidze et al. JMLR'11; the feature GNN message passing
+    * imitates), and the natural companion to the PyG export (q64): WL
+    * colors are the cheap structural embedding you ship when you can't
+    * run a model. Over the undirected star-schema graph (customer↔nation,
+    * supplier↔nation, nation↔region — q78's edge set symmetrized):
+    * l₀ = degree; each round relabels
+    * l_{r+1}(v) = md5(l_r(v) | Σ_u hash(l_r(u)) mod M | deg(v)).
+    *
+    * The multiset of neighbor labels is encoded by a SUM of per-neighbor
+    * hashes (mod 2⁶¹−1) rather than a sorted concat — commutative, so it
+    * partial-aggregates map-side with O(1) state per node where a
+    * collect_list would buffer a hot vertex's whole neighborhood (the
+    * q164 lesson, applied to graphs: nation vertices here have O(|C|/25)
+    * neighbors and a power-law graph is worse). Sum runs in
+    * DECIMAL(38,0) — degree·2⁶⁰ overflows BIGINT at ~2k neighbors, and
+    * Spark's long sum would wrap where DuckDB's HUGEINT doesn't (the
+    * q78 damping lesson). Per round: one edges⋈labels equi-join + one
+    * partial-agg groupBy — the canonical distributed WL step, linear per
+    * round at any scale. Output carries each node's WL-2 color-class
+    * size (how many structural twins it has) via one more partial-agg
+    * over the O(#colors) frame. */
+  val q186WlRefinement: Q = {
+    val mod = "2305843009213693951" // 2^61 - 1
+    Q.sql(
+      "q186_wl_refinement",
+      s"""WITH e0 AS (
+         |  SELECT c_custkey + 1000000000000 AS src,
+         |         CAST(c_nationkey AS BIGINT) AS dst FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey + 2000000000000, CAST(s_nationkey AS BIGINT)
+         |  FROM supplier
+         |  UNION ALL
+         |  SELECT CAST(n_nationkey AS BIGINT),
+         |         CAST(n_regionkey AS BIGINT) + 1000 FROM nation
+         |), ed AS (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+         |), l0 AS (
+         |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree,
+         |         CAST(COUNT(*) AS VARCHAR) AS lbl
+         |  FROM ed GROUP BY 1
+         |), s1 AS (
+         |  SELECT e.src AS id,
+         |    CAST(SUM(('0x' || substr(md5(n.lbl), 1, 15))::BIGINT) % $mod
+         |      AS BIGINT) AS hsum
+         |  FROM ed e JOIN l0 n ON n.id = e.dst GROUP BY 1
+         |), l1 AS (
+         |  SELECT l0.id, l0.degree,
+         |    md5(l0.lbl || '|' || CAST(s1.hsum AS VARCHAR) || '|' ||
+         |        CAST(l0.degree AS VARCHAR)) AS lbl
+         |  FROM l0 JOIN s1 ON s1.id = l0.id
+         |), s2 AS (
+         |  SELECT e.src AS id,
+         |    CAST(SUM(('0x' || substr(md5(n.lbl), 1, 15))::BIGINT) % $mod
+         |      AS BIGINT) AS hsum
+         |  FROM ed e JOIN l1 n ON n.id = e.dst GROUP BY 1
+         |), l2 AS (
+         |  SELECT l1.id, l1.degree, l1.lbl AS wl1,
+         |    md5(l1.lbl || '|' || CAST(s2.hsum AS VARCHAR) || '|' ||
+         |        CAST(l1.degree AS VARCHAR)) AS lbl
+         |  FROM l1 JOIN s2 ON s2.id = l1.id
+         |), cls AS (
+         |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS class_size
+         |  FROM l2 GROUP BY 1
+         |)
+         |SELECT l2.id AS node_id, l2.degree, l2.wl1, l2.lbl AS wl2,
+         |  cls.class_size
+         |FROM l2 JOIN cls ON cls.lbl = l2.lbl""".stripMargin,
+      "two-round WL color refinement with hash-sum multiset encoding") {
+      (s, dir) =>
+        val modL = 2305843009213693951L
+        val e0 = Tables(s, dir, "customer")
+          .select((col("c_custkey") + lit(1000000000000L)).as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .unionByName(Tables(s, dir, "supplier")
+            .select((col("s_suppkey") + lit(2000000000000L)).as("src"),
+              col("s_nationkey").cast("long").as("dst")))
+          .unionByName(Tables(s, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("src"),
+              (col("n_regionkey").cast("long") + lit(1000L)).as("dst")))
+        val ed = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val l0 = ed.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .select(col("src").as("id"), col("degree"),
+            col("degree").cast("string").as("lbl"))
+        def round(lbls: DataFrame): DataFrame = {
+          val hsum = ed
+            .join(lbls.select(col("id").as("dst"), col("lbl").as("nlbl")),
+              Seq("dst"))
+            .groupBy(col("src"))
+            .agg(pmod(
+              sum(graft.ops.Text.baseHash(col("nlbl")).cast("decimal(38,0)")),
+              lit(modL).cast("decimal(38,0)")).cast("long").as("hsum"))
+            .select(col("src").as("id"), col("hsum"))
+          lbls.join(hsum, Seq("id"))
+            .select(col("id"), col("degree"), col("lbl").as("prev"),
+              md5(concat_ws("|", col("lbl"), col("hsum").cast("string"),
+                col("degree").cast("string"))).as("lbl"))
+        }
+        val l1 = round(l0)
+        val l2 = round(l1.select(col("id"), col("degree"), col("lbl")))
+          .withColumnRenamed("prev", "wl1")
+        val cls = l2.groupBy(col("lbl")).agg(count(lit(1)).as("class_size"))
+        l2.join(cls, Seq("lbl"))
+          .select(col("id").as("node_id"), col("degree"), col("wl1"),
+            col("lbl").as("wl2"), col("class_size"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
-    q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff)
+    q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff,
+    q186WlRefinement)
 }

@@ -2733,6 +2733,62 @@ object Relational {
             / (lit(2) * col("n"))).as("cdf_pos"))
   }
 
+  // ---------------------------------------------------------------- q187
+  /** Exponentially-weighted moving average with DYADIC decay (α = 1/2),
+    * truncated at 32 trailing samples — per-user smoothed value series,
+    * the time-series smoothing member beside q175's TWAP and q179's OLS
+    * trend. The spelling is built for bit-identical cross-engine
+    * replay: every weight is a power of two (x/2^k is EXACT in binary
+    * floating point — no rounding anywhere until the final normalizing
+    * division), the 32-term sum is written as one explicit left-
+    * associated `+` chain so both engines add in the same order, and
+    * the normalizer 1 − 2^−min(rn,32) is computed from an integer
+    * shift, not a transcendental pow. Truncation at 32 terms is the
+    * operator's DEFINITION (tail weight < 2.4e-10), which is what makes
+    * a windowed spelling possible at all — true infinite-history EWMA
+    * is a sequential recurrence no engine parallelizes.
+    *
+    * Scale shape: ONE user_id exchange; all 32 lags + row_number ride a
+    * single Window node over that exchange (lag frames are O(1) state —
+    * no per-row buffer grows with history); output rides the scan. */
+  val q187DyadicEwma: Q = {
+    val terms = (0 until 32).map { k =>
+      s"COALESCE(lag(value, $k) OVER w, 0) / ${1L << (k + 1)}"
+    }
+    val duckSum = terms.mkString(" + ")
+    Q.sql(
+      "q187_dyadic_ewma",
+      s"""SELECT event_id, user_id,
+         |  CAST(rn AS BIGINT) AS rn, value,
+         |  num / (1.0 - 1.0 / CAST(1::BIGINT << LEAST(rn, 32) AS DOUBLE))
+         |    AS ewma
+         |FROM (
+         |  SELECT event_id, user_id, value,
+         |    row_number() OVER w AS rn,
+         |    $duckSum AS num
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |) t""".stripMargin,
+      "dyadic-decay EWMA (alpha=1/2, 32-term), exact power-of-two weights") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val num = (0 until 32).map { k =>
+          coalesce(lag(col("value"), k).over(w), lit(0.0)) /
+            lit((1L << (k + 1)).toDouble)
+        }.reduceLeft(_ + _)
+        val rn = row_number().over(w)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            rn.as("rn"), num.as("num"))
+          .select(col("event_id"), col("user_id"),
+            col("rn").cast("long").as("rn"), col("value"),
+            (col("num") / (lit(1.0) - lit(1.0) /
+              expr("cast(shiftleft(cast(1 as bigint)," +
+                " cast(least(rn, 32) as int)) as double)"))).as("ewma"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2747,5 +2803,5 @@ object Relational {
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
-    q181PatternNegation, q182QuantileNorm)
+    q181PatternNegation, q182QuantileNorm, q187DyadicEwma)
 }

@@ -2688,6 +2688,76 @@ object TextPipeline {
     }
   }
 
+  // ---------------------------------------------------------------- q185
+  /** Range-sharded HOT-TERM postings — the missing half of q164's
+    * contract made demonstrable: q164 leaves df>200 terms with NULL
+    * postings and a prose note that a real build range-shards them
+    * (q93's shape); this query ACTUALLY emits those shards for the ten
+    * hottest terms. Shard assignment is `(row_number − 1) div 200`
+    * within each term's doc_id order, so every output shard holds AT
+    * MOST 200 postings exactly (not in expectation — the reason this is
+    * a row_number spelling and not a hash-mod one), and the per-term
+    * sort behind row_number is a SortExec that SPILLS under pressure —
+    * unlike an aggregation list buffer, which is precisely the failure
+    * mode q164 refuses. Top-10 gate keeps the output bounded; the hot
+    * term set itself is a broadcast-sized frame.
+    *
+    * Scale: one (term,doc) partial-agg shuffle, a rank window over the
+    * O(vocab) stats frame, a semi-join onto the ten hot terms, one
+    * per-term window sort (distributed across terms; each term one
+    * spillable run), one (term, shard) partial-agg collect of ≤200. */
+  val q185ShardedPostings: Q = Q.sql(
+    "q185_sharded_postings",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tk GROUP BY 1, 2
+      |), st AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), hot AS (
+      |  SELECT term, df,
+      |    row_number() OVER (ORDER BY df DESC, term) AS rnk
+      |  FROM st WHERE df > 200
+      |), sh AS (
+      |  SELECT tf.term, h.df, tf.doc_id, tf.tf,
+      |    (row_number() OVER (PARTITION BY tf.term ORDER BY tf.doc_id) - 1)
+      |      // 200 AS shard
+      |  FROM tf JOIN hot h ON h.term = tf.term AND h.rnk <= 10
+      |)
+      |SELECT term, CAST(shard AS BIGINT) AS shard, df,
+      |  CAST(COUNT(*) AS BIGINT) AS n_in_shard,
+      |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      |FROM sh GROUP BY term, shard, df""".stripMargin,
+    "range-sharded postings for the top-10 hot (df>200) terms, <=200 per shard") {
+    (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val st = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 200)
+      // rank window over the O(vocab) df>200 frame only
+      val hot = st.withColumn("rnk",
+        row_number().over(Window.orderBy(col("df").desc, col("term"))))
+        .filter(col("rnk") <= 10)
+        .select(col("term"), col("df"))
+      val wTerm = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val sh = tf.join(broadcast(hot), Seq("term"))
+        .withColumn("shard",
+          floor((row_number().over(wTerm) - 1) / 200).cast("long"))
+      sh.groupBy(col("term"), col("shard"), col("df"))
+        .agg(count(lit(1)).as("n_in_shard"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              x => concat(x("doc_id").cast("string"), lit(":"),
+                x("tf").cast("string"))), ",").as("postings"))
+        .select(col("term"), col("shard"), col("df"),
+          col("n_in_shard").cast("long").as("n_in_shard"), col("postings"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2700,5 +2770,5 @@ object TextPipeline {
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
-    q164PostingsIndex, q166HllDistinct, q183BpeApply)
+    q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings)
 }

@@ -31,11 +31,38 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val Off = 10000000L
 
+  /** Hot-key id base for the zipf overlay — above any replica-shifted
+    * user_id (max ≈ factor·10⁷) at every supported factor. */
+  private val HotBase = 5000000000L
+
+  /** `GRAFT_SCALE_SKEW=zipf`: overlay a deterministic hot-key skew on
+    * `events.user_id` — the one axis the uniform replica blow-up never
+    * exercises (replicas are key-disjoint, so per-key cardinality stays
+    * CONSTANT as the corpus grows; q45's salting and AQE's skew-join
+    * split only matter when a key's mass grows WITH the data).
+    *
+    * Scheme: rows with even event_id (half the corpus) remap user_id to
+    * hot key `HotBase + (10 − floor(log2((event_id mod 1024) + 1)))` —
+    * halving mass per rank, i.e. hot rank 1 carries 50% of the overlaid
+    * half (25% of ALL events) at every scale, rank 2 25%, … a
+    * geometric/Zipf-s≈1 head over ten keys whose per-key row count
+    * grows LINEARLY with the corpus. A pure function of event_id:
+    * deterministic, replayable closed-form by DuckDB, and identical in
+    * distribution at every factor so exponents compare like with like. */
+  private def zipfUser(df: DataFrame): DataFrame =
+    df.withColumn("user_id",
+      when(pmod(col("event_id"), lit(2)) === 0,
+        lit(HotBase) + (lit(10) -
+          floor(log2(pmod(col("event_id"), lit(1024)) + 1))).cast("long"))
+        .otherwise(col("user_id")))
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
+    val skew = sys.env.get("GRAFT_SCALE_SKEW") // "zipf" | unset
     val dst = args.headOption
-      .getOrElse(s"${graft.Scratch.root}/graft-sf-x$factor")
+      .getOrElse(s"${graft.Scratch.root}/graft-sf-x$factor" +
+        skew.map("-" + _).getOrElse(""))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +101,9 @@ object ScaleUp {
     w(reps(t("orders"))(bump("o_orderkey", "o_custkey")), "orders")
     w(reps(t("lineitem"))(bump("l_orderkey", "l_partkey", "l_suppkey")),
       "lineitem")
-    w(reps(t("events"))(bump("event_id", "user_id")), "events")
+    val eventsScaled = reps(t("events"))(bump("event_id", "user_id"))
+    w(if (skew.contains("zipf")) zipfUser(eventsScaled) else eventsScaled,
+      "events")
     w(reps(t("documents")) { (d, o) =>
       val shifted = bump("doc_id")(d, o)
       if (o == 0L) shifted
@@ -87,6 +116,14 @@ object ScaleUp {
     val rows = graft.Tables.names
       .map(n => s"$n=${spark.read.parquet(s"$dst/$n.parquet").count()}")
     println(s"[scale-up] ${factor}x of $src -> $dst  ${rows.mkString(" ")}")
+    if (skew.contains("zipf")) {
+      // verifiable overlay audit: per-hot-key counts (halving by rank)
+      val hot = spark.read.parquet(s"$dst/events.parquet")
+        .filter(col("user_id") >= HotBase)
+        .groupBy(col("user_id")).count().orderBy(col("user_id"))
+        .collect().map(r => s"${r.getLong(0) - HotBase}:${r.getLong(1)}")
+      println(s"[scale-up] zipf hot-key counts  ${hot.mkString(" ")}")
+    }
     spark.stop()
   }
 }

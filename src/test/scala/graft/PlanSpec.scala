@@ -433,6 +433,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("q185: hot-term postings ride a broadcast of the top-10 frame") {
+    val p = plan("q185_sharded_postings")
+    // the ten hot terms are a broadcast-sized model frame; the shard
+    // window must partition by term (per-term spillable sort, never a
+    // global one); the <=200-row collect partial-aggregates
+    assert(p.contains("BroadcastHashJoin"), s"hot-term join not broadcast:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"shard postings did not partial-agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
+  }
+
+  test("q186: WL rounds are equi-joins + partial-agg hash sums, no cross") {
+    val p = plan("q186_wl_refinement")
+    // the multiset encoding must fold map-side (partial sum), which is
+    // the whole point of hash-sum over collect_list
+    assert(p.contains("partial_sum"), s"neighbor hash sum not partial:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"WL fell off the equi-join path:\n$p")
+    assert(!p.contains("collect_list"), s"multiset buffered as a list:\n$p")
+  }
+
+  test("q187: all 32 lags and the rank share ONE user exchange") {
+    val p = plan("q187_dyadic_ewma")
+    assert(countExchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a pure window chain:\n$p")
+  }
+
   test("q180: spatial candidates meet through an equi-join, never a cross") {
     val p = plan("q180_spatial_join")
     // the grid cell key must carry the join — a theta/cross fallback is
