@@ -2789,6 +2789,148 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q189
+  /** Daily conversion rate with a WILSON score interval — the interval
+    * a product dashboard should ship instead of the naive ±z√(p(1−p)/n)
+    * (which collapses at p≈0/1 and small n; Wilson '27 is the standard
+    * fix, and what q174's z-test doesn't provide: uncertainty BOUNDS).
+    * z is pinned at exactly 2 (z²=4) so every constant is a small
+    * integer literal; the only non-rational step is sqrt, which IEEE
+    * 754 requires correctly rounded — with the expression tree spelled
+    * identically on both engines, every bound is bit-identical.
+    *
+    * Scale shape: two partial-agg distinct-user counts per day (the
+    * per-day frame is O(time-span)); the interval arithmetic is a
+    * map-side projection over that bounded frame. */
+  val q189WilsonCi: Q = Q.sql(
+    "q189_wilson_ci",
+    """WITH d AS (
+      |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_start,
+      |         user_id,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT day_start, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |         CAST(SUM(conv) AS BIGINT) AS n_converted
+      |  FROM d GROUP BY 1
+      |), p AS (
+      |  SELECT *, CAST(n_converted AS DOUBLE) / n_active AS rate FROM agg
+      |)
+      |SELECT CAST(day_start AS BIGINT) AS day_start, n_active, n_converted,
+      |  rate,
+      |  ((rate + 2.0 / n_active) - 2.0 * sqrt(rate * (1.0 - rate) / n_active
+      |      + 1.0 / (n_active * n_active))) / (1.0 + 4.0 / n_active)
+      |    AS wilson_lo,
+      |  ((rate + 2.0 / n_active) + 2.0 * sqrt(rate * (1.0 - rate) / n_active
+      |      + 1.0 / (n_active * n_active))) / (1.0 + 4.0 / n_active)
+      |    AS wilson_hi
+      |FROM p""".stripMargin,
+    "daily conversion rate with Wilson score interval (z=2, bit-exact)") {
+    (s, dir) =>
+      val d = Tables(s, dir, "events")
+        .groupBy((floor(unix_micros(col("ts")) / 86400000000L) * 86400)
+          .as("day_start"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val agg = d.groupBy(col("day_start"))
+        .agg(count(lit(1)).as("n_active"), sum(col("conv")).as("n_converted"))
+        .withColumn("rate",
+          col("n_converted").cast("double") / col("n_active"))
+      val n = col("n_active")
+      val half = lit(2.0) * sqrt(col("rate") * (lit(1.0) - col("rate")) / n
+        + lit(1.0) / (n * n))
+      val denom = lit(1.0) + lit(4.0) / n
+      agg.select(col("day_start").cast("long").as("day_start"),
+        col("n_active").cast("long").as("n_active"),
+        col("n_converted").cast("long").as("n_converted"),
+        col("rate"),
+        (((col("rate") + lit(2.0) / n) - half) / denom).as("wilson_lo"),
+        (((col("rate") + lit(2.0) / n) + half) / denom).as("wilson_hi"))
+  }
+
+  // ---------------------------------------------------------------- q190
+  /** CUSUM changepoint detection — per event_type, the hourly-count
+    * series' cumulative deviation from its own mean, and the bucket
+    * where |S_t| peaks: the classic Page '54 retrospective changepoint
+    * estimate (where the series' level shifted, if anywhere), the
+    * monitoring companion to q133/q145's pointwise z-scores (which see
+    * spikes but not sustained drift).
+    *
+    * Determinism: NO floating-point accumulates anywhere. S_t over
+    * observed buckets is Σnᵢ − t·mean = (c·cum_n − t·total)/c, and the
+    * numerator c·cum_n − t·total is EXACT BIGINT arithmetic (a running
+    * sum of integers is order-independent, unlike a running sum of
+    * doubles — DuckDB's window aggregates use segment trees, so a
+    * double cumsum adds in a DIFFERENT order than Spark's sequential
+    * frame and diverges in the last bits; the first spelling of this
+    * query failed the hash exactly that way). The argmax ranks the
+    * exact integer |numerator|; the emitted S is one double division.
+    * Scale shape: one hourly partial-agg over the corpus, then every
+    * window runs over the O(time-span) per-type bucket grid (q171's
+    * discipline) — the argmax is a rank-1 filter on that bounded frame,
+    * never a corpus-sized sort. */
+  val q190CusumChangepoint: Q = Q.sql(
+    "q190_cusum_changepoint",
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT *,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets
+      |  FROM hourly
+      |), c AS (
+      |  SELECT *,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_n,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY bucket_start) AS BIGINT) AS t
+      |  FROM m
+      |), x AS (
+      |  SELECT *, n_buckets * cum_n - t * total AS num FROM c
+      |), r AS (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY event_type ORDER BY abs(num) DESC, bucket_start) AS rk
+      |  FROM x
+      |)
+      |SELECT event_type, CAST(bucket_start AS BIGINT) AS cp_bucket_start,
+      |  CAST(num AS DOUBLE) / n_buckets AS cusum_at_cp,
+      |  CAST(abs(num) AS DOUBLE) / n_buckets AS max_abs_cusum, n_buckets
+      |FROM r WHERE rk = 1""".stripMargin,
+    "CUSUM changepoint: argmax |cumulative deviation| per type (Page '54)") {
+    (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          (floor(unix_micros(col("ts")) / 3600000000L) * 3600)
+            .as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      val wType = Window.partitionBy(col("event_type"))
+      val wCum = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket_start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket_start"))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("num")).desc, col("bucket_start"))
+      hourly
+        .withColumn("total", sum(col("n")).over(wType))
+        .withColumn("n_buckets", count(lit(1)).over(wType))
+        .withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("num",
+          col("n_buckets") * col("cum_n") - col("t") * col("total"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          col("bucket_start").cast("long").as("cp_bucket_start"),
+          (col("num").cast("double") / col("n_buckets")).as("cusum_at_cp"),
+          (abs(col("num")).cast("double") / col("n_buckets"))
+            .as("max_abs_cusum"),
+          col("n_buckets").cast("long").as("n_buckets"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2803,5 +2945,6 @@ object Relational {
     q165Autocorr, q168PitJoin, q169Transitions, q170IvmRefresh,
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
-    q181PatternNegation, q182QuantileNorm, q187DyadicEwma)
+    q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
+    q190CusumChangepoint)
 }

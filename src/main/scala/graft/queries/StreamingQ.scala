@@ -1510,6 +1510,51 @@ object StreamingQ {
         col("mean"), col("std"), col("z"), col("is_anomaly"))
   }
 
+  /** The per-key infinite-history EWMA fold (custom buffered-fold state,
+    * see [[graft.streaming.StreamingEwma]]). */
+  private def ewmaStream(spark: SparkSession, dir: String): DataFrame =
+    streamOnce("stream-ewma", spark, dir) { _ =>
+      graft.streaming.StreamingEwma(
+        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
+    }
+
+  /** Streaming infinite-history EWMA — the stateful twin of the batch
+    * q187, and the inverse trade: the batch spelling truncates at 32
+    * terms because EWMA is a sequential recurrence no batch engine
+    * parallelizes, while the stream folds the EXACT untruncated
+    * e_t = (x_t + e_{t−1})/2 with two numbers of permanent state per
+    * key — the operator class that is structurally easier streaming
+    * than batch. Events buffer until the watermark strictly passes
+    * their ts (order is load-bearing for a recurrence), bounded by one
+    * delay window per key; emission uses the repo's standard strict
+    * ms cutoff. The oracle replays the identical recurrence with a
+    * RECURSIVE CTE — both sides perform the same IEEE add + exact
+    * halving per step in the same chronological order, so every double
+    * is bit-identical with NO truncation tolerance. */
+  val q188StreamEwma: Q = Q.sql(
+    "q188_stream_ewma",
+    """WITH RECURSIVE o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_id, ts_us, value, rn, value AS ewma
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.event_id, o.ts_us, o.value, o.rn,
+      |    (o.value + r.ewma) / 2 AS ewma
+      |  FROM o JOIN r ON r.user_id = o.user_id AND o.rn = r.rn + 1
+      |)
+      |SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn, value, ewma
+      |FROM r
+      |WHERE ts_us // 1000 <
+      |      (SELECT (MAX(epoch_us(ts)) // 1000) - 600000 FROM events)""".stripMargin,
+    "streaming exact infinite-history EWMA on buffered-fold state (q187's twin)") {
+    (s, dir) =>
+      ewmaStream(s, dir).select(
+        col("user_id"), col("event_id"), col("rn"), col("value"), col("ewma"))
+  }
+
   /** Checkpoint restart of the ring-buffer anomaly state — the subtle
     * restart case the four existing restart gates don't cover: q145's
     * state carries an ARMED EVENT-TIME TIMEOUT, and a restart must
@@ -1538,5 +1583,5 @@ object StreamingQ {
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
-    q167StreamHll, q184StreamHllRestart)
+    q167StreamHll, q184StreamHllRestart, q188StreamEwma)
 }
