@@ -2931,6 +2931,102 @@ object Relational {
           col("n_buckets").cast("long").as("n_buckets"))
   }
 
+  // ---------------------------------------------------------------- q192
+  /** Incremental maintenance of a JOIN view — the lakehouse op q170
+    * (aggregate IVM) deliberately left out: the materialized view is
+    * fact⋈dimension→aggregate, a late-arriving fact batch Δ lands, and
+    * the refresh applies the DELTA ALGEBRA — ΔV = Δfact ⋈ dim, folded
+    * into the stored view by key — instead of re-joining the whole
+    * fact table. The dimension is static here, so the V(A∪Δ) =
+    * V(A) ⊎ (Δ ⋈ dim) identity is exact; the hash gate against the
+    * full-recompute oracle IS the refresh-equals-recompute theorem,
+    * with counts exact and value sums in DECIMAL(28,10) at every stage
+    * (order-independent, so the two-phase fold cannot drift).
+    *
+    * Scale shape: the whole point — the delta path touches Δ rows plus
+    * a BROADCAST of the dimension (a 100 TB fact table is never
+    * re-shuffled to admit a 0.1% late batch), and the view merge is a
+    * partial-agg union over two O(|view|) frames. */
+  val q192IvmJoin: Q = Q.sql(
+    "q192_ivm_join",
+    """SELECT c.c_nationkey AS nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1""".stripMargin,
+    "join-view IVM: delta-join refresh proven identical to full recompute") {
+    (s, dir) =>
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      def part(df: DataFrame): DataFrame = df
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"))
+      val ev = Tables(s, dir, "events")
+      // the stored view (base) and the late-batch delta, maintained
+      // separately and folded — never a full-fact re-join
+      val vBase = part(ev.filter(pmod(col("event_id"), lit(10)) =!= 7))
+      val vDelta = part(ev.filter(pmod(col("event_id"), lit(10)) === 7))
+      vBase.unionByName(vDelta)
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("svv"))
+        .select(col("c_nationkey").as("nationkey"),
+          col("n_events").cast("long").as("n_events"),
+          col("svv").cast("double").as("sum_value"))
+  }
+
+  // ---------------------------------------------------------------- q193
+  /** Clickstream path mining — the top-20 most frequent CONSECUTIVE
+    * event-type trigrams per user stream: where q169's Markov matrix is
+    * memoryless (first-order pairs), trigram paths expose the actual
+    * journeys ("view→click→purchase" vs "view→error→view") that drive
+    * funnel design. Two LEADs over one user window build the triple;
+    * the count histogram is types³-bounded, so the rank window rides a
+    * ≤125-row frame (the q94b bounded-input discipline) and the top-20
+    * cut is deterministic via (count DESC, path ASC).
+    *
+    * Scale shape: ONE user_id exchange for both leads, a partial-agg
+    * histogram, and a window over the bounded histogram only. */
+  val q193PathMining: Q = Q.sql(
+    "q193_path_mining",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), p AS (
+      |  SELECT event_type || '>' || e2 || '>' || e3 AS path
+      |  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |), h AS (
+      |  SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1
+      |), r AS (
+      |  SELECT path, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, path) AS rnk
+      |  FROM h
+      |)
+      |SELECT path, cnt, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 20""".stripMargin,
+    "top-20 consecutive event-type trigram paths (q169's memoryful refinement)") {
+    (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val h = Tables(s, dir, "events")
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      // rank window over the types^3-bounded histogram only
+      h.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("path"))))
+        .filter(col("rnk") <= 20)
+        .select(col("path"), col("cnt"), col("rnk").cast("long").as("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -2946,5 +3042,5 @@ object Relational {
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
-    q190CusumChangepoint)
+    q190CusumChangepoint, q192IvmJoin, q193PathMining)
 }

@@ -1555,6 +1555,30 @@ object StreamingQ {
         col("user_id"), col("event_id"), col("rn"), col("value"), col("ewma"))
   }
 
+  private def ewmaRestartStream(spark: SparkSession, dir: String): DataFrame =
+    streamRestart("ewma-restart", spark, dir) { (sess, watch) =>
+      graft.streaming.StreamingEwma(
+        StreamingFeed.eventsStream(sess, watch)).toDF()
+    }
+
+  /** Checkpoint restart of the buffered-fold EWMA state — the sixth
+    * state shape under the restart gate, and the one the others don't
+    * cover: q188's state is an ORDERED open-event buffer plus a folded
+    * (count, prev) pair, so a restart must restore not just values but
+    * the ORDER CONTRACT — if the checkpoint lost or replayed one open
+    * event, or resumed the fold with a stale prev, every downstream
+    * EWMA in that key shifts and the bit-exact recursive-CTE oracle
+    * fails on the first affected row. Cut mid-feed, q117's scaffold,
+    * against q188's UNCHANGED oracle. */
+  val q191StreamEwmaRestart: Q = Q.sql(
+    "q191_stream_ewma_restart",
+    q188StreamEwma.oracle.get,
+    "checkpoint restart mid-feed of the buffered-fold EWMA state") {
+    (s, dir) =>
+      ewmaRestartStream(s, dir).select(
+        col("user_id"), col("event_id"), col("rn"), col("value"), col("ewma"))
+  }
+
   /** Checkpoint restart of the ring-buffer anomaly state — the subtle
     * restart case the four existing restart gates don't cover: q145's
     * state carries an ARMED EVENT-TIME TIMEOUT, and a restart must
@@ -1583,5 +1607,6 @@ object StreamingQ {
     q112StreamCms, q117StreamRestart, q118StreamJoinRestart,
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
-    q167StreamHll, q184StreamHllRestart, q188StreamEwma)
+    q167StreamHll, q184StreamHllRestart, q188StreamEwma,
+    q191StreamEwmaRestart)
 }

@@ -461,6 +461,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join in a pure window chain:\n$p")
   }
 
+  test("q192: both IVM paths broadcast the dimension — the fact is never re-shuffled to join") {
+    val p = plan("q192_ivm_join")
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side shuffle join defeats the delta design:\n$p")
+  }
+
+  test("q193: both leads share one user exchange; rank rides the bounded histogram") {
+    val p = plan("q193_path_mining")
+    // lead(1) and lead(2) must plan into a single Window over one
+    // user_id exchange, not two
+    assert(countExchanges(p) <= 3, s"too many exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("q180: spatial candidates meet through an equi-join, never a cross") {
     val p = plan("q180_spatial_join")
     // the grid cell key must carry the join — a theta/cross fallback is
