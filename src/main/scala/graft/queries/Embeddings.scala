@@ -1308,9 +1308,103 @@ object Embeddings {
           (count(col("hit")).cast("double") / 5).as("recall_dim16"))
   }
 
+  // ---------------------------------------------------------------- q194
+  /** kNN-graph link prediction — the graph-side consumer of the ANN
+    * family: build the within-cell top-5 cosine graph (the standard
+    * IVF-bucketed kNN-graph construction — each vector ranks only its
+    * own coarse cell, the q31 equi-key shape, never the corpus),
+    * symmetrize, and score NON-adjacent pairs by neighborhood overlap
+    * (common-neighbor count and neighborhood Jaccard — Liben-Nowell &
+    * Kleinberg CIKM'03's exact-integer scores; Adamic-Adar's log is
+    * deliberately avoided: ln is not IEEE-correctly-rounded, Jaccard
+    * ranks with exact int/int division). Top-5 predictions per node.
+    *
+    * Scale shape: degree is capped at 5 by construction, so the
+    * symmetrized degree is ≤ 10 and the wedge self-join (adjacency ⋈
+    * adjacency on the shared neighbor) fans out ≤ deg² per vertex —
+    * O(n·100) candidate rows, NEVER all-pairs. Every step is an
+    * equi-key shuffle (cell for the build; vertex for wedges/degrees);
+    * the anti-join that drops already-linked pairs keys on the pair.
+    * At 100 TB the build swaps brute within-cell ranking for q95b's
+    * IVF probe — the downstream graph algebra is unchanged. */
+  val q194LinkPrediction: Q = Q.sql(
+    "q194_link_prediction",
+    s"""WITH knn AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${duckCos("a.embedding", "b.embedding")} DESC,
+       |                 b.vec_id) AS rn
+       |    FROM embeddings a JOIN embeddings b
+       |      ON b.label = a.label AND b.vec_id <> a.vec_id)
+       |  WHERE rn <= 5
+       |), adj AS (
+       |  SELECT src, dst FROM knn
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM knn
+       |), deg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+       |), cn AS (
+       |  SELECT x.src AS a, y.dst AS c, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM adj x JOIN adj y ON y.src = x.dst AND y.dst > x.src
+       |  WHERE NOT EXISTS (SELECT 1 FROM adj e
+       |                    WHERE e.src = x.src AND e.dst = y.dst)
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT a, c, common,
+       |    CAST(common AS DOUBLE) / (da.d + dc.d - common) AS jaccard
+       |  FROM cn JOIN deg da ON da.src = a JOIN deg dc ON dc.src = c
+       |  WHERE common >= 2
+       |)
+       |SELECT a, c, common, jaccard, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+       |        ORDER BY jaccard DESC, common DESC, c) AS rn FROM scored)
+       |WHERE rn <= 5""".stripMargin,
+    "kNN-graph link prediction: common-neighbor + Jaccard top-5 per node") {
+    (s, dir) =>
+      val e = emb(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("src"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("dst"),
+        col("embedding").as("eb"))
+      val wk = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))
+      val knn = a.join(b, Seq("label"))
+        .filter(col("dst") =!= col("src"))
+        .select(col("src"), col("dst"),
+          Vectors.cosine(col("ea"), col("eb")).as("cosine"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5)
+        .select(col("src"), col("dst"))
+      val adj = knn
+        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val cn = adj.select(col("src").as("a"), col("dst").as("b"))
+        .join(adj.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .filter(col("c") > col("a"))
+        .select(col("a"), col("c"))
+        .join(adj.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"), "left_anti")
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+      val wp = Window.partitionBy(col("a"))
+        .orderBy(col("jaccard").desc, col("common").desc, col("c"))
+      cn
+        .join(deg.select(col("src").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("src").as("c"), col("d").as("dc")), Seq("c"))
+        .select(col("a"), col("c"), col("common"),
+          (col("common").cast("double")
+            / (col("da") + col("dc") - col("common"))).as("jaccard"))
+        .withColumn("rn", row_number().over(wp).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("a"), col("c"), col("common"), col("jaccard"), col("rn"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
-      q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall)
+      q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
+      q194LinkPrediction)
 }

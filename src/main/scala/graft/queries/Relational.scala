@@ -3027,6 +3027,200 @@ object Relational {
         .select(col("path"), col("cnt"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------- q196
+  /** Leave-one-out smoothed target encoding — the categorical feature
+    * transform every tabular training pipeline ships (per-category
+    * target rate with the row's own label held out, shrunk toward the
+    * global prior; Micci-Barreca SIGKDD Expl. '01): encoding a 100 TB
+    * fact table's high-cardinality keys this way is a one-pass partial
+    * aggregate + a broadcast join, and the LOO subtraction is what keeps
+    * the feature leakage-free (the row never sees its own label — the
+    * q149 split discipline applied at feature level).
+    *
+    * Exactness: with binary y and smoothing m=10 toward the global rate
+    * gpos/gn, the encoding is the rational
+    * (gn·(pos_c − y) + m·gpos) / (gn·(cnt_c − 1 + m)) — numerator and
+    * denominator are kept as exact wide integers (DECIMAL(38,0) on
+    * Spark, HUGEINT in the oracle; bigint·bigint overflows long past
+    * ~3e9 facts, so the wide type is the 100 TB headroom) and the single
+    * double division at emission is IEEE-identical on both engines.
+    *
+    * Shape: one o_custkey equi-join to pull the segment (AQE broadcasts
+    * the dimension while it fits), ONE partial-agg pass for the 5-row
+    * segment histogram, a 1-row global roll-up — both broadcast back —
+    * and a map-side encode. No per-row window, no second fact shuffle. */
+  val q196TargetEncoding: Q = Q.sql(
+    "q196_target_encoding",
+    """WITH base AS (
+      |  SELECT o_orderkey, c_mktsegment AS segment,
+      |    CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |), seg AS (
+      |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS cnt_c,
+      |    CAST(SUM(y) AS BIGINT) AS pos_c
+      |  FROM base GROUP BY 1
+      |), g AS (
+      |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS gn,
+      |    CAST(SUM(pos_c) AS BIGINT) AS gpos FROM seg
+      |)
+      |SELECT o_orderkey, base.segment AS segment, CAST(y AS BIGINT) AS y,
+      |  CAST(CAST(gn AS HUGEINT) * (pos_c - y)
+      |         + 10 * CAST(gpos AS HUGEINT) AS DOUBLE)
+      |  / CAST(CAST(gn AS HUGEINT) * (cnt_c + 9) AS DOUBLE)
+      |    AS loo_encoding
+      |FROM base, seg, g
+      |WHERE seg.segment = base.segment""".stripMargin,
+    "leave-one-out smoothed target encoding of customer segment (m=10)") {
+    (s, dir) =>
+      val base = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+          when(col("o_totalprice") > 250000, 1L).otherwise(0L).as("y"))
+      val seg = base.groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt_c"), sum(col("y")).as("pos_c"))
+      val glob = seg.agg(sum(col("cnt_c")).as("gn"),
+        sum(col("pos_c")).as("gpos"))
+      val d38 = "decimal(38,0)"
+      base
+        .join(broadcast(seg), Seq("segment"))
+        .crossJoin(broadcast(glob))
+        .select(col("o_orderkey"), col("segment"), col("y"),
+          ((col("gn").cast(d38) * (col("pos_c") - col("y"))
+            + lit(10) * col("gpos").cast(d38)).cast("double")
+            / (col("gn").cast(d38) * (col("cnt_c") + lit(9)))
+              .cast("double")).as("loo_encoding"))
+  }
+
+  // ---------------------------------------------------------------- q198
+  /** Seasonal-baseline forecast backtest — the sanity model every
+    * time-series pipeline runs before anything learned: per event type,
+    * the hour-of-day mean rate from the first 80% of the corpus span
+    * forecasts the remaining 20%, and the backtest emits the per-hour
+    * absolute error. The 80/20 cut is integer arithmetic on hour indexes
+    * (hidx < ⌊8H/10⌋), the forecast is the exact rational
+    * sum(train counts)/count(train hours), and the error is kept as the
+    * EXACT scaled bigint |actual·f_den − f_num| (the q190 lesson: never
+    * hash-compare accumulated doubles) with the one double division at
+    * emission.
+    *
+    * Shape: one partial-agg pass to the (type, hour)-bucketed counts —
+    * O(types·time-span) from there on: the train stats frame is bounded
+    * by types×24, broadcast back onto the test grid. Test hours whose
+    * hour-of-day never occurs in train drop out (inner join) — explicit
+    * contract, q130 owns gap-filling. */
+  val q198SeasonalBaseline: Q = Q.sql(
+    "q198_seasonal_baseline",
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+      |    hour(ts) AS hod, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2, 3
+      |), bounds AS (
+      |  SELECT MIN(hidx) AS h0, MAX(hidx) AS h1 FROM hourly
+      |), cut AS (
+      |  SELECT h0, (8 * (h1 - h0 + 1)) // 10 AS train_h FROM bounds
+      |), train AS (
+      |  SELECT event_type, hod, CAST(SUM(cnt) AS BIGINT) AS f_num,
+      |    CAST(COUNT(*) AS BIGINT) AS f_den
+      |  FROM hourly, cut WHERE hidx - h0 < train_h GROUP BY 1, 2
+      |)
+      |SELECT h.event_type, CAST(h.hidx AS BIGINT) AS hidx,
+      |  h.cnt AS actual, f_num, f_den,
+      |  CAST(f_num AS DOUBLE) / CAST(f_den AS DOUBLE) AS forecast,
+      |  CAST(abs(h.cnt * f_den - f_num) AS BIGINT) AS abs_err_scaled
+      |FROM hourly h, cut, train t
+      |WHERE h.hidx - cut.h0 >= cut.train_h
+      |  AND t.event_type = h.event_type AND t.hod = h.hod""".stripMargin,
+    "hour-of-day seasonal baseline trained on first 80%, backtested on last 20%") {
+    (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
+            .as("hidx"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("cnt"))
+      val cut = hourly.agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+        .select(col("h0"),
+          expr("(8 * (h1 - h0 + 1)) div 10").as("train_h"))
+      val withCut = hourly.crossJoin(broadcast(cut))
+      val train = withCut.filter(col("hidx") - col("h0") < col("train_h"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(sum(col("cnt")).as("f_num"), count(lit(1)).as("f_den"))
+      withCut.filter(col("hidx") - col("h0") >= col("train_h"))
+        .join(broadcast(train), Seq("event_type", "hod"))
+        .select(col("event_type"), col("hidx"), col("cnt").as("actual"),
+          col("f_num"), col("f_den"),
+          (col("f_num").cast("double") / col("f_den").cast("double"))
+            .as("forecast"),
+          abs(col("cnt") * col("f_den") - col("f_num")).as("abs_err_scaled"))
+  }
+
+  // ---------------------------------------------------------------- q199
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * fabricated or truncated numeric columns (Benford '38; standard in
+    * fraud/ETL auditing): per order priority, the observed leading-digit
+    * histogram of o_totalprice against the Benford expectation
+    * n·log₁₀(1+1/d), with the per-digit χ² contribution. A synthetic
+    * uniform price column FAILS Benford loudly — that is the point of
+    * the audit (the statistic reports the data's nature; the operator
+    * is the deliverable).
+    *
+    * Exactness: the nine log₁₀ constants are identical decimal literals
+    * on both sides (decimal→double parsing is correctly rounded in both
+    * engines, so the doubles are bit-identical); observed counts are
+    * exact bigints; expected/χ² are fixed-order per-row double
+    * expressions. The digit histogram is ≤ 9 rows per priority — the
+    * rank/χ² arithmetic rides a bounded frame; the only corpus-sized
+    * stage is the partial-agg histogram pass. */
+  val q199BenfordAudit: Q = {
+    val ps = Seq(
+      1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+      3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+      5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+      7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+      9 -> "0.04575749056067514")
+    val duckCase = ps.map { case (d, p) => s"WHEN digit = $d THEN $p" }
+      .mkString("CASE ", " ", " END")
+    val sparkCase = ps.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p.toDouble)).otherwise(acc)
+    }
+    Q.sql(
+      "q199_benford_audit",
+      s"""WITH h AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS observed
+        |  FROM orders GROUP BY 1, 2
+        |), n AS (
+        |  SELECT priority, CAST(SUM(observed) AS BIGINT) AS n
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT h.priority, h.digit, h.observed,
+        |  CAST(n.n AS DOUBLE) * ($duckCase) AS expected,
+        |  (CAST(h.observed AS DOUBLE) - CAST(n.n AS DOUBLE) * ($duckCase))
+        |    * (CAST(h.observed AS DOUBLE) - CAST(n.n AS DOUBLE) * ($duckCase))
+        |    / (CAST(n.n AS DOUBLE) * ($duckCase)) AS chi2_term
+        |FROM h JOIN n ON n.priority = h.priority""".stripMargin,
+      "per-priority Benford first-digit audit of o_totalprice with chi-square terms") {
+      (s, dir) =>
+        val h = Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"),
+            substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+              .cast("long").as("digit"))
+          .agg(count(lit(1)).as("observed"))
+        val n = h.groupBy(col("priority")).agg(sum(col("observed")).as("n"))
+        val expected = col("n").cast("double") * sparkCase
+        h.join(broadcast(n), Seq("priority"))
+          .select(col("priority"), col("digit"), col("observed"),
+            expected.as("expected"),
+            ((col("observed").cast("double") - expected)
+              * (col("observed").cast("double") - expected)
+              / expected).as("chi2_term"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3042,5 +3236,6 @@ object Relational {
     q171HllPaneMerge, q173MadOutliers, q174AbTest, q175Twap, q176Gini,
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
-    q190CusumChangepoint, q192IvmJoin, q193PathMining)
+    q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
+    q198SeasonalBaseline, q199BenfordAudit)
 }

@@ -1600,6 +1600,76 @@ object StreamingQ {
         col("mean"), col("std"), col("z"), col("is_anomaly"))
   }
 
+  /** The stream-static PIT enrichment plan: purchases stream against the
+    * batch-built SCD2 dimension with the validity range as a residual. */
+  private def pitEnrichStream(spark: SparkSession, dir: String): DataFrame =
+    streamOnce("stream-pit", spark, dir) { sess =>
+      import org.apache.spark.sql.functions._
+      // the dimension is q162's SCD2 output, built batch-side once at
+      // stream start (the standard stream-static shape: the static plan
+      // re-executes per micro-batch; AvailableNow here runs one batch)
+      val dim = Relational.q162Scd2.run(sess, dir)
+        .select(col("user_id").as("d_user"), col("state"),
+          col("valid_from_us"), col("valid_to_us"), col("version"))
+      StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")
+        .toDF()
+        .filter(col("event_type") === "purchase")
+        .withColumn("tus", unix_micros(col("ts")))
+        .join(dim,
+          col("user_id") === col("d_user") &&
+            col("tus") >= col("valid_from_us") &&
+            (col("valid_to_us").isNull || col("tus") < col("valid_to_us")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("state"), col("version"), col("valid_from_us"))
+    }
+
+  // ---------------------------------------------------------------- q200
+  /** Streaming point-in-time enrichment — q168's AS-OF dimension lookup
+    * moved to ingest time: the purchases STREAM joins the SCD2
+    * dimension version valid at each event's timestamp (user equi-key +
+    * validity-range residual), the warehouse pattern for decorating a
+    * live fact feed with slowly-changing attributes before landing.
+    * Stateless on the stream side (no watermark, no state store): the
+    * static dimension plans into each micro-batch — at 1000 executors
+    * the compacted changelog broadcasts or co-partitions per batch and
+    * the stream never shuffles twice.
+    *
+    * The oracle is q168's batch SQL VERBATIM (one WHERE added): the
+    * gate proves streaming enrichment ≡ batch PIT join — ingest-time
+    * decoration loses nothing vs the warehouse replay. */
+  val q200StreamPitEnrich: Q = Q.sql(
+    "q200_stream_pit_enrich",
+    """WITH e AS (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, state, tus, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> state
+      |), dim AS (
+      |  SELECT user_id, state, tus AS valid_from_us,
+      |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS valid_to_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS BIGINT) AS version
+      |  FROM ch
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.value, d.state, d.version,
+      |  d.valid_from_us
+      |FROM p JOIN dim d ON d.user_id = p.user_id
+      |  AND p.tus >= d.valid_from_us
+      |  AND (d.valid_to_us IS NULL OR p.tus < d.valid_to_us)""".stripMargin,
+    "streaming PIT enrich: purchases stream x SCD2 dim; oracle is q168's batch replay") {
+    (s, dir) =>
+      pitEnrichStream(s, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        col("state"), col("version"), col("valid_from_us"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -1608,5 +1678,5 @@ object StreamingQ {
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
-    q191StreamEwmaRestart)
+    q191StreamEwmaRestart, q200StreamPitEnrich)
 }

@@ -2758,6 +2758,136 @@ object TextPipeline {
           col("n_in_shard").cast("long").as("n_in_shard"), col("postings"))
   }
 
+  // ---------------------------------------------------------------- q195
+  /** Sorted-neighborhood dedup candidates — the THIRD blocking family
+    * beside hashing (q22/q24's equi-buckets) and banding (q24's LSH):
+    * Hernández–Stolfo SIGMOD'95. Sort each block (first token — the
+    * lexical blocking key) by (text, doc_id) and pair every document
+    * with its w=3 successors, then verify with an exact edit distance
+    * on the 64-char prefix (Levenshtein is integer-exact in both
+    * engines). Catches near-dups whose EDITS fall outside any fixed
+    * shingle (a one-char typo in every 3-gram window) that hash
+    * blocking misses.
+    *
+    * Scale shape: candidates are n·w by construction — the sort, not a
+    * join, is the quadratic-killer. The window partitions by the
+    * blocking key (block sizes are vocabulary-bound, never
+    * corpus-bound), the three LEADs ride ONE block exchange, and the
+    * O(64²) edit-distance verify is map-side codegen. Pairs that cross
+    * a block boundary are out of scope by contract (the classic
+    * multi-pass SNM answer: re-run with a second sort key). */
+  val q195SortedNeighborhood: Q = Q.sql(
+    "q195_sorted_neighborhood",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+')[1] AS block
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, text, block,
+      |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY text, doc_id) AS rn
+      |  FROM t
+      |)
+      |SELECT a.block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(b.rn - a.rn AS BIGINT) AS gap,
+      |  CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+      |    AS BIGINT) AS dist
+      |FROM r a JOIN r b
+      |  ON b.block = a.block AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+      |WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 20
+      |""".stripMargin,
+    "sorted-neighborhood (w=3) dedup candidates verified by 64-char edit distance") {
+    (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"), col("text"),
+        element_at(split(trim(col("text")), "\\s+"), 1).as("block"))
+      val w = Window.partitionBy(col("block")).orderBy(col("text"), col("doc_id"))
+      // three LEADs on one block exchange replace the oracle's rank
+      // self-join: each row carries its w successors forward
+      val led = t.select(col("block"), col("doc_id"), col("text"),
+        array((1 to 3).map(i =>
+          lead(struct(col("doc_id").as("id"), col("text").as("tx")), i)
+            .over(w)): _*).as("nxt"))
+        .select(col("block"), col("doc_id"), col("text"),
+          posexplode(col("nxt")))
+        .filter(col("col").isNotNull)
+      led.select(col("block"), col("doc_id").as("doc_a"),
+          col("col.id").as("doc_b"), (col("pos") + 1).cast("long").as("gap"),
+          levenshtein(substring(col("text"), 1, 64),
+            substring(col("col.tx"), 1, 64)).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+  }
+
+  // ---------------------------------------------------------------- q197
+  /** Prefix-filtered exact Jaccard join (PPJoin's filter; Chaudhuri
+    * ICDE'06, Xiao WWW'08) — the LOSSLESS candidate generator of the
+    * dedup family: order every document's shingles rarest-first
+    * (global df asc, hash asc), keep only the first
+    * ⌊sz/2⌋+1 as the τ=0.5 prefix, and join prefixes. The theorem: two
+    * sets with J ≥ τ MUST collide in their prefixes — so unlike
+    * MinHash bands (q24, probabilistic recall) the candidate set
+    * provably contains every qualifying pair, and the oracle needn't
+    * replay the pruning at all: it computes plain exact Jaccard ≥ τ on
+    * the full index, and equality of outputs IS the losslessness proof
+    * (the q180 discipline).
+    *
+    * Scale shape: candidate generation joins PREFIXES only — and the
+    * rarest-first order means prefix shingles are exactly the low-df
+    * ones, so the equi-join fan-out is inverse-selected against hot
+    * keys (the df-cut's effect without discarding any pair). The
+    * verify stage re-joins the full index but ONLY along candidate
+    * pairs (two equi-joins keyed on doc id + hash). */
+  val q197PrefixJaccard: Q = Q.sql(
+    "q197_prefix_jaccard",
+    s"""WITH sh AS (
+      |  $shingleHashSql
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b USING (h)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+    "prefix-filtered exact Jaccard >= 0.5 pairs; oracle replays WITHOUT the filter (losslessness proof)") {
+    (s, dir) =>
+      val idx = shingleIndex(s, dir)
+      val df = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val wr = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("h"))
+      val prefix = idx.join(df, Seq("h"))
+        .withColumn("r", row_number().over(wr))
+        .join(sizes, Seq("doc_id"))
+        // tau=0.5 prefix bound: sz - ceil(tau*sz) + 1 = floor(sz/2) + 1
+        .filter(col("r") <= expr("sz div 2") + 1)
+        .select(col("doc_id"), col("h"))
+      val cand = prefix.as("pa")
+        .join(prefix.as("pb"), col("pa.h") === col("pb.h")
+          && col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+        .distinct()
+      // exact verify along candidate pairs only: full sets re-enter via
+      // two equi-joins (doc id, then (doc id, hash))
+      val inter = idx.select(col("doc_id").as("doc_a"), col("h"))
+        .join(cand, Seq("doc_a"))
+        .join(idx.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      val jac = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          Seq("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2770,5 +2900,6 @@ object TextPipeline {
     q119CurationBySource, q120MixtureWeights, q132TypoPairs, q135Collocations,
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
-    q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings)
+    q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
+    q195SortedNeighborhood, q197PrefixJaccard)
 }

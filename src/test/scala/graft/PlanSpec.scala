@@ -592,4 +592,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
       s"profile read the table more than once:\n$p")
   }
+
+  test("q194: kNN build is an equi-key cell join; wedges never go quadratic") {
+    val p = plan("q194_link_prediction")
+    assert(p.contains("dotproduct"), s"cosine not fused to the native kernel:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"link prediction fell off the equi-join path:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-5 not pushed into window:\n$p")
+  }
+
+  test("q195: sorted-neighborhood is join-free — three leads on one block exchange") {
+    val p = plan("q195_sorted_neighborhood")
+    assert(!p.contains("Join"), s"candidate generation joined (the oracle's rank self-join leaked into the engine):\n$p")
+    assert(countExchanges(p) <= 1, s"more than the one block exchange:\n$p")
+  }
+
+  test("q196: encode stage broadcasts the 5-row segment stats") {
+    val p = plan("q196_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), s"segment stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
+  }
+
+  test("q197: prefix filter joins on the shingle hash, never cross") {
+    val p = plan("q197_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join went quadratic:\n$p")
+  }
+
+  test("q198: train stats broadcast onto the test grid") {
+    val p = plan("q198_seasonal_baseline")
+    assert(p.contains("BroadcastHashJoin"), s"train stats not broadcast:\n$p")
+  }
+
+  test("q199: digit histogram partial-aggregates; totals broadcast") {
+    val p = plan("q199_benford_audit")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"histogram not partial-agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-priority totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
+  }
 }
