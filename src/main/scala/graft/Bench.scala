@@ -74,6 +74,15 @@ object Bench {
     * CPU yardstick for cross-window comparability. */
   def cpuCalibrationMops(iters: Long = 400000000L): Double = {
     var x = 0x9E3779B97F4A7C15L
+    // untimed warm-up: the first (start-of-run) call otherwise bills
+    // interpreter/OSR compilation of this very loop to the measurement,
+    // making start vs end Mops not like-for-like — and the ±15%
+    // normalization contract divides by exactly this field
+    var w = 0L
+    while (w < 10000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      w += 1
+    }
     var i = 0L
     val t0 = System.nanoTime()
     while (i < iters) {
@@ -191,11 +200,24 @@ object Bench {
     val ioField = f"$ioMbps%.1f"
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
     println(json)
+    // Healthy-window guard (round-7 lesson: a degraded host window — io
+    // writeback throttled to 88 MB/s, cpu calibration 445 Mops — produced
+    // a +20% snapshot that read as a regression until a same-day A/B
+    // discounted it). A run whose OWN calibration says the window was
+    // degraded must never silently become the committed per-query
+    // reference, so it lands in bench_unhealthy.json instead. Envelope
+    // per BASELINE.md: io >= 300 MB/s and cpu >= 470 Mops at BOTH ends.
+    val healthy = ioMbps >= 300 && ioEnd >= 300 &&
+      cpuMops >= 470 && cpuMopsEnd >= 470
+    if (!healthy) System.err.println(
+      f"[graft.Bench] UNHEALTHY window (io $ioMbps%.0f/$ioEnd%.0f MB/s, " +
+        f"cpu $cpuMops%.0f/$cpuMopsEnd%.0f Mops) — writing bench_unhealthy.json")
     // sidecar: the driver's stdout capture truncates long lines (BENCH_r05
     // lost q01-q29), so round-over-round per-query diffs need the full map
     // durable on disk too
     scala.util.Try(Files.write(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (healthy) "bench_last.json" else "bench_unhealthy.json")),
       (json + "\n").getBytes("UTF-8")))
     spark.stop()
   }

@@ -44,9 +44,18 @@ object SessionCache {
     * `build <key>` event; a soft-cleared value detected at lookup appends
     * `cleared <key>` before its rebuild; plain hits only bump [[hits]].
     * `Bench` drains [[events]] per query to attribute in-session cache
-    * pressure to the query that paid for it. Bounded: one entry per
-    * build/eviction, never per lookup. */
-  val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    * pressure to the query that paid for it. Bounded twice over: one
+    * entry per build/eviction (never per lookup), and a hard drop-oldest
+    * cap — only Bench ever drains the queue, so a long-lived non-bench
+    * session (Verify, spec matrix, notebook) would otherwise accumulate
+    * one string per build forever. */
+  val events = new java.util.concurrent.ConcurrentLinkedQueue[String] {
+    private val cap = 1024
+    override def add(e: String): Boolean = {
+      while (size() >= cap) poll()
+      super.add(e)
+    }
+  }
   private val hitsC = new java.util.concurrent.atomic.LongAdder
   def hits: Long = hitsC.sum()
 

@@ -45,8 +45,9 @@ object ScaleUp {
     * hot key `HotBase + (10 − floor(log2((event_id mod 1024) + 1)))` —
     * halving mass per rank, i.e. hot rank 1 carries 50% of the overlaid
     * half (25% of ALL events) at every scale, rank 2 25%, … a
-    * geometric/Zipf-s≈1 head over ten keys whose per-key row count
-    * grows LINEARLY with the corpus. A pure function of event_id:
+    * geometric/Zipf-s≈1 head over eleven keys (ranks 0..10) whose
+    * per-key row count grows LINEARLY with the corpus. A pure function
+    * of event_id:
     * deterministic, replayable closed-form by DuckDB, and identical in
     * distribution at every factor so exponents compare like with like. */
   private def zipfUser(df: DataFrame): DataFrame =
@@ -60,6 +61,12 @@ object ScaleUp {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
     val skew = sys.env.get("GRAFT_SCALE_SKEW") // "zipf" | unset
+    // HotBase clears replica-shifted user_ids (max ≈ factor·10⁷) only
+    // while factor < 500 — beyond that a hot key would silently alias a
+    // real shifted user and corrupt the overlay's closed-form oracle
+    require(skew.isEmpty || factor < 500,
+      s"GRAFT_SCALE_SKEW requires factor < 500 (got $factor): " +
+        s"hot-key base $HotBase must stay above every shifted user_id")
     val dst = args.headOption
       .getOrElse(s"${graft.Scratch.root}/graft-sf-x$factor" +
         skew.map("-" + _).getOrElse(""))

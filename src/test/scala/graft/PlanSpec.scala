@@ -418,8 +418,13 @@ class PlanSpec extends AnyFunSuite {
       s"postings did not partial-aggregate:\n$p")
     val semiIdx = p.indexOf("LeftSemi")
     val collectIdx = p.indexOf("partial_collect_list")
-    assert(collectIdx >= 0 && semiIdx >= 0,
-      s"missing collect/semi markers:\n$p")
+    // formatted explain's detail section is ordered leaf-first (node ids
+    // count up from the scans), so the semi-join gating the collect must
+    // appear BEFORE the list aggregate that consumes it. A plan that
+    // collected first and semi-joined after would buffer stopword
+    // postings in the list buffers and flunk here.
+    assert(semiIdx < collectIdx,
+      s"LeftSemi not upstream of partial_collect_list:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"index build fell off the equi-join path:\n$p")
   }
