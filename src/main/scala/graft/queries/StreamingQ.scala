@@ -1670,6 +1670,68 @@ object StreamingQ {
         col("state"), col("version"), col("valid_from_us"))
   }
 
+  /** The skew-safe spelling of q100 (round-7 zipf finding, promoted from
+    * BASELINE.md prose to a gated row): per-(user, hour) cap of
+    * [[graft.streaming.StreamingCappedJoin.CapPerHour]] deterministic
+    * representatives on EACH side before any matching, so state and
+    * output per (user, hour) are O(K²) at ANY hot-key rate — the whole
+    * query stays linear on the zipf fixture where q100's exact banded
+    * output is quadratic by construction. Kept set = K smallest event
+    * ids per (user, hour, side); a purchase bucket emits at
+    * `wm ≥ end(B)`, a click's unmatched row at `wm ≥ end(B) + 2h` —
+    * both closed-form in the final watermark, so the oracle reproduces
+    * the exact row set with two QUALIFY caps and the two finalization
+    * predicates. Single source, single watermark (both sides ride one
+    * scan — unlike q100's two-reader min-watermark). */
+  val q201CappedStreamJoin: Q = Q.sql(
+    "q201_capped_stream_join",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |wm AS (SELECT (MAX(ts_us) // 1000) * 1000 - 600000000 AS w FROM ev),
+      |pr AS (SELECT user_id, event_id, value, ts_us, ts_us // 3600000000 AS b
+      |       FROM ev WHERE event_type = 'purchase'
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts_us // 3600000000
+      |                                  ORDER BY event_id) <= 8),
+      |cl AS (SELECT user_id, event_id, value, ts_us, ts_us // 3600000000 AS b
+      |       FROM ev WHERE event_type = 'click'
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts_us // 3600000000
+      |                                  ORDER BY event_id) <= 8),
+      |prf AS (SELECT * FROM pr
+      |        WHERE (b + 1) * 3600000000 <= (SELECT w FROM wm)),
+      |clf AS (SELECT * FROM cl
+      |        WHERE (b + 1) * 3600000000 + 7200000000 <= (SELECT w FROM wm))
+      |SELECT CAST(p.user_id AS BIGINT) AS user_id,
+      |       CAST(p.event_id AS BIGINT) AS p_event_id,
+      |       CAST(c.event_id AS BIGINT) AS c_event_id,
+      |       CAST(p.ts_us AS BIGINT) AS p_ts_us,
+      |       CAST(c.ts_us AS BIGINT) AS c_ts_us,
+      |       p.value AS p_value, c.value AS c_value
+      |FROM prf p JOIN cl c ON c.user_id = p.user_id
+      |  AND c.ts_us >= p.ts_us - 7200000000 AND c.ts_us <= p.ts_us
+      |UNION ALL
+      |SELECT CAST(p.user_id AS BIGINT), CAST(p.event_id AS BIGINT),
+      |       CAST(NULL AS BIGINT), CAST(p.ts_us AS BIGINT),
+      |       CAST(NULL AS BIGINT), p.value, CAST(NULL AS DOUBLE)
+      |FROM prf p WHERE NOT EXISTS (SELECT 1 FROM cl c
+      |  WHERE c.user_id = p.user_id
+      |    AND c.ts_us >= p.ts_us - 7200000000 AND c.ts_us <= p.ts_us)
+      |UNION ALL
+      |SELECT CAST(c.user_id AS BIGINT), CAST(NULL AS BIGINT),
+      |       CAST(c.event_id AS BIGINT), CAST(NULL AS BIGINT),
+      |       CAST(c.ts_us AS BIGINT), CAST(NULL AS DOUBLE), c.value
+      |FROM clf c WHERE NOT EXISTS (SELECT 1 FROM prf p
+      |  WHERE p.user_id = c.user_id
+      |    AND c.ts_us >= p.ts_us - 7200000000 AND c.ts_us <= p.ts_us)""".stripMargin,
+    "per-(user,hour)-capped stream-stream interval join: skew-safe q100") {
+    (s, dir) =>
+      streamOnce("stream-capped-join", s, dir, shufflePartitions = Some(8))(
+        sess => graft.streaming.StreamingCappedJoin(
+          StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")))
+        .select(col("user_id"), col("p_event_id"), col("c_event_id"),
+          col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -1678,5 +1740,5 @@ object StreamingQ {
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
-    q191StreamEwmaRestart, q200StreamPitEnrich)
+    q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin)
 }
