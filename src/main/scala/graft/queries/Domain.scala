@@ -1029,9 +1029,102 @@ object Domain {
     graft.nba.Possessions.segments(pipeline(s, dir).timeline)
   }
 
+  /** Fixed-point iterations the label propagation runs — unrolled
+    * identically in the DuckDB oracle (both engines execute the same
+    * synchronous recurrence). */
+  val LpaIters = 4
+
+  private def lpaOracle: String = {
+    val steps = (1 to LpaIters).map { k =>
+      s"""lp$k AS (
+         |  SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+         |  FROM lp${k - 1} v LEFT JOIN (
+         |    SELECT dst AS id, lbl FROM (
+         |      SELECT c.dst, n.lbl, SUM(c.w) AS votes,
+         |             row_number() OVER (PARTITION BY c.dst
+         |               ORDER BY SUM(c.w) DESC, n.lbl) AS rn
+         |      FROM co c JOIN lp${k - 1} n ON n.id = c.src
+         |      GROUP BY c.dst, n.lbl)
+         |    WHERE rn = 1) p ON p.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    PRELUDE +
+      s""", co AS (
+         |  SELECT a.person_id AS src, b.person_id AS dst,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM mem a JOIN mem b
+         |    ON b.stint_id = a.stint_id AND b.person_id <> a.person_id
+         |  GROUP BY 1, 2),
+         |lp0 AS (
+         |  SELECT DISTINCT person_id AS id, CAST(person_id AS BIGINT) AS lbl
+         |  FROM mem),
+         |$steps,
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM lp$LpaIters GROUP BY 1)
+         |SELECT CAST(l.id AS BIGINT) AS person_id, l.lbl AS community,
+         |       sz.n AS community_size
+         |FROM lp$LpaIters l JOIN sz ON sz.lbl = l.lbl""".stripMargin
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the player co-occurrence graph — the one classic
+    * GraphX analytics family (degrees/CC/BFS/PageRank/triangles/k-core/
+    * SSSP/WL) that was still missing. Vertices are players, edge weight
+    * = number of lineup stints the pair shared on court; each round
+    * every player adopts the label carrying the highest co-occurrence
+    * mass among its neighbours, ties broken by SMALLEST label — the
+    * deterministic-tiebreak discipline (q78's integer playbook: weights
+    * are exact stint counts, votes exact integer sums, so both engines
+    * run the identical recurrence and the hash compares).
+    *
+    * Scale shape: the co-occurrence build explodes each stint's 5-player
+    * array and self-joins on stint_id — per-stint fan-out is a constant
+    * 20 ordered pairs, so the edge build is linear in stints and rides
+    * equi-shuffles only. Each LPA round is one edges⋈labels equi-join +
+    * one partial-aggregated (dst, lbl) vote sum + one per-dst arg-min —
+    * the canonical distributed LPA step; the `min(struct(-votes, lbl))`
+    * pick partial-aggregates map-side where a rank window would sort.
+    * Edges and vertices are cached across the unrolled rounds. */
+  val q202LabelPropagation: Q = Q.sql(
+    "q202_label_propagation",
+    lpaOracle,
+    "LPA communities over the player co-occurrence graph (4 sync rounds)") {
+    (s, dir) =>
+      val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
+        pipeline(s, dir).lineupStints
+          .select(col("stint_id"), explode(col("player_ids")).as("person_id"))
+      }
+      val co = graft.SessionCache.once(s, s"domain#$dir#lpa-co") {
+        val a = mem.select(col("stint_id"), col("person_id").as("src"))
+        val b = mem.select(col("stint_id"), col("person_id").as("dst"))
+        a.join(b, Seq("stint_id"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .cache()
+      }
+      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
+      var labels = verts.select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to LpaIters) {
+        val votes = co
+          .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(sum(col("w")).as("votes"))
+        val picked = votes
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
+          .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
+        labels = labels.join(picked, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      }
+      val sz = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      labels.join(sz, Seq("lbl"))
+        .select(col("id").as("person_id"), col("lbl").as("community"),
+          col("community_size"))
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
       q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges,
-      q74GraphBfs, q77Possessions)
+      q74GraphBfs, q77Possessions, q202LabelPropagation)
 }

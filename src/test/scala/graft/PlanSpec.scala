@@ -638,4 +638,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"per-priority totals not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
   }
+
+  test("q202: LPA rounds are equi-joins; votes and pick both partial-agg") {
+    val p = plan("q202_label_propagation")
+    // every co-occurrence pair and every vote rides an equi-key shuffle;
+    // the per-dst argmin is min(struct(-votes, lbl)) so it map-side
+    // combines — a rank window here would sort each round instead
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA fell off the equi-join path:\n$p")
+    // the struct-min spelling of the pick is the proof no per-round rank
+    // window snuck in (the upstream game pipeline owns the Windows that
+    // DO appear in this composed plan)
+    assert(p.contains("partial_sum") && p.contains("partial_min(struct"),
+      s"vote sum / label pick not partial-aggregated:\n$p")
+  }
 }
