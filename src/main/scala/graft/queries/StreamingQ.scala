@@ -245,9 +245,21 @@ object StreamingQ {
     * paths. Conf overrides ride a session clone exactly like
     * [[streamOnce]]. The staging split (a global window over the fixture)
     * is harness work, never part of the measured streaming plan. */
+  /** `tearSinkCommit = true` simulates the worst crash point of the
+    * exactly-once file-sink protocol: after incarnation 1 finishes, the
+    * checkpoint's LAST `commits/<batchId>` marker is deleted — exactly
+    * the on-disk state left by a kill that landed AFTER the sink wrote
+    * its data files and `_spark_metadata/<batchId>` manifest but BEFORE
+    * the commit log recorded the batch. Incarnation 2 must then REPLAY
+    * that batch from the offset log, and the sink's manifest check is
+    * the only thing standing between the replay and duplicate output
+    * files; the re-read (which honors `_spark_metadata`) and the
+    * unchanged one-shot oracle prove neither a duplicate nor a lost row
+    * survived. */
   private def streamRestart(tag: String, spark: SparkSession, dir: String,
       shufflePartitions: Option[Int] = None,
-      extraConfs: Map[String, String] = Map.empty)(
+      extraConfs: Map[String, String] = Map.empty,
+      tearSinkCommit: Boolean = false)(
       build: (SparkSession, String) => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
       import org.apache.spark.sql.expressions.Window
@@ -291,8 +303,31 @@ object StreamingQ {
       }
       publish(ranked.filter(col("__rn") <= n / 2).drop("__rn"), "slice1")
       drainOnce() // incarnation 1 drains the front half, then is GONE
+      val torn: Option[java.io.File] =
+        if (!tearSinkCommit) None
+        else {
+          // tear the crash window open: drop the newest commit marker so
+          // incarnation 2 believes the last batch never committed
+          val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+            .filter(_.getName.forall(_.isDigit))
+          require(commits.nonEmpty, "no committed batch to tear")
+          val latest = commits.maxBy(_.getName.toLong)
+          require(latest.delete(), s"could not delete ${latest.getPath}")
+          // Hadoop's local ChecksumFileSystem keeps a hidden `.<name>.crc`
+          // beside every log file; a crash before the commit write leaves
+          // NEITHER file, and a lone stale checksum fails incarnation 2's
+          // rewrite as a concurrent-writer rename conflict
+          for (crc <- Seq(new java.io.File(latest.getParentFile, s".${latest.getName}.crc"),
+              new java.io.File(latest.getPath + ".crc")) if crc.exists())
+            require(crc.delete(), s"could not delete $crc")
+          Some(latest)
+        }
       publish(ranked.filter(col("__rn") > n / 2).drop("__rn"), "slice2")
       drainOnce() // incarnation 2 resumes state + offsets from the ckpt
+      // the torn batch must have been REPLAYED (commit marker rewritten),
+      // not skipped — otherwise this gate would be testing nothing
+      torn.foreach(f => require(f.exists(),
+        s"torn commit ${f.getPath} was not replayed by incarnation 2"))
       s"$tmp/out"
     }
     spark.read.parquet(path)
@@ -1732,6 +1767,41 @@ object StreamingQ {
           col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
   }
 
+  /** Exactly-once FILE-SINK semantics under restart — the sink-side
+    * complement of the state-recovery restart matrix (q117/q118/q121/
+    * q127/q159/q184/q191 prove state; none proved the sink). The
+    * two-incarnation scaffold tears the checkpoint open at the worst
+    * crash point — after the sink wrote data files + its
+    * `_spark_metadata/<batch>` manifest entry, before the commit log
+    * recorded the batch (see [[streamRestart]]'s `tearSinkCommit`) — so
+    * incarnation 2 REPLAYS the batch (the harness asserts the commit
+    * marker is rewritten) and only the sink's manifest check stands
+    * between the replay and duplicate output. The sink re-read honors
+    * `_spark_metadata`, and the gate hashes it against the plain batch
+    * oracle: a duplicated replay row, a lost row, or a reader that
+    * listed orphan files raw would each flip the hash. The plan is a
+    * deliberately stateless map-only enrich — any divergence is the
+    * sink/commit protocol's, not an operator's. */
+  val q203SinkExactlyOnce: Q = Q.sql(
+    "q203_sink_exactly_once",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(user_id AS BIGINT) AS user_id,
+      |       event_type, value, value * 1.5 AS boosted,
+      |       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |FROM events WHERE value >= 20.0""".stripMargin,
+    "exactly-once file sink: torn commit forces a replay; manifest dedupes") {
+    (s, dir) =>
+      streamRestart("sink-exactly-once", s, dir, tearSinkCommit = true) {
+        (sess, watch) =>
+          StreamingFeed.eventsStream(sess, watch).toDF()
+            .filter(col("value") >= 20.0)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), (col("value") * 1.5).as("boosted"),
+              org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"))
+      }.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("boosted"), col("ts_us"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -1740,5 +1810,6 @@ object StreamingQ {
     q121StreamSessionRestart, q123StreamHeavyHitters, q127StreamCmsRestart,
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
-    q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin)
+    q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
+    q203SinkExactlyOnce)
 }
