@@ -35,13 +35,29 @@ object Multimodal {
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
 
-  /** Per-partition batch decode: one pass, decoder state amortized per
-    * partition, output schema typed via the case-class encoder. */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  /** The injectable codec seam: `mkDecoder` is a serializable FACTORY
+    * shipped to executors and invoked ONCE per partition — the slot
+    * where a real deployment constructs its libjpeg/ffmpeg handle, so a
+    * codec drop-in changes one call site and nothing about the plumbing.
+    * Contract (pinned by `MultimodalSeamSpec`):
+    *  - one decoder instance per partition, reused across its rows
+    *    (never per-row construction, never a shared global);
+    *  - rows reach the decoder in partition order, output preserves it;
+    *  - a NULL payload never reaches the decoder — it maps to the
+    *    `n_bytes = -1, format = "missing"` marker row, keeping the
+    *    decoder free of defensive null handling;
+    *  - the map is narrow: partitioning survives unchanged.
+    */
+  def decodeMeta(
+      spark: SparkSession, media: DataFrame,
+      mkDecoder: () => MediaRow => MediaMeta = () => stubDecode): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // decoder init would happen here, once per partition
-      rows.map(stubDecode)
+      val decode = mkDecoder() // decoder init: once per partition
+      rows.map { r =>
+        if (r.payload == null) MediaMeta(r.doc_id, -1L, 0L, 0L, "missing")
+        else decode(r)
+      }
     }
   }
 
