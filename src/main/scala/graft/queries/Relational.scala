@@ -3221,6 +3221,66 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q204
+  /** Distributed quantile estimation from a DETERMINISTIC bottom-k-by-
+    * hash sample ([[graft.functions.BottomKSample]]) — the mergeable,
+    * partitioning-invariant alternative to `approx_percentile` (whose
+    * GK summary is arrival-order-dependent, hence unreproducible across
+    * runs and not oracle-gateable). Per group: keep the k=256 rows whose
+    * md5 row-key hash is smallest (a uniform deterministic sample),
+    * then read nearest-rank p50/p90/p99 off the sorted sample.
+    *
+    * Scale shape: ONE ObjectHashAggregate with map-side partial
+    * aggregation — per-group state is k (hash, value) pairs regardless
+    * of corpus size, so 100 TB costs a scan plus O(k) merges per
+    * partition; no sort, no window, no shuffle of the data itself.
+    * Accuracy is the standard uniform-sample bound (±~1/√k per
+    * quantile), the price of exact determinism.
+    */
+  val q204QuantileSketch: Q = Q.sql(
+    "q204_quantile_sketch",
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+      |       CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT flag, v,
+      |    row_number() OVER (PARTITION BY flag ORDER BY h, v) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS n_rows
+      |  FROM h
+      |), s AS (
+      |  SELECT flag, v, n_rows FROM r WHERE rn <= 256
+      |), o AS (
+      |  SELECT flag, v, n_rows,
+      |    row_number() OVER (PARTITION BY flag ORDER BY v) AS orn,
+      |    COUNT(*) OVER (PARTITION BY flag) AS k
+      |  FROM s
+      |)
+      |SELECT flag, MAX(n_rows) AS n_rows,
+      |  MAX(CASE WHEN orn = CAST(ceil(0.5 * k) AS BIGINT) THEN v END) AS p50,
+      |  MAX(CASE WHEN orn = CAST(ceil(0.9 * k) AS BIGINT) THEN v END) AS p90,
+      |  MAX(CASE WHEN orn = CAST(ceil(0.99 * k) AS BIGINT) THEN v END) AS p99
+      |FROM o GROUP BY 1""".stripMargin,
+    "deterministic bottom-k-sample quantiles per return flag (mergeable sketch)") {
+    (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val h = graft.ops.Text.baseHash(
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")))
+      val agg = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          graft.functions.BottomKSample.sample(h, col("l_extendedprice"), 256)
+            .as("sample"))
+        .withColumn("sorted", array_sort(col("sample")))
+        .withColumn("k", size(col("sorted")))
+      def q(p: Double) =
+        element_at(col("sorted"), ceil(lit(p) * col("k")).cast("int"))
+      agg.select(col("flag"), col("n_rows"),
+        q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3237,5 +3297,5 @@ object Relational {
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
-    q198SeasonalBaseline, q199BenfordAudit)
+    q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch)
 }
