@@ -2888,6 +2888,111 @@ object TextPipeline {
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- q205
+  /** Duplicated n-gram SPAN detection — the exact-substring dedup shape
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22), scaled to word 8-grams: find every 8-token span
+    * whose text occurs more than once ANYWHERE in the corpus, merge
+    * overlapping duplicated spans per document (gap-and-island on span
+    * starts), and report per-doc duplicated-token mass. Unlike q22/q25
+    * (whole/near-doc dedup) this localizes duplication WITHIN documents
+    * — the operator that finds boilerplate headers and quoted passages
+    * a document-level dedup can't see.
+    *
+    * Scale shape: gram enumeration is a per-doc map (positions ride one
+    * projection — the token array is materialized ONCE per doc, the
+    * HOF-recompute trap measured in q135/q88); duplicate detection is a
+    * partial-agg count on the 60-bit gram hash (never the gram text);
+    * the span merge is one per-doc window over only the DUPLICATED
+    * grams (a small fraction of the corpus). No stage is quadratic; at
+    * 100 TB the count shuffle is hash-partitioned map-side-combined
+    * longs, the Lee et al. suffix-array pass re-expressed as
+    * aggregation.
+    */
+  val q205DupSpans: Q = {
+    val n = 8
+    Q.sql(
+      "q205_dup_spans",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS s0,
+         |    ('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i) u
+         |  WHERE len(toks) >= $n
+         |), dup AS (
+         |  SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1
+         |), spans AS (
+         |  SELECT g.doc_id, g.s0, g.s0 + ${n - 1} AS e0
+         |  FROM g WHERE g.h IN (SELECT h FROM dup)
+         |), isl AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN s0 > COALESCE(MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+         |  FROM spans
+         |), grp AS (
+         |  SELECT doc_id, s0, e0,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl
+         |), merged AS (
+         |  SELECT doc_id, island, MIN(s0) AS ms, MAX(e0) AS me
+         |  FROM grp GROUP BY 1, 2
+         |)
+         |SELECT t.doc_id,
+         |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(d.n_spans, 0) AS BIGINT) AS dup_spans,
+         |  CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / len(t.toks) AS dup_frac
+         |FROM t
+         |LEFT JOIN (
+         |  SELECT doc_id, COUNT(*) AS n_spans, SUM(me - ms + 1) AS dup_tokens
+         |  FROM merged GROUP BY 1
+         |) d ON d.doc_id = t.doc_id
+         |WHERE len(t.toks) >= $n""".stripMargin,
+      "per-doc duplicated 8-gram span mass (Lee et al. exact-substring dedup shape)") {
+      (s, dir) =>
+        val t = docs(s, dir)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= n)
+        val gram = (i: Column) =>
+          concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + lit(o))): _*)
+        val g = t
+          .select(col("doc_id"), size(col("toks")).as("n_toks"),
+            posexplode(transform(
+              sequence(lit(1), size(col("toks")) - (n - 1)),
+              i => Text.baseHash(gram(i)))))
+          .select(col("doc_id"), col("n_toks"),
+            (col("pos") + 1).cast("long").as("s0"), col("col").as("h"))
+        val dup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select(col("h"))
+        val spans = g.join(dup, "h")
+          .select(col("doc_id"), col("s0"), (col("s0") + (n - 1)).as("e0"))
+        val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s0"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s0"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val merged = spans
+          .withColumn("brk",
+            when(col("s0") > coalesce(max(col("e0")).over(wPrev), lit(-1L)), 1)
+              .otherwise(0))
+          .withColumn("island", sum(col("brk")).over(wRun))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("s0")).as("ms"), max(col("e0")).as("me"))
+        val perDoc = merged.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("me") - col("ms") + 1).as("dup_tokens"))
+        t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("dup_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+              / col("n_tokens")).as("dup_frac"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -2901,5 +3006,5 @@ object TextPipeline {
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
-    q195SortedNeighborhood, q197PrefixJaccard)
+    q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans)
 }

@@ -653,4 +653,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") && p.contains("partial_min(struct"),
       s"vote sum / label pick not partial-aggregated:\n$p")
   }
+
+  test("q205: dup-gram count partial-aggregates; span join is equi-key on the hash") {
+    val p = plan("q205_dup_spans")
+    // duplicate detection must be a map-side-combined count on the 60-bit
+    // gram hash, and the span restriction an equi-join on that hash —
+    // never a cross/NLJ pairing of gram occurrences
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q205 fell off the equi-join path:\n$p")
+    assert(p.contains("partial_count"),
+      s"dup-gram count not partial-aggregated:\n$p")
+  }
 }
