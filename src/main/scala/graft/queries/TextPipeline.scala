@@ -2993,6 +2993,85 @@ object TextPipeline {
     }
   }
 
+  // ---------------------------------------------------------------- q206
+  /** Target-mixture corpus resampling — the operator that APPLIES a
+    * domain mixture (q120 computes weights; this enforces them): given
+    * declared target language shares and a token budget of 80% of the
+    * corpus, derive per-language acceptance rates
+    * `min(1, w·T / c_lang)` and accept each document by a deterministic
+    * md5 Bernoulli draw (`hash % 1e6 < floor(rate·1e6)`) — the DoReMi/
+    * CC-mix resampling step, reproducible bit-for-bit across runs and
+    * engines (no RNG, no order dependence). Over-represented languages
+    * are thinned toward their target share; under-represented ones are
+    * kept whole (the `min(1,·)` clamp — upsampling is a separate
+    * repeat-epoch concern).
+    *
+    * Scale shape: one partial-agg count per language (bounded frame),
+    * rates broadcast back, accept is a map-side predicate on the scan —
+    * the full corpus is touched exactly once, shuffled never.
+    */
+  val q206MixtureResample: Q = {
+    val weights = Seq("en" -> 0.35, "de" -> 0.30, "es" -> 0.15,
+      "fr" -> 0.10, "zh" -> 0.10)
+    val duckW = weights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString("CAST(CASE ", " ", " ELSE 0.0 END AS DOUBLE)")
+    val sparkW = weights.foldLeft(lit(0.0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    Q.sql(
+      "q206_mixture_resample",
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |  FROM documents
+         |), c AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(floor(0.8 * SUM(n_docs)) AS BIGINT) AS budget FROM c
+         |), r AS (
+         |  SELECT lang, n_docs, ($duckW) AS target_w,
+         |    LEAST(1.0, ($duckW) * CAST(budget AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate,
+         |    CAST(floor(LEAST(1.0, ($duckW) * CAST(budget AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+         |  FROM c, tot
+         |), acc AS (
+         |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS accepted
+         |  FROM d JOIN r ON r.lang = d.lang
+         |  WHERE d.hv % 1000000 < r.thr
+         |  GROUP BY 1
+         |), ta AS (
+         |  SELECT CAST(SUM(accepted) AS BIGINT) AS total_acc FROM acc
+         |)
+         |SELECT r.lang, r.n_docs, r.target_w, r.rate, r.thr,
+         |  COALESCE(acc.accepted, 0) AS accepted,
+         |  CAST(COALESCE(acc.accepted, 0) AS DOUBLE) / CAST(ta.total_acc AS DOUBLE)
+         |    AS achieved_share
+         |FROM r LEFT JOIN acc ON acc.lang = r.lang, ta""".stripMargin,
+      "deterministic target-mixture resampling by language with md5 Bernoulli accept") {
+      (s, dir) =>
+        val d = docs(s, dir).select(col("lang"), col("doc_id"),
+          Text.baseHash(concat(lit("mix|"), col("doc_id").cast("string"))).as("hv"))
+        val c = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = c.agg(floor(lit(0.8) * sum(col("n_docs"))).cast("long").as("budget"))
+        val r = c.crossJoin(broadcast(tot))
+          .withColumn("target_w", sparkW)
+          .withColumn("rate",
+            least(lit(1.0), col("target_w") * col("budget").cast("double")
+              / col("n_docs").cast("double")))
+          .withColumn("thr", floor(col("rate") * 1000000).cast("long"))
+        val acc = d.join(broadcast(r.select(col("lang"), col("thr"))), "lang")
+          .where(pmod(col("hv"), lit(1000000L)) < col("thr"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("accepted"))
+        val ta = acc.agg(sum(col("accepted")).cast("long").as("total_acc"))
+        r.join(acc, Seq("lang"), "left")
+          .crossJoin(broadcast(ta))
+          .select(col("lang"), col("n_docs"), col("target_w"), col("rate"),
+            col("thr"), coalesce(col("accepted"), lit(0L)).as("accepted"),
+            (coalesce(col("accepted"), lit(0L)).cast("double")
+              / col("total_acc").cast("double")).as("achieved_share"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3006,5 +3085,6 @@ object TextPipeline {
     q136Redact, q140OovRate, q141LexicalStats, q144PpsSample, q149LeakageSplit,
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
-    q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans)
+    q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
+    q206MixtureResample)
 }
