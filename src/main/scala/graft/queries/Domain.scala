@@ -1122,9 +1122,124 @@ object Domain {
           col("community_size"))
   }
 
+  /** Power-iteration rounds for the personalized PageRank — unrolled
+    * identically in the oracle. */
+  val PprIters = 3
+
+  /** Integer scale for PPR mass (q78's exact-integer discipline: both
+    * engines run the identical truncating-division recurrence, so the
+    * gate is exact — no float drift across iteration order). */
+  private val PprScale = 1000000000000L
+
+  private def pprOracle: String = {
+    val restart = PprScale * 15 / 100 / 3 // teleport mass per seed
+    val steps = (1 to PprIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |    CAST(CASE WHEN sd.id IS NOT NULL THEN $restart ELSE 0 END
+         |      + COALESCE(m.inc, 0) AS BIGINT) AS s
+         |  FROM verts v LEFT JOIN seeds sd ON sd.id = v.id
+         |  LEFT JOIN (
+         |    SELECT c.dst AS id,
+         |      CAST(SUM((p.s * 85 * c.w) // (100 * o.tw)) AS BIGINT) AS inc
+         |    FROM co c JOIN pr${k - 1} p ON p.id = c.src
+         |    JOIN outw o ON o.src = c.src
+         |    GROUP BY 1) m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    PRELUDE +
+      s""", co AS (
+         |  SELECT a.person_id AS src, b.person_id AS dst,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM mem a JOIN mem b
+         |    ON b.stint_id = a.stint_id AND b.person_id <> a.person_id
+         |  GROUP BY 1, 2),
+         |verts AS (SELECT DISTINCT person_id AS id FROM mem),
+         |seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM co GROUP BY 1),
+         |pr0 AS (
+         |  SELECT v.id,
+         |    CAST(CASE WHEN sd.id IS NOT NULL THEN ${PprScale / 3} ELSE 0 END
+         |      AS BIGINT) AS s
+         |  FROM verts v LEFT JOIN seeds sd ON sd.id = v.id),
+         |$steps
+         |SELECT CAST(p.id AS BIGINT) AS person_id, p.s AS ppr,
+         |  sd.id IS NOT NULL AS is_seed
+         |FROM pr$PprIters p LEFT JOIN seeds sd ON sd.id = p.id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q207
+  /** Personalized PageRank from a 3-seed restart set over the player
+    * co-occurrence graph — the "who is structurally close to THESE
+    * nodes" primitive behind contrastive example mining and
+    * graph-feature generation, beside the global PageRank (q78) and
+    * LPA communities (q202).
+    *
+    * Exact-integer discipline: mass is integer-scaled (1e12), walk
+    * contributions use truncating integer division per edge, and the
+    * teleport re-injects a fixed integer share at the seeds, so the
+    * synchronous recurrence is bit-identical across engines and
+    * partitionings — hash-gateable, like q78/q202. (Truncation leaks
+    * ≤1 unit per edge per round — a defined property of the operator,
+    * not drift.)
+    *
+    * Scale shape: each round is ONE equi-join of the edge frame against
+    * the O(V) score frame plus a partial-agg sum on dst; the edge frame
+    * and out-weights build once and cache. No driver-side iteration
+    * state (the loop composes a 3-deep plan), no windows, nothing
+    * quadratic: exactly GraphX Pregel's cost model expressed in
+    * DataFrames.
+    */
+  val q207PersonalizedPagerank: Q = Q.sql(
+    "q207_personalized_pagerank",
+    pprOracle,
+    "3-seed personalized PageRank, exact-integer, over player co-occurrence") {
+    (s, dir) =>
+      val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
+        pipeline(s, dir).lineupStints
+          .select(col("stint_id"), explode(col("player_ids")).as("person_id"))
+      }
+      val co = graft.SessionCache.once(s, s"domain#$dir#lpa-co") {
+        val a = mem.select(col("stint_id"), col("person_id").as("src"))
+        val b = mem.select(col("stint_id"), col("person_id").as("dst"))
+        a.join(b, Seq("stint_id"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .cache()
+      }
+      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
+      val seeds = verts.orderBy(col("id")).limit(3)
+      val outw = co.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      val edges = co.join(outw, Seq("src"))
+      val restart = PprScale * 15 / 100 / 3
+      def withSeed(v: DataFrame): DataFrame =
+        v.join(broadcast(seeds.select(col("id"), lit(1).as("sd"))), Seq("id"), "left")
+      var scores = withSeed(verts)
+        .select(col("id"),
+          when(col("sd").isNotNull, lit(PprScale / 3)).otherwise(lit(0L))
+            .cast("long").as("s"))
+      for (_ <- 1 to PprIters) {
+        val inc = edges
+          .join(scores.select(col("id").as("src"), col("s")), Seq("src"))
+          .select(col("dst"),
+            expr("(s * 85 * w) div (100 * tw)").as("msg"))
+          .groupBy(col("dst"))
+          .agg(sum(col("msg")).cast("long").as("inc"))
+        scores = withSeed(verts)
+          .join(inc.select(col("dst").as("id"), col("inc")), Seq("id"), "left")
+          .select(col("id"),
+            (when(col("sd").isNotNull, lit(restart)).otherwise(lit(0L))
+              + coalesce(col("inc"), lit(0L))).cast("long").as("s"))
+      }
+      withSeed(scores)
+        .select(col("id").as("person_id"), col("s").as("ppr"),
+          col("sd").isNotNull.as("is_seed"))
+  }
+
   val all: Seq[Q] =
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
       q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges,
-      q74GraphBfs, q77Possessions, q202LabelPropagation)
+      q74GraphBfs, q77Possessions, q202LabelPropagation,
+      q207PersonalizedPagerank)
 }

@@ -654,6 +654,17 @@ class PlanSpec extends AnyFunSuite {
       s"vote sum / label pick not partial-aggregated:\n$p")
   }
 
+  test("q207: PPR rounds are equi-joins with partial-agg message sums; seeds broadcast") {
+    val p = plan("q207_personalized_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"PPR fell off the equi-join path:\n$p")
+    // each round's incoming-mass sum must map-side combine, and the
+    // 3-row seed frame must ride a broadcast, never a shuffle
+    assert(p.contains("partial_sum"), s"message sum not partial-aggregated:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"seed join not broadcast:\n$p")
+  }
+
   test("q205: dup-gram count partial-aggregates; span join is equi-key on the hash") {
     val p = plan("q205_dup_spans")
     // duplicate detection must be a map-side-combined count on the 60-bit
