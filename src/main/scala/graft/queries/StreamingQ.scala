@@ -1802,6 +1802,70 @@ object StreamingQ {
         col("value"), col("boosted"), col("ts_us"))
   }
 
+  // ---------------------------------------------------------------- q208
+  /** Streaming per-window quantiles through the deterministic bottom-k
+    * sample ([[graft.functions.BottomKSample]], q204's batch form):
+    * tumbling-hour p50/p90 of `value` from the k=64 rows whose md5
+    * event-id hash is smallest. Exact per-window sorts are unbounded on
+    * streams; the mergeable O(k) sample is the at-scale answer — and
+    * unlike GK/KLL streaming percentiles the result is a pure function
+    * of the window's row SET, so arrival order, micro-batch boundaries,
+    * and state-store merges cannot move it: the DuckDB oracle recomputes
+    * the identical closed form (q96's discipline, with values instead
+    * of a distinct-count). */
+  val q208StreamQuantiles: Q = Q.sql(
+    "q208_stream_quantiles",
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start, value AS v,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events
+      |), r AS (
+      |  SELECT bucket_start, v,
+      |         row_number() OVER (PARTITION BY bucket_start ORDER BY h, v) AS rn
+      |  FROM b
+      |), s AS (
+      |  SELECT bucket_start, v FROM r WHERE rn <= 64
+      |), o AS (
+      |  SELECT bucket_start, v,
+      |         row_number() OVER (PARTITION BY bucket_start ORDER BY v) AS orn,
+      |         count(*) OVER (PARTITION BY bucket_start) AS k
+      |  FROM s
+      |), q AS (
+      |  SELECT bucket_start,
+      |    MAX(CASE WHEN orn = CAST(ceil(0.5 * k) AS BIGINT) THEN v END) AS p50,
+      |    MAX(CASE WHEN orn = CAST(ceil(0.9 * k) AS BIGINT) THEN v END) AS p90
+      |  FROM o GROUP BY 1
+      |), n AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(q.bucket_start AS BIGINT) AS bucket_start,
+      |  CAST(n.n_events AS BIGINT) AS n_events, q.p50, q.p90
+      |FROM q JOIN n USING (bucket_start)
+      |WHERE (q.bucket_start + 3600) * 1000000 <=
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM events)""".stripMargin,
+    "streaming tumbling-window deterministic bottom-k quantiles (mergeable sample)") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      streamOnce("stream-bottomk", s, dir) { _ =>
+        val agg = StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.functions.BottomKSample.sample(
+              graft.ops.Text.baseHash(col("event_id").cast("string")),
+              col("value"), 64).as("sample"))
+        agg
+          .withColumn("sorted", array_sort(col("sample")))
+          .withColumn("k", size(col("sorted")))
+          .select(unix_timestamp(col("window.start")).as("bucket_start"),
+            col("n_events"),
+            element_at(col("sorted"), ceil(lit(0.5) * col("k")).cast("int")).as("p50"),
+            element_at(col("sorted"), ceil(lit(0.9) * col("k")).cast("int")).as("p90"))
+      }.select(col("bucket_start"), col("n_events"), col("p50"), col("p90"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -1811,5 +1875,5 @@ object StreamingQ {
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
-    q203SinkExactlyOnce)
+    q203SinkExactlyOnce, q208StreamQuantiles)
 }
