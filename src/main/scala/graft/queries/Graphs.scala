@@ -635,7 +635,78 @@ object Graphs {
     }
   }
 
+  // ---------------------------------------------------------------- q209
+  /** HITS hubs & authorities (Kleinberg) on the customer↔part purchase
+    * bipartite graph — the mutually-recursive centrality beside q78's
+    * PageRank: customers are hubs (they buy influential parts), parts
+    * are authorities (influential customers buy them). Two full
+    * half-rounds (auth ← hubs ← auth), L1-normalized after every
+    * half-step in EXACT integer arithmetic: scores scaled by 1e6,
+    * normalization is `score·SCALE // total`, so the recurrence is a
+    * pure integer function both engines execute identically — q78's
+    * hash-gate discipline. (Bound: deg·SCALE² must stay < 2^63, safe to
+    * million-degree vertices.)
+    *
+    * Scale shape: each half-step is one partial-agg SUM over the
+    * distinct edge frame (built once, cached) joined against the O(V)
+    * score frame on its key, plus a broadcast scalar normalizer — the
+    * PPR/LPA cost model on a bipartite key split, nothing quadratic.
+    */
+  val q209Hits: Q = {
+    val S = 1000000L // integer score scale
+    Q.sql(
+      "q209_hits",
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |), a1 AS ( -- auth ← unit hubs  (= customer-degree of the part)
+         |  SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY 1
+         |), a1t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM a1),
+         |a1n AS (SELECT p, CAST((s * $S) // t AS BIGINT) AS s FROM a1, a1t),
+         |h1 AS ( -- hubs ← normalized auth
+         |  SELECT e.c, CAST(SUM(a1n.s) AS BIGINT) AS s
+         |  FROM e JOIN a1n ON a1n.p = e.p GROUP BY 1
+         |), h1t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM h1),
+         |h1n AS (SELECT c, CAST((s * $S) // t AS BIGINT) AS s FROM h1, h1t),
+         |a2 AS ( -- auth ← normalized hubs
+         |  SELECT e.p, CAST(SUM(h1n.s) AS BIGINT) AS s
+         |  FROM e JOIN h1n ON h1n.c = e.c GROUP BY 1
+         |), a2t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM a2),
+         |a2n AS (SELECT p, CAST((s * $S) // t AS BIGINT) AS s FROM a2, a2t)
+         |SELECT 'auth' AS kind, CAST(p AS BIGINT) AS id, s AS score FROM a2n
+         |UNION ALL
+         |SELECT 'hub' AS kind, CAST(c AS BIGINT) AS id, s AS score FROM h1n""".stripMargin,
+      "exact-integer HITS hub/authority scores on the customer-part graph") {
+      (s, dir) =>
+        val e = cachedOnce(s, dir, "hits-edges") {
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+            .join(Tables(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+            .distinct()
+        }
+        def l1norm(scores: DataFrame, key: String): DataFrame = {
+          val t = scores.agg(sum(col("s")).cast("long").as("t"))
+          scores.crossJoin(broadcast(t))
+            .select(col(key), expr(s"(s * $S) div t").cast("long").as("s"))
+        }
+        val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("s"))
+        val a1n = l1norm(a1, "p")
+        val h1 = e.join(a1n, Seq("p")).groupBy(col("c"))
+          .agg(sum(col("s")).cast("long").as("s"))
+        val h1n = l1norm(h1, "c")
+        val a2 = e.join(h1n, Seq("c")).groupBy(col("p"))
+          .agg(sum(col("s")).cast("long").as("s"))
+        val a2n = l1norm(a2, "p")
+        a2n.select(lit("auth").as("kind"), col("p").cast("long").as("id"),
+            col("s").as("score"))
+          .unionAll(h1n.select(lit("hub").as("kind"),
+            col("c").cast("long").as("id"), col("s").as("score")))
+    }
+  }
+
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
     q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff,
-    q186WlRefinement)
+    q186WlRefinement, q209Hits)
 }
