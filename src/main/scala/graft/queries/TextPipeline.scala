@@ -2865,25 +2865,41 @@ object TextPipeline {
         .join(sizes, Seq("doc_id"))
         // tau=0.5 prefix bound: sz - ceil(tau*sz) + 1 = floor(sz/2) + 1
         .filter(col("r") <= expr("sz div 2") + 1)
-        .select(col("doc_id"), col("h"))
+        .select(col("doc_id"), col("h"), col("r"), col("sz"))
+      // candidate generation with BOTH lossless PPJoin cuts (the plain
+      // prefix filter alone left 4.1M candidates at the 10× blow-up, and
+      // pushing them through a posting-list verify join measured 125 s):
+      //  - length filter: J <= min/max sizes, so >2x size skew can't verify
+      //  - positional filter: ranks are over ONE global (df, h) order, so
+      //    |A∩B| <= 1 + min(sza-ra, szb-rb) for any matched prefix h; a
+      //    pair none of whose matches can reach the tau overlap
+      //    ceil((sza+szb)/3) is dead (Xiao et al., WWW'08)
       val cand = prefix.as("pa")
         .join(prefix.as("pb"), col("pa.h") === col("pb.h")
-          && col("pa.doc_id") < col("pb.doc_id"))
-        .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
-        .distinct()
-      // exact verify along candidate pairs only: full sets re-enter via
-      // two equi-joins (doc id, then (doc id, hash))
-      val inter = idx.select(col("doc_id").as("doc_a"), col("h"))
-        .join(cand, Seq("doc_a"))
-        .join(idx.select(col("doc_id").as("doc_b"), col("h")),
-          Seq("doc_b", "h"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+          && col("pa.doc_id") < col("pb.doc_id")
+          && col("pa.sz") * 2 >= col("pb.sz")
+          && col("pb.sz") * 2 >= col("pa.sz"))
+        .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+        .agg(
+          max(lit(1) + least(col("pa.sz") - col("pa.r"),
+            col("pb.sz") - col("pb.r"))).as("ub"),
+          first(col("pa.sz")).as("sza"), first(col("pb.sz")).as("szb"))
+        .filter(col("ub") >= ceil((col("sza") + col("szb")) / 3.0))
+        .select(col("doc_a"), col("doc_b"))
+      // exact verify as a per-pair ARRAY intersection: each doc's sorted
+      // shingle-hash array joins in by doc id (50-element payload), and
+      // the intersection size evaluates inside codegen — no corpus-sized
+      // posting-list shuffle scales with the CANDIDATES, only with docs
+      val docArrays = idx.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"),
+          count(lit(1)).as("sz"))
       val jac = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
-          Seq("doc_b"))
+      cand
+        .join(docArrays.select(col("doc_id").as("doc_a"),
+          col("hs").as("ha"), col("sz").as("sza")), Seq("doc_a"))
+        .join(docArrays.select(col("doc_id").as("doc_b"),
+          col("hs").as("hb"), col("sz").as("szb")), Seq("doc_b"))
+        .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
