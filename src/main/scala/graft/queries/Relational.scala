@@ -3281,6 +3281,76 @@ object Relational {
         q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
   }
 
+  // ---------------------------------------------------------------- q210
+  /** Join-size estimation from Count-Min sketches (Cormode &
+    * Muthukrishnan '05 §4.2, the AMS inner-product estimate): the
+    * equi-join cardinality |R ⋈_k S| = Σ_v f_R(v)·f_S(v) is estimated
+    * as min_i Σ_b cmsR[i][b]·cmsS[i][b] — never an underestimate. The
+    * workload is q100's click×purchase user join: the query optimizer
+    * question "how big would this join be?" answered from two 8 KiB
+    * sketches without running the join. The exact size (one per-key
+    * count join) is emitted beside the estimate to measure it — at
+    * 100 TB only the sketches are computed, each a single map-side
+    * partial-agg fold with O(1) state.
+    *
+    * Deterministic CMS counters (q108's Carter–Wegman family) make the
+    * estimate itself a pure function of the two input multisets — the
+    * DuckDB oracle rebuilds both counter matrices as GROUP BYs and
+    * reproduces the estimate bit-for-bit. */
+  val q210JoinEstimate: Q = Q.sql(
+    "q210_join_estimate",
+    """WITH p(i, a, b) AS (
+      |  VALUES (0, 1, 12345), (1, 3, 1012348), (2, 5, 2012351), (3, 7, 3012354)
+      |), ec AS (
+      |  SELECT user_id % 2147483647 AS v FROM events WHERE event_type = 'click'
+      |), ep AS (
+      |  SELECT user_id % 2147483647 AS v FROM events WHERE event_type = 'purchase'
+      |), ca AS (
+      |  SELECT i, ((a * v + b) % 2147483647) % 256 AS bucket, COUNT(*) AS c
+      |  FROM ec CROSS JOIN p GROUP BY 1, 2
+      |), cb AS (
+      |  SELECT i, ((a * v + b) % 2147483647) % 256 AS bucket, COUNT(*) AS c
+      |  FROM ep CROSS JOIN p GROUP BY 1, 2
+      |), est AS (
+      |  SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM (
+      |    SELECT ca.i, SUM(ca.c * cb.c) AS dot
+      |    FROM ca JOIN cb ON cb.i = ca.i AND cb.bucket = ca.bucket
+      |    GROUP BY 1)
+      |), ex AS (
+      |  SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS exact_size
+      |  FROM (SELECT v, COUNT(*) AS n FROM ec GROUP BY 1) a
+      |  JOIN (SELECT v, COUNT(*) AS n FROM ep GROUP BY 1) b ON b.v = a.v
+      |)
+      |SELECT ex.exact_size, est.cms_estimate,
+      |  est.cms_estimate - ex.exact_size AS overcount
+      |FROM ex, est""".stripMargin,
+    "CMS inner-product join-size estimate for the click-purchase user join") {
+    (s, dir) =>
+      import graft.functions.CmsCounts
+      val ev = Tables(s, dir, "events")
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"))
+      val skA = side("click")
+        .agg(CmsCounts.counts(col("user_id"), 4, 256).as("ca"))
+      val skB = side("purchase")
+        .agg(CmsCounts.counts(col("user_id"), 4, 256).as("cb"))
+      val dots = transform(sequence(lit(0), lit(3)), i =>
+        aggregate(sequence(lit(0), lit(255)), lit(0L), (acc, bkt) =>
+          acc + element_at(col("ca"), (i * 256 + bkt + 1).cast("int"))
+            * element_at(col("cb"), (i * 256 + bkt + 1).cast("int"))))
+      val est = skA.crossJoin(broadcast(skB))
+        .select(array_min(dots).as("cms_estimate"))
+      val exact = side("click").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("na"))
+        .join(side("purchase").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("nb")), Seq("user_id"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+          .as("exact_size"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_size"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact_size")).as("overcount"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3297,5 +3367,6 @@ object Relational {
     q177Copurchase, q178Skyline, q179TrendOls, q180SpatialJoin,
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
-    q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch)
+    q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
+    q210JoinEstimate)
 }
