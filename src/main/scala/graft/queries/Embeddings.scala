@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.ops.Vectors
+import graft.ops.{Text, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1330,15 +1330,21 @@ object Embeddings {
   val q194LinkPrediction: Q = Q.sql(
     "q194_link_prediction",
     s"""$duckIvfCtes,
-       |knn AS (
+       |blk AS (
+       |  SELECT e.vec_id, e.label, e.embedding, f.j,
+       |    (ROW_NUMBER() OVER (PARTITION BY e.label, f.j
+       |       ORDER BY ('0x' || substr(md5('knn|' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |                e.vec_id) - 1) // 512 AS shard
+       |  FROM embeddings e JOIN af f ON f.vec_id = e.vec_id
+       |), knn AS (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |        ORDER BY ${duckCos("a.embedding", "b.embedding")} DESC,
        |                 b.vec_id) AS rn
-       |    FROM embeddings a JOIN af fa ON fa.vec_id = a.vec_id
-       |    JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.vec_id
-       |    JOIN af fb ON fb.vec_id = b.vec_id AND fb.j = fa.j)
+       |    FROM blk a JOIN blk b
+       |      ON b.label = a.label AND b.j = a.j AND b.shard = a.shard
+       |     AND b.vec_id <> a.vec_id)
        |  WHERE rn <= 5
        |), adj AS (
        |  SELECT src, dst FROM knn
@@ -1364,23 +1370,33 @@ object Embeddings {
        |WHERE rn <= 5""".stripMargin,
     "kNN-graph link prediction: common-neighbor + Jaccard top-5 per node") {
     (s, dir) =>
-      // (label, trained IVF cell) is the build key: the label block alone
-      // is a FIXED partition of the corpus, so its per-block population —
-      // and the pairwise build — grows quadratically with the data
-      // (measured: 5.1 s → 61.5 s at the 10× blow-up, exponent 1.09,
-      // before the cell key was added; 20×16 blocks measured 0.48).
-      // Cell count is the scale knob: at 100 TB k grows with the corpus
-      // so block population stays bounded (q95b's discipline).
+      // (label, trained IVF cell, ≤512-member shard) is the build key.
+      // The label block alone is a FIXED partition of the corpus, so its
+      // per-block pairwise build grew quadratically (measured 5.1 → 61.5 s
+      // at the 10× blow-up, exponent 1.09); adding the trained cell fixed
+      // decade one (0.35) but resurfaced at 100× (exponent 1.49) because
+      // 320 fixed blocks still grow linearly in population. The shard —
+      // hash-order rank within (label, cell), integer-divided by 512 —
+      // CAPS block membership, so block COUNT grows with the corpus and
+      // total pairwise work is linear by construction (measured 718 →
+      // 49 s at 100×). Each vector ranks ≤511 same-cell members: the
+      // bounded-work approximate kNN-graph build (recall trades like any
+      // LSH/IVF cut; at 100 TB the refinement step is NN-descent over
+      // this seed graph, the graph algebra below unchanged).
       val cells = ivfAssigned(s, dir).select(col("vec_id"), col("j"))
+      val ws = Window.partitionBy(col("label"), col("j"))
+        .orderBy(Text.baseHash(concat(lit("knn|"), col("vec_id").cast("string"))),
+          col("vec_id"))
       val base = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
         .join(cells, Seq("vec_id"))
-      val a = base.select(col("label"), col("j"), col("vec_id").as("src"),
-        col("embedding").as("ea"))
-      val b = base.select(col("label"), col("j"), col("vec_id").as("dst"),
-        col("embedding").as("eb"))
+        .withColumn("shard", ((row_number().over(ws) - 1) / 512).cast("int"))
+      val a = base.select(col("label"), col("j"), col("shard"),
+        col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = base.select(col("label"), col("j"), col("shard"),
+        col("vec_id").as("dst"), col("embedding").as("eb"))
       val wk = Window.partitionBy(col("src"))
         .orderBy(col("cosine").desc, col("dst"))
-      val knn = a.join(b, Seq("label", "j"))
+      val knn = a.join(b, Seq("label", "j", "shard"))
         .filter(col("dst") =!= col("src"))
         .select(col("src"), col("dst"),
           Vectors.cosine(col("ea"), col("eb")).as("cosine"))
