@@ -108,5 +108,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvValues(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k_sample"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "bottom_k_sample"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "bottom_k_sample(hash, value, k) takes three arguments")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"bottom_k_sample(hash, value, k): k must be an INT literal, got $other")
+        }
+        BottomKSample(children.head, children(1), k)
+      }))
   }
 }

@@ -132,5 +132,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .agg(graft.functions.Hll.registers(
         graft.ops.Text.baseHash(col("text")), 10).as("r"))
     assert(canon(sqlHll) == canon(dfHll))
+
+    // bottom_k_sample: SQL aggregate equals the Column aggregate (the
+    // sample is a deterministic function of the (hash, value) set)
+    val sqlBk = SqlSurface.sql(spark,
+      """SELECT event_type, bottom_k_sample(
+        |  CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT),
+        |  value, 32) AS s
+        |FROM events GROUP BY event_type""".stripMargin)
+    val dfBk = Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.BottomKSample.sample(
+        graft.ops.Text.baseHash(col("event_id").cast("string")),
+        col("value"), 32).as("s"))
+    assert(canon(sqlBk) == canon(dfBk))
   }
 }
