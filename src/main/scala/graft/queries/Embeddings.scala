@@ -1327,8 +1327,10 @@ object Embeddings {
     * the anti-join that drops already-linked pairs keys on the pair.
     * At 100 TB the build swaps brute within-cell ranking for q95b's
     * IVF probe — the downstream graph algebra is unchanged. */
-  val q194LinkPrediction: Q = Q.sql(
-    "q194_link_prediction",
+  /** The q194/q211 seed kNN graph, shared CTE chain: IVF train+assign
+    * (`af`), the ≤512-member (label, cell, shard) blocks (`blk`), and
+    * the within-block top-5 cosine graph (`knn`). */
+  private def duckSeedKnnCtes: String =
     s"""$duckIvfCtes,
        |blk AS (
        |  SELECT e.vec_id, e.label, e.embedding, f.j,
@@ -1346,7 +1348,43 @@ object Embeddings {
        |      ON b.label = a.label AND b.j = a.j AND b.shard = a.shard
        |     AND b.vec_id <> a.vec_id)
        |  WHERE rn <= 5
-       |), adj AS (
+       |)""".stripMargin
+
+  /** Engine side of [[duckSeedKnnCtes]]'s `knn`: the directed top-5
+    * within-(label, cell, ≤512-shard) cosine graph, memoized per
+    * (session, sf dir) — q194 consumes it for link prediction, q211 for
+    * the NN-descent refinement round. */
+  private def seedKnn(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.once(s, s"emb#$dir#seed-knn") {
+      val cells = ivfAssigned(s, dir).select(col("vec_id"), col("j"))
+      val ws = Window.partitionBy(col("label"), col("j"))
+        .orderBy(Text.baseHash(concat(lit("knn|"), col("vec_id").cast("string"))),
+          col("vec_id"))
+      val base = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+        .join(cells, Seq("vec_id"))
+        .withColumn("shard", ((row_number().over(ws) - 1) / 512).cast("int"))
+      val a = base.select(col("label"), col("j"), col("shard"),
+        col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = base.select(col("label"), col("j"), col("shard"),
+        col("vec_id").as("dst"), col("embedding").as("eb"))
+      val wk = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))
+      val g = a.join(b, Seq("label", "j", "shard"))
+        .filter(col("dst") =!= col("src"))
+        .select(col("src"), col("dst"),
+          Vectors.cosine(col("ea"), col("eb")).as("cosine"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5)
+        .select(col("src"), col("dst"))
+        .cache()
+      g.count()
+      g
+    }
+
+  val q194LinkPrediction: Q = Q.sql(
+    "q194_link_prediction",
+    s"""$duckSeedKnnCtes,
+       |adj AS (
        |  SELECT src, dst FROM knn
        |  UNION
        |  SELECT dst AS src, src AS dst FROM knn
@@ -1379,30 +1417,13 @@ object Embeddings {
       // hash-order rank within (label, cell), integer-divided by 512 —
       // CAPS block membership, so block COUNT grows with the corpus and
       // total pairwise work is linear by construction (measured 718 →
-      // 49 s at 100×). Each vector ranks ≤511 same-cell members: the
-      // bounded-work approximate kNN-graph build (recall trades like any
-      // LSH/IVF cut; at 100 TB the refinement step is NN-descent over
-      // this seed graph, the graph algebra below unchanged).
-      val cells = ivfAssigned(s, dir).select(col("vec_id"), col("j"))
-      val ws = Window.partitionBy(col("label"), col("j"))
-        .orderBy(Text.baseHash(concat(lit("knn|"), col("vec_id").cast("string"))),
-          col("vec_id"))
-      val base = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-        .join(cells, Seq("vec_id"))
-        .withColumn("shard", ((row_number().over(ws) - 1) / 512).cast("int"))
-      val a = base.select(col("label"), col("j"), col("shard"),
-        col("vec_id").as("src"), col("embedding").as("ea"))
-      val b = base.select(col("label"), col("j"), col("shard"),
-        col("vec_id").as("dst"), col("embedding").as("eb"))
-      val wk = Window.partitionBy(col("src"))
-        .orderBy(col("cosine").desc, col("dst"))
-      val knn = a.join(b, Seq("label", "j", "shard"))
-        .filter(col("dst") =!= col("src"))
-        .select(col("src"), col("dst"),
-          Vectors.cosine(col("ea"), col("eb")).as("cosine"))
-        .withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= 5)
-        .select(col("src"), col("dst"))
+      // 301 s at 100×, the residual decade ratio being cap saturation).
+      // Each vector ranks ≤511 same-cell members: the bounded-work
+      // approximate kNN-graph build (recall trades like any LSH/IVF
+      // cut; q211 is the NN-descent refinement round over this seed
+      // graph — the at-scale recall recovery — and the graph algebra
+      // below is unchanged by either).
+      val knn = seedKnn(s, dir)
       val adj = knn
         .union(knn.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -1428,10 +1449,82 @@ object Embeddings {
         .select(col("a"), col("c"), col("common"), col("jaccard"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- q211
+  /** One NN-descent refinement round (Dong, Moses & Li, WWW'11) over the
+    * q194 seed kNN graph: each node re-ranks the union of its current
+    * top-5 and its neighbors' neighbors by exact cosine and keeps the
+    * best 5. This is the recall-recovery step the ≤512-member block cap
+    * trades for bounded build work — "my neighbor's neighbor is likely
+    * my neighbor" re-introduces exactly the cross-shard/cross-cell edges
+    * the capped build cannot see, at wedge cost, never pairwise cost.
+    * `is_new` marks edges absent from the seed graph: the measurable
+    * recall gain of the round.
+    *
+    * Scale shape: candidates per node are bounded by the symmetrized
+    * wedge fan-out (≤ deg² ≈ 100) plus the 5 current edges — generation
+    * is two equi-joins on the O(n·5) edge frame, ranking re-enters the
+    * embedding table by TWO equi-joins (src, then cand) and one per-node
+    * window. Everything linear in n; iterating the round to convergence
+    * is the production NN-descent loop, with this oracle gating one
+    * unrolled step (q202/q207's iteration discipline).
+    */
+  val q211NnDescent: Q = Q.sql(
+    "q211_nn_descent",
+    s"""$duckSeedKnnCtes,
+       |adj AS (
+       |  SELECT src, dst FROM knn
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM knn
+       |), cand AS (
+       |  SELECT x.src AS u, y.dst AS c
+       |  FROM adj x JOIN adj y ON y.src = x.dst
+       |  WHERE y.dst <> x.src
+       |  UNION
+       |  SELECT src AS u, dst AS c FROM knn
+       |), ranked AS (
+       |  SELECT u AS src, c AS dst,
+       |    ${duckCos("eu.embedding", "ec.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY u
+       |      ORDER BY ${duckCos("eu.embedding", "ec.embedding")} DESC, c) AS rn
+       |  FROM cand
+       |  JOIN embeddings eu ON eu.vec_id = cand.u
+       |  JOIN embeddings ec ON ec.vec_id = cand.c
+       |)
+       |SELECT ranked.src AS src, ranked.dst AS dst, cosine,
+       |  CAST(rn AS BIGINT) AS rn, k.src IS NULL AS is_new
+       |FROM ranked LEFT JOIN knn k ON k.src = ranked.src AND k.dst = ranked.dst
+       |WHERE rn <= 5""".stripMargin,
+    "one NN-descent round over the seed kNN graph: wedge candidates re-ranked by cosine") {
+    (s, dir) =>
+      val knn = seedKnn(s, dir)
+      val adj = knn
+        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val cand = adj.select(col("src").as("u"), col("dst").as("b"))
+        .join(adj.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .filter(col("c") =!= col("u"))
+        .select(col("u"), col("c"))
+        .union(knn.select(col("src").as("u"), col("dst").as("c")))
+        .distinct()
+      val e = emb(s, dir)
+      val wq = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))
+      cand
+        .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")), Seq("u"))
+        .join(e.select(col("vec_id").as("c"), col("embedding").as("ec")), Seq("c"))
+        .select(col("u").as("src"), col("c").as("dst"),
+          Vectors.cosine(col("eu"), col("ec")).as("cosine"))
+        .withColumn("rn", row_number().over(wq).cast("long"))
+        .filter(col("rn") <= 5)
+        .join(knn.withColumn("seeded", lit(1)), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), col("cosine"), col("rn"),
+          col("seeded").isNull.as("is_new"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
       q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
-      q194LinkPrediction)
+      q194LinkPrediction, q211NnDescent)
 }

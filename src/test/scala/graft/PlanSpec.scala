@@ -669,6 +669,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"seed join not broadcast:\n$p")
   }
 
+  test("q211: NN-descent candidates are wedge equi-joins; ranking re-enters by key") {
+    val p = plan("q211_nn_descent")
+    // candidate generation must be the adjacency self-join on the shared
+    // neighbor and the cosine ranking two vec_id equi-joins — never a
+    // pairwise scan of the embedding table (the centroid 1-row broadcast
+    // is the only allowed non-equi pairing, as in q194/q111)
+    assert(!p.contains("CartesianProduct"),
+      s"NN-descent fell off the equi-join path:\n$p")
+    assert(p.contains("dotproduct"), s"cosine not fused to the native kernel:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-5 not pushed into window:\n$p")
+  }
+
   test("q205: dup-gram count partial-aggregates; span join is equi-key on the hash") {
     val p = plan("q205_dup_spans")
     // duplicate detection must be a map-side-combined count on the 60-bit
