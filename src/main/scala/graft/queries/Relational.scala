@@ -3351,6 +3351,82 @@ object Relational {
           (col("cms_estimate") - col("exact_size")).as("overcount"))
   }
 
+  // ---------------------------------------------------------------- q212
+  /** Conversion-delay quantiles: every purchase matched to the user's
+    * most recent PRIOR click (one per-user window pass — the q04 as-of
+    * discipline without a join), delay bucketed by purchase
+    * hour-of-day, p50/p90 read from the q204 deterministic bottom-k
+    * sample. The funnel-latency metric (time-to-convert distribution
+    * by daypart) every growth pipeline reports, composed from two
+    * gated primitives.
+    *
+    * Scale shape: ONE user exchange carries the as-of (running max of
+    * click time over a rows-frame — O(1) state, no join, no band);
+    * the quantile stage is 24 bounded sketch groups. Delays ride as
+    * exact integer microseconds widened to double (< 2^53, exact). */
+  val q212DelayQuantiles: Q = Q.sql(
+    "q212_delay_quantiles",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT user_id, event_type, tus, event_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN tus END) OVER (
+      |      PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      |  FROM e
+      |), d AS (
+      |  SELECT CAST((tus // 3600000000) % 24 AS BIGINT) AS hod,
+      |    CAST(tus - last_click AS DOUBLE) AS delay_us,
+      |    ('0x' || substr(md5('dq|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL
+      |), r AS (
+      |  SELECT hod, delay_us,
+      |    row_number() OVER (PARTITION BY hod ORDER BY h, delay_us) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY hod) AS BIGINT) AS n_conv
+      |  FROM d
+      |), s AS (
+      |  SELECT hod, delay_us, n_conv FROM r WHERE rn <= 64
+      |), o AS (
+      |  SELECT hod, delay_us, n_conv,
+      |    row_number() OVER (PARTITION BY hod ORDER BY delay_us) AS orn,
+      |    COUNT(*) OVER (PARTITION BY hod) AS k
+      |  FROM s
+      |)
+      |SELECT hod, MAX(n_conv) AS n_conv,
+      |  MAX(CASE WHEN orn = CAST(ceil(0.5 * k) AS BIGINT) THEN delay_us END) AS p50_us,
+      |  MAX(CASE WHEN orn = CAST(ceil(0.9 * k) AS BIGINT) THEN delay_us END) AS p90_us
+      |FROM o GROUP BY 1""".stripMargin,
+    "click-to-purchase delay p50/p90 by hour-of-day via the bottom-k sample") {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = e
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", col("tus"))).over(wu))
+        .where(col("event_type") === "purchase" && col("last_click").isNotNull)
+        .select(
+          pmod(expr("tus div 3600000000"), lit(24)).cast("long").as("hod"),
+          (col("tus") - col("last_click")).cast("double").as("delay_us"),
+          graft.ops.Text.baseHash(
+            concat(lit("dq|"), col("event_id").cast("string"))).as("h"))
+      val agg = d.groupBy(col("hod"))
+        .agg(count(lit(1)).as("n_conv"),
+          graft.functions.BottomKSample.sample(col("h"), col("delay_us"), 64)
+            .as("sample"))
+        .withColumn("sorted", array_sort(col("sample")))
+        .withColumn("k", size(col("sorted")))
+      def q(p: Double) =
+        element_at(col("sorted"), ceil(lit(p) * col("k")).cast("int"))
+      agg.select(col("hod"), col("n_conv"),
+        q(0.5).as("p50_us"), q(0.9).as("p90_us"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3368,5 +3444,5 @@ object Relational {
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
-    q210JoinEstimate)
+    q210JoinEstimate, q212DelayQuantiles)
 }
