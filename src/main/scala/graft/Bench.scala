@@ -192,7 +192,19 @@ object Bench {
     // second calibration AFTER the queries: a throttle window that opens
     // mid-run is invisible to the start-of-run sample (observed: run 1
     // healthy at both ends = 148 s; run 2 started at 277 MB/s, ended
-    // throttled, total inflated 42%)
+    // throttled, total inflated 42%).
+    //
+    // Measured AFTER spark.stop() + a short settle, NOT inside the live
+    // session: three round-8 runs read io_end ≈ 120-128 MB/s while the
+    // host, probed seconds after JVM exit, measured 476 MB/s — the
+    // in-session end probe was reading the bench's OWN exhaust (executor
+    // pools winding down, streaming temp cleanup, GC) as a host throttle
+    // window, permanently quarantining healthy runs. Genuine windows
+    // persist for minutes-to-hours (recorded r4/r5/r7), so a 2 s settle
+    // cannot hide one.
+    spark.stop()
+    System.gc()
+    Thread.sleep(2000)
     val ioEnd = ioCalibrationMbps(sys.props("java.io.tmpdir"))
     val cpuMopsEnd = cpuCalibrationMops()
     val stealPct = (for ((s0, t0) <- cpu0; (s1, t1) <- cpuStatTicks()
@@ -219,6 +231,5 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         if (healthy) "bench_last.json" else "bench_unhealthy.json")),
       (json + "\n").getBytes("UTF-8")))
-    spark.stop()
   }
 }
