@@ -1718,8 +1718,13 @@ object StreamingQ {
     * the exact row set with two QUALIFY caps and the two finalization
     * predicates. Single source, single watermark (both sides ride one
     * scan — unlike q100's two-reader min-watermark). */
-  val q201CappedStreamJoin: Q = Q.sql(
-    "q201_capped_stream_join",
+  /** Shared by q201 (one-shot) and q213 (checkpoint restart): the
+    * closed-form capped-join replay. The cap is BY EVENT ID, not
+    * arrival order, so the result is a pure function of the input set —
+    * which is exactly what makes the restart gate meaningful: a lost
+    * buffered row, a replayed row, or a cap counter restored wrong in
+    * incarnation 2 each flips the hash. */
+  private val cappedJoinOracle: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us, event_type
       |  FROM events WHERE event_type IN ('purchase', 'click')),
@@ -1757,7 +1762,11 @@ object StreamingQ {
       |       CAST(c.ts_us AS BIGINT), CAST(NULL AS DOUBLE), c.value
       |FROM clf c WHERE NOT EXISTS (SELECT 1 FROM prf p
       |  WHERE p.user_id = c.user_id
-      |    AND c.ts_us >= p.ts_us - 7200000000 AND c.ts_us <= p.ts_us)""".stripMargin,
+      |    AND c.ts_us >= p.ts_us - 7200000000 AND c.ts_us <= p.ts_us)""".stripMargin
+
+  val q201CappedStreamJoin: Q = Q.sql(
+    "q201_capped_stream_join",
+    cappedJoinOracle,
     "per-(user,hour)-capped stream-stream interval join: skew-safe q100") {
     (s, dir) =>
       streamOnce("stream-capped-join", s, dir, shufflePartitions = Some(8))(
@@ -1765,6 +1774,29 @@ object StreamingQ {
           StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")))
         .select(col("user_id"), col("p_event_id"), col("c_event_id"),
           col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
+  }
+
+  // ---------------------------------------------------------------- q213
+  /** The capped join's state under CHECKPOINT RESTART — the eighth
+    * state shape in the restart matrix (fold, join, session, CMS, HLL,
+    * EWMA buffer, anomaly): per-(user, hour) admission counters plus
+    * the banded row buffers inside the custom
+    * flatMapGroupsWithState. Incarnation 1 drains half the feed and
+    * dies; incarnation 2 resumes from the checkpoint and drains the
+    * rest. Because the cap admits BY EVENT ID (not arrival), the
+    * one-shot q201 oracle is unchanged — a counter restored one low
+    * would re-admit a 9th row, one high would drop an 8th, and a lost
+    * buffered click kills a matched pair: each flips the hash. */
+  val q213CappedJoinRestart: Q = Q.sql(
+    "q213_capped_join_restart",
+    cappedJoinOracle,
+    "q201's capped-join state recovered across a mid-feed restart") {
+    (s, dir) =>
+      streamRestart("capped-join-restart", s, dir, shufflePartitions = Some(8)) {
+        (sess, watch) => graft.streaming.StreamingCappedJoin(
+          StreamingFeed.eventsStream(sess, watch))
+      }.select(col("user_id"), col("p_event_id"), col("c_event_id"),
+        col("p_ts_us"), col("c_ts_us"), col("p_value"), col("c_value"))
   }
 
   /** Exactly-once FILE-SINK semantics under restart — the sink-side
@@ -1875,5 +1907,5 @@ object StreamingQ {
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
-    q203SinkExactlyOnce, q208StreamQuantiles)
+    q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart)
 }
