@@ -3427,6 +3427,98 @@ object Relational {
         q(0.5).as("p50_us"), q(0.9).as("p90_us"))
   }
 
+  // ---------------------------------------------------------------- q214
+  /** Incremental view maintenance with RETRACTIONS — the delete side
+    * q170 (aggregate IVM) and q192 (join IVM) don't exercise: a CDC
+    * tail of inserts AND deletes folds into the stored per-type
+    * (count, sum) view as signed deltas, and the gate hash-compares the
+    * delta-maintained view against the oracle's full recompute from the
+    * final row set — the refresh ≡ recompute theorem with negative
+    * multiplicities (Koch's delta algebra / Materialize-style
+    * retractable aggregates).
+    *
+    * CDC derivation (deterministic, closed-form): the first 80% of
+    * events by (ts, event_id) are the base facts; the last 20% are the
+    * log — even event_id rows INSERT themselves, odd rows DELETE the
+    * base fact at rank `event_id mod |base|` (duplicate targets
+    * collapse: set semantics). Counts are exact longs; sums fold in
+    * DECIMAL(28,10) on BOTH the base and the delta path, so the
+    * two-phase fold cannot drift from the recompute.
+    *
+    * Scale shape: the base aggregate is one partial-agg pass; the
+    * delta path touches ONLY log rows (and the delete targets it
+    * resolves by one rank equi-join into the base) — a 100 TB fact
+    * table absorbs a delete without being rescanned. The rank window
+    * exists only to make the synthetic log replayable; a real CDC feed
+    * carries its target keys. */
+  val q214IvmRetract: Q = Q.sql(
+    "q214_ivm_retract",
+    """WITH ranked AS (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM events
+      |), base AS (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (ORDER BY rn) - 1 AS brn
+      |  FROM ranked WHERE rn <= CAST(floor(0.8 * n) AS BIGINT)
+      |), log AS (
+      |  SELECT event_id, event_type, value FROM ranked
+      |  WHERE rn > CAST(floor(0.8 * n) AS BIGINT)
+      |), ins AS (
+      |  SELECT event_type, value FROM log WHERE event_id % 2 = 0
+      |), delkeys AS (
+      |  SELECT DISTINCT event_id % (SELECT COUNT(*) FROM base) AS brn
+      |  FROM log WHERE event_id % 2 = 1
+      |), survivors AS (
+      |  SELECT b.event_type, b.value FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM delkeys d WHERE d.brn = b.brn)
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, value FROM survivors
+      |      UNION ALL SELECT event_type, value FROM ins)
+      |GROUP BY 1""".stripMargin,
+    "IVM with retractions: signed-delta refresh hash-equals full recompute") {
+    (s, dir) =>
+      val ranked = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("ts"), col("event_id"))))
+      val ranked2 = ranked.crossJoin(broadcast(
+        ranked.agg(floor(lit(0.8) * count(lit(1))).cast("long").as("cut"))))
+      val base = ranked2.where(col("rn") <= col("cut"))
+        .withColumn("brn", (row_number().over(Window.orderBy(col("rn"))) - 1)
+          .cast("long"))
+        .select(col("event_id"), col("event_type"), col("value"), col("brn"))
+      val log = ranked2.where(col("rn") > col("cut"))
+        .select(col("event_id"), col("event_type"), col("value"))
+      // ---- the maintained path: base view + signed deltas, never a rescan
+      val dec = (c: Column) => c.cast("decimal(28,10)")
+      val viewBase = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c"), sum(dec(col("value"))).as("s"))
+      val ins = log.where(pmod(col("event_id"), lit(2)) === 0)
+      val deltaIns = ins.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("dc"), sum(dec(col("value"))).as("ds"))
+      val nBase = base.agg(count(lit(1)).as("nb"))
+      val delKeys = log.where(pmod(col("event_id"), lit(2)) === 1)
+        .crossJoin(broadcast(nBase))
+        .select(pmod(col("event_id"), col("nb")).as("brn"))
+        .distinct()
+      val deltaDel = base.join(delKeys, Seq("brn")) // rank equi-join, log-sized
+        .groupBy(col("event_type"))
+        .agg((-count(lit(1))).as("dc"), (-sum(dec(col("value")))).as("ds"))
+      val merged = viewBase
+        .unionByName(deltaIns.select(col("event_type"), col("dc").as("c"),
+          col("ds").as("s")))
+        .unionByName(deltaDel.select(col("event_type"), col("dc").as("c"),
+          col("ds").as("s")))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).cast("long").as("n_rows"),
+          sum(col("s")).cast("double").as("sum_value"))
+      merged
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3444,5 +3536,5 @@ object Relational {
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
-    q210JoinEstimate, q212DelayQuantiles)
+    q210JoinEstimate, q212DelayQuantiles, q214IvmRetract)
 }
