@@ -3519,6 +3519,82 @@ object Relational {
       merged
   }
 
+  // ---------------------------------------------------------------- q215
+  /** Two-sample Kolmogorov–Smirnov drift test — the CONTINUOUS-column
+    * complement to q163's categorical chi-square: per event_type, split
+    * the population by the `user_id % 2` assignment hash (q174's arms)
+    * and test whether the two `value` distributions are
+    * indistinguishable — the sample-ratio-mismatch / randomization
+    * audit every experimentation pipeline runs, and the drift gate a
+    * training-data pipeline points at yesterday-vs-today feeds.
+    *
+    * The statistic is computed EXACTLY in integers: with per-arm ECDF
+    * counts Ca(x), Cb(x) at each distinct value x,
+    * D = max |Ca/n_a − Cb/n_b| = max |Ca·n_b − Cb·n_a| / (n_a·n_b),
+    * so the gate hashes the integer numerator/denominator (longs are
+    * exact to 2^63 — past ~3e9 rows per arm per type the two products
+    * take one DECIMAL(38,0) widening) and emits the double ratio raw.
+    *
+    * Scale shape: the (type, value, arm) histogram is one partial-agg
+    * pass (map-side combined — ties collapse before the shuffle); the
+    * ECDF cumsums ride ONE window exchange partitioned by event_type
+    * over the DISTINCT-value frame, not the corpus; the final max is a
+    * partial agg again. Nothing is quadratic, nothing collects. */
+  val q215KsDrift: Q = Q.sql(
+    "q215_ks_drift",
+    """WITH e AS (
+      |  SELECT event_type, value, user_id % 2 AS arm
+      |  FROM events WHERE value IS NOT NULL
+      |), g AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type,
+      |    SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+      |    SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+      |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM g
+      |)
+      |SELECT event_type,
+      |  CAST(MAX(na) AS BIGINT) AS n_a,
+      |  CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CAST(MAX(ABS(cca * nb - ccb * na)) AS BIGINT) AS d_num,
+      |  CAST(MAX(na) * MAX(nb) AS BIGINT) AS d_den,
+      |  CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+      |    / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks
+      |FROM c GROUP BY 1""".stripMargin,
+    "exact integer two-sample KS statistic per event_type over the hash split") {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          pmod(col("user_id"), lit(2)).as("arm"))
+      val g = e.groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val c = g.select(col("event_type"),
+        sum(col("ca")).over(wCum).as("cca"),
+        sum(col("cb")).over(wCum).as("ccb"),
+        sum(col("ca")).over(wAll).as("na"),
+        sum(col("cb")).over(wAll).as("nb"))
+      c.groupBy(col("event_type"))
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
+            .cast("long").as("d_num"),
+          (max(col("na")) * max(col("nb"))).cast("long").as("d_den"))
+        .withColumn("ks",
+          col("d_num").cast("double") / col("d_den").cast("double"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3536,5 +3612,5 @@ object Relational {
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
-    q210JoinEstimate, q212DelayQuantiles, q214IvmRetract)
+    q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift)
 }
