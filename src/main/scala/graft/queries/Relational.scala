@@ -3595,6 +3595,83 @@ object Relational {
           col("d_num").cast("double") / col("d_den").cast("double"))
   }
 
+  // ---------------------------------------------------------------- q216
+  /** Exact ranking AUC (Mann–Whitney U with midrank ties) — the model-
+    * eval metric a training pipeline computes when it scores a
+    * validation set: does `value` rank purchase events above click
+    * events? q174 tests the arms' conversion RATES; this ranks a
+    * SCORE. (The per-user spelling is degenerate on this fixture —
+    * every user converts — so the positive class is the event type.)
+    *
+    * Everything is integer-exact: with distinct-score tie groups
+    * (c_pos, c_neg), B = items strictly below, doubled rank-sum
+    * R2 = Σ c_pos·(2B + c_tot + 1), U2 = R2 − n_pos·(n_pos+1), and
+    * AUC = U2 / (2·n_pos·n_neg) emitted as the one raw double. The
+    * gate hashes U2 and the counts, so a half-rank error anywhere
+    * flips the row.
+    *
+    * Scale shape: the tie-group histogram is one partial-agg pass over
+    * the corpus; ranking then touches only the DISTINCT-score frame. Its
+    * cumsum is a single ordered partition — the exact-rank floor q75
+    * documents — with the sketch quantile path (q204) as the at-scale
+    * alternative when "exact to the last tie" stops being worth one
+    * sorted pass. */
+  val q216AucRanking: Q = Q.sql(
+    "q216_auc_ranking",
+    """WITH u AS (
+      |  SELECT value AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), g AS (
+      |  SELECT score,
+      |    CAST(SUM(pos) AS BIGINT) AS cpos,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS cneg
+      |  FROM u GROUP BY 1
+      |), r AS (
+      |  SELECT cpos, cneg,
+      |    COALESCE(SUM(cpos + cneg) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM g
+      |), s AS (
+      |  SELECT
+      |    CAST(SUM(cpos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(cneg) AS BIGINT) AS n_neg,
+      |    CAST(SUM(cpos * (2 * below + cpos + cneg + 1)) AS BIGINT) AS r2
+      |  FROM r
+      |)
+      |SELECT n_pos, n_neg,
+      |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+      |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM s""".stripMargin,
+    "exact Mann-Whitney AUC of engagement score vs conversion, midrank ties") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(col("value").as("score"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
+      val g = u.groupBy(col("score"))
+        .agg(sum(col("pos")).cast("long").as("cpos"),
+          sum(lit(1) - col("pos")).cast("long").as("cneg"))
+      val wBelow = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("below",
+        coalesce(sum(col("cpos") + col("cneg")).over(wBelow), lit(0L)))
+      r.agg(
+        sum(col("cpos")).cast("long").as("n_pos"),
+        sum(col("cneg")).cast("long").as("n_neg"),
+        sum(col("cpos") * (lit(2) * col("below") + col("cpos") + col("cneg")
+          + 1)).cast("long").as("r2"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("r2") - col("n_pos") * (col("n_pos") + 1)).cast("long")
+            .as("u2"),
+          ((col("r2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (lit(2) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3612,5 +3689,6 @@ object Relational {
     q181PatternNegation, q182QuantileNorm, q187DyadicEwma, q189WilsonCi,
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
-    q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift)
+    q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
+    q216AucRanking)
 }
