@@ -1521,10 +1521,81 @@ object Embeddings {
           col("seeded").isNull.as("is_new"))
   }
 
+  // ---------------------------------------------------------------- q217
+  /** Label-noise detection by neighborhood vote (confident-learning /
+    * Cleanlab shape): for each probe vector, take its k=10 exact cosine
+    * nearest neighbors and flag the probe when the majority label of
+    * its neighborhood disagrees with its own — the label-error audit a
+    * training pipeline runs before trusting a labeled corpus.
+    *
+    * Vote and flag are pure integers (ties break votes-desc then
+    * label-asc, deterministic); cosine is only an ORDERING here, the
+    * parity q30 already pins. Probes are a bounded slice (vec_id <
+    * 200) against the full corpus — the exact brute-force baseline. At
+    * 100 TB the same vote runs over q194's capped-block kNN graph
+    * (equi-join on the probe id swaps the candidate source); the
+    * semantics of this gate are the k-exact reference for that path. */
+  val q217LabelNoise: Q = Q.sql(
+    "q217_label_noise",
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, label AS own_label, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 200
+       |), p AS (
+       |  SELECT query_id, own_label, e.label AS nlabel, e.vec_id AS nid,
+       |    ${duckCos("qe", "e.embedding")} AS cosine
+       |  FROM qs, embeddings e WHERE e.vec_id <> query_id
+       |), k AS (
+       |  SELECT query_id, own_label, nlabel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, nid) AS rn FROM p)
+       |  WHERE rn <= 10
+       |), v AS (
+       |  SELECT query_id, own_label, nlabel, COUNT(*) AS c
+       |  FROM k GROUP BY 1, 2, 3
+       |)
+       |SELECT query_id,
+       |  CAST(own_label AS BIGINT) AS own_label,
+       |  CAST(nlabel AS BIGINT) AS top_label,
+       |  CAST(c AS BIGINT) AS top_votes,
+       |  CAST(CASE WHEN nlabel <> own_label THEN 1 ELSE 0 END AS BIGINT)
+       |    AS mislabel
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY c DESC, nlabel) AS vr FROM v)
+       |WHERE vr = 1""".stripMargin,
+    "kNN neighborhood label vote flags probes whose label disagrees") {
+    (s, dir) =>
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("query_id"), col("label").as("own_label"),
+          col("embedding").as("qe"))
+      val wk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("nid"))
+      val k = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("embedding"))
+        .crossJoin(broadcast(qs))
+        .filter(col("nid") =!= col("query_id"))
+        .select(col("query_id"), col("own_label"), col("nlabel"),
+          col("nid"), Vectors.cosine(col("qe"), col("embedding")).as("cosine"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 10)
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("nlabel"))
+      k.groupBy(col("query_id"), col("own_label"), col("nlabel"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("query_id"),
+          col("own_label").cast("long").as("own_label"),
+          col("nlabel").cast("long").as("top_label"),
+          col("c").cast("long").as("top_votes"),
+          when(col("nlabel") =!= col("own_label"), 1L).otherwise(0L)
+            .as("mislabel"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
       q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
-      q194LinkPrediction, q211NnDescent)
+      q194LinkPrediction, q211NnDescent, q217LabelNoise)
 }
