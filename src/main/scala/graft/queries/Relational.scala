@@ -3672,6 +3672,82 @@ object Relational {
             .as("auc"))
   }
 
+  // ---------------------------------------------------------------- q218
+  /** Calibration audit + Brier score — the third member of the model-eval
+    * family (q216 ranks, q217 audits labels; this checks whether the
+    * score's MAGNITUDE means what it claims). The "model" is the
+    * deterministic squash p = v/(v+50) of the engagement value, QUANTIZED
+    * to milli-units — the production shape where scores ship rounded —
+    * which is what makes mean-confidence EXACT: p_milli is a pure integer
+    * function of the value's centi-units, so per-bin Σp_milli and the
+    * Brier numerator Σ(p_milli − 1000·y)² are bigint sums (no
+    * order-dependent double accumulation anywhere; Σ(p−y)² ≤ 1e6·rows
+    * keeps the long past 1e12 rows). Reliability-diagram deciles bin on
+    * p_milli, so bin membership is an integer fact too.
+    *
+    * acc, conf, |gap| (the per-bin ECE component) and the bin's Brier
+    * mean are each ONE fixed-order double division at emission — the
+    * q163/q189 discipline. Scale shape: a single map-side-combined
+    * partial agg over ≤10 groups; nothing else moves. */
+  val q218Calibration: Q = Q.sql(
+    "q218_calibration",
+    """WITH u AS (
+      |  SELECT CAST(floor(value * 100) AS BIGINT) AS vc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), p AS (
+      |  SELECT CAST(floor(1000 * vc / (vc + 5000)) AS BIGINT) AS p_milli, y
+      |  FROM u
+      |), b AS (
+      |  SELECT CAST(floor(p_milli / 100) AS BIGINT) AS bin, y, p_milli,
+      |    (p_milli - 1000 * y) * (p_milli - 1000 * y) AS sq
+      |  FROM p
+      |)
+      |SELECT bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  CAST(SUM(p_milli) AS BIGINT) AS sum_p_milli,
+      |  CAST(SUM(sq) AS BIGINT) AS sum_sq,
+      |  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc,
+      |  CAST(SUM(p_milli) AS DOUBLE) / (1000.0 * COUNT(*)) AS conf,
+      |  ABS(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+      |    - CAST(SUM(p_milli) AS DOUBLE) / (1000.0 * COUNT(*))) AS abs_gap,
+      |  CAST(SUM(sq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS brier_bin
+      |FROM b GROUP BY 1""".stripMargin,
+    "reliability-diagram deciles + exact-integer Brier components") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("vc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val p = u.select(
+        floor(lit(1000) * col("vc") / (col("vc") + 5000)).cast("long")
+          .as("p_milli"),
+        col("y"))
+      val b = p.select(
+        floor(col("p_milli") / 100).cast("long").as("bin"),
+        col("y"), col("p_milli"),
+        ((col("p_milli") - lit(1000) * col("y")) *
+          (col("p_milli") - lit(1000) * col("y"))).as("sq"))
+      b.groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("n_pos"),
+          sum(col("p_milli")).cast("long").as("sum_p_milli"),
+          sum(col("sq")).cast("long").as("sum_sq"))
+        .select(col("bin"), col("n"), col("n_pos"), col("sum_p_milli"),
+          col("sum_sq"),
+          (col("n_pos").cast("double") / col("n")).as("acc"),
+          (col("sum_p_milli").cast("double") / (lit(1000.0) * col("n")))
+            .as("conf"),
+          abs(col("n_pos").cast("double") / col("n")
+            - col("sum_p_milli").cast("double") / (lit(1000.0) * col("n")))
+            .as("abs_gap"),
+          (col("sum_sq").cast("double") / (lit(1000000.0) * col("n")))
+            .as("brier_bin"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3690,5 +3766,5 @@ object Relational {
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
-    q216AucRanking)
+    q216AucRanking, q218Calibration)
 }
