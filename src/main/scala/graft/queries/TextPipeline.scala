@@ -3088,6 +3088,101 @@ object TextPipeline {
     }
   }
 
+  // ---------------------------------------------------------------- q219
+  /** Chi-square feature selection — which tokens are ASSOCIATED with the
+    * `lang = 'en'` label (Yang & Pedersen '97; sklearn's chi2 scorer):
+    * per token the 2×2 presence/label contingency (a, b, c, d) and
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), top 50. The
+    * vocabulary-selection step before training a classifier on token
+    * features, and the "which tokens leak the label" audit beside it.
+    *
+    * Counts are exact bigints off ONE distinct-presence pass; χ² is a
+    * single fixed-parenthesization double expression over them (q189's
+    * discipline — products reach (N²)² so an integer spelling would
+    * need int128; the IEEE tree is identical on both engines, which is
+    * what the hash gate needs). df ≥ 5 cuts the vocabulary tail;
+    * all-docs tokens are excluded (zero denominator).
+    *
+    * Scale shape: presence is map-side `array_distinct` before the
+    * explode; the contingency is a partial-agg groupBy to a
+    * VOCABULARY-sized frame; totals ride a 1-row broadcast; the rank
+    * window sees only the df-cut vocabulary (q113/q135's bounded-input
+    * window discipline). Nothing corpus-sized is ever shuffled twice. */
+  val q219Chi2Features: Q = Q.sql(
+    "q219_chi2_features",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), p AS (
+      |  SELECT DISTINCT doc_id, is_en, w FROM t
+      |), cnt AS (
+      |  SELECT w, CAST(SUM(is_en) AS BIGINT) AS a,
+      |    CAST(SUM(1 - is_en) AS BIGINT) AS b
+      |  FROM p GROUP BY 1 HAVING COUNT(*) >= 5
+      |), tot AS (
+      |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_en,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_ne
+      |  FROM documents
+      |), j AS (
+      |  SELECT w, a, b, n_en - a AS c, n_ne - b AS d FROM cnt, tot
+      |  WHERE a + b < n_en + n_ne
+      |), x AS (
+      |  SELECT w, a, b, c, d,
+      |    (CAST(a + b + c + d AS DOUBLE)
+      |      * ((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |          - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+      |        * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |          - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))
+      |    / ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+      |      * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))) AS chi2
+      |  FROM j
+      |)
+      |SELECT w, a, b, c, d, chi2, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY chi2 DESC, w) AS rnk
+      |      FROM x)
+      |WHERE rnk <= 50""".stripMargin,
+    "chi-square token-vs-label feature selection, top 50 by association") {
+    (s, dir) =>
+      val d0 = docs(s, dir)
+      // toks materialized before array_distinct/explode touch them —
+      // the HOF-recompute trap (q109/q135)
+      val tks = d0.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+        Text.tokens(col("text")).as("toks"))
+      val pres = tks.select(col("is_en"),
+        explode(array_distinct(col("toks"))).as("w"))
+      val cnt = pres.groupBy(col("w"))
+        .agg(sum(col("is_en")).cast("long").as("a"),
+          sum(lit(1L) - col("is_en")).cast("long").as("b"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+      val tot = d0.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+          .as("n_en"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).cast("long")
+          .as("n_ne"))
+      val j = cnt.crossJoin(broadcast(tot))
+        .filter(col("a") + col("b") < col("n_en") + col("n_ne"))
+        .select(col("w"), col("a"), col("b"),
+          (col("n_en") - col("a")).as("c"),
+          (col("n_ne") - col("b")).as("d"))
+      val ad = col("a").cast("double") * col("d").cast("double")
+      val bc = col("b").cast("double") * col("c").cast("double")
+      val wr = Window.orderBy(col("chi2").desc, col("w"))
+      j.select(col("w"), col("a"), col("b"), col("c"), col("d"),
+          (((col("a") + col("b") + col("c") + col("d")).cast("double")
+            * ((ad - bc) * (ad - bc)))
+            / (((col("a") + col("b")).cast("double")
+              * (col("c") + col("d")).cast("double"))
+              * ((col("a") + col("c")).cast("double")
+                * (col("b") + col("d")).cast("double")))).as("chi2"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 50)
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3102,5 +3197,5 @@ object TextPipeline {
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
-    q206MixtureResample)
+    q206MixtureResample, q219Chi2Features)
 }
