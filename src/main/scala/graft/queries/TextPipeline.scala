@@ -3183,6 +3183,50 @@ object TextPipeline {
         .filter(col("rnk") <= 50)
   }
 
+  // ---------------------------------------------------------------- q220
+  /** Feature hashing (the "hashing trick" — Weinberger '09; sklearn's
+    * HashingVectorizer, Vowpal Wabbit's core representation): every
+    * token folds into a FIXED 64-dim signed-count vector, dim = 60-bit
+    * md5 hash mod 64, sign = the 16th hex digit of the same md5 (signed
+    * hashing keeps the inner product unbiased). Emitted sparse as
+    * (doc_id, dim, v) with exact-zero cancellations dropped — the
+    * vectorization step that needs NO vocabulary pass, which is the
+    * whole point at 100 TB: no vocab build, no broadcast dictionary, no
+    * OOV problem, bounded width forever.
+    *
+    * Everything is integer (`Text.baseHash` is the engine-portable
+    * md5-prefix hash every dedup family already joins on); the whole
+    * query is one map-side projection + one partial-agg groupBy whose
+    * output is ≤ 64 rows per doc. */
+  val q220FeatureHashing: Q = Q.sql(
+    "q220_feature_hashing",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS dim,
+      |    CASE WHEN substr(md5(w), 16, 1) < '8' THEN 1 ELSE -1 END AS sgn
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+      |  CAST(SUM(sgn) AS BIGINT) AS v
+      |FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0""".stripMargin,
+    "64-dim signed hashing-trick vectorizer, sparse nonzero components") {
+    (s, dir) =>
+      val tks = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val t = tks.select(col("doc_id"), explode(col("toks")).as("w"))
+      val h = t.select(col("doc_id"),
+        (Text.baseHash(col("w")) % 64).as("dim"),
+        when(substring(md5(col("w")), 16, 1) < "8", 1L).otherwise(-1L)
+          .as("sgn"))
+      h.groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).cast("long").as("v"))
+        .filter(col("v") =!= 0)
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("v"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3197,5 +3241,5 @@ object TextPipeline {
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
-    q206MixtureResample, q219Chi2Features)
+    q206MixtureResample, q219Chi2Features, q220FeatureHashing)
 }
