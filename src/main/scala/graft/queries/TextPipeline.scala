@@ -3227,6 +3227,95 @@ object TextPipeline {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("v"))
   }
 
+  // ---------------------------------------------------------------- q221
+  /** Bigram-LM held-out evaluation — train the count-based next-token
+    * model on the 80% split, score top-1 prediction accuracy on the 20%
+    * held-out docs, per language. The unsmoothed core of the KenLM-class
+    * count LM, and the corpus QA signal LM-filtering pipelines rank on
+    * ("how predictable is this slice"): accuracy and coverage both
+    * exact-integer, the split the same md5('smp|'·doc_id) discipline as
+    * q76/q89 so train/test membership is reproducible anywhere.
+    *
+    * Scale shape: bigram enumeration is the q135 in-array transform
+    * (tokens materialized first — the HOF-recompute trap); the trained
+    * model is a VOCABULARY-sized argmax frame cut by a per-w1 window
+    * over the bigram histogram (vocab-partitioned, never a global
+    * sort); eval is ONE equi-join of the test bigrams against it (AQE's
+    * call to broadcast — vocab can be millions of rows at corpus
+    * scale); the final roll-up is a ≤5-group partial agg. Accuracy and
+    * coverage are one guarded division each at emission. */
+  val q221BigramLmEval: Q = Q.sql(
+    "q221_bigram_lm_eval",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 100 < 20 AS is_test,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT lang, is_test,
+      |    list_extract(toks, CAST(i AS INT)) AS w1,
+      |    list_extract(toks, CAST(i AS INT) + 1) AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+      |  WHERE len(toks) >= 2
+      |), tc AS (
+      |  SELECT w1, w2, COUNT(*) AS c FROM g WHERE NOT is_test GROUP BY 1, 2
+      |), m AS (
+      |  SELECT w1, w2 AS pred
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+      |          ORDER BY c DESC, w2) AS rn FROM tc)
+      |  WHERE rn = 1
+      |), e AS (
+      |  SELECT g.lang, g.w2, m.pred
+      |  FROM g LEFT JOIN m ON m.w1 = g.w1
+      |  WHERE g.is_test
+      |), a AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_covered,
+      |    CAST(SUM(CASE WHEN pred = w2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_correct
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT lang, n_test, n_covered, n_correct,
+      |  CASE WHEN n_covered > 0
+      |    THEN CAST(n_correct AS DOUBLE) / n_covered END AS acc_covered,
+      |  CAST(n_covered AS DOUBLE) / n_test AS coverage
+      |FROM a""".stripMargin,
+    "bigram count-LM trained on the 80% split, top-1 accuracy on held-out") {
+    (s, dir) =>
+      val t = docs(s, dir).select(col("lang"),
+        (Text.baseHash(concat(lit("smp|"), col("doc_id").cast("string")))
+          % 100 < 20).as("is_test"),
+        Text.tokens(col("text")).as("toks"))
+      val pairs = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val g = t.select(col("lang"), col("is_test"), explode(pairs).as("p"))
+        .select(col("lang"), col("is_test"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val tc = g.filter(!col("is_test"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val wrn = Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))
+      val m = tc.withColumn("rn", row_number().over(wrn))
+        .filter(col("rn") === 1)
+        .select(col("w1"), col("w2").as("pred"))
+      val e = g.filter(col("is_test")).join(m, Seq("w1"), "left")
+      e.groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_test"),
+          sum(when(col("pred").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_covered"),
+          sum(when(col("pred") === col("w2"), 1L).otherwise(0L)).cast("long")
+            .as("n_correct"))
+        .select(col("lang"), col("n_test"), col("n_covered"), col("n_correct"),
+          when(col("n_covered") > 0,
+            col("n_correct").cast("double") / col("n_covered"))
+            .as("acc_covered"),
+          (col("n_covered").cast("double") / col("n_test")).as("coverage"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3241,5 +3330,6 @@ object TextPipeline {
     q150SnapshotDiff, q151HardNegatives, q154LexicalSearch,
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
-    q206MixtureResample, q219Chi2Features, q220FeatureHashing)
+    q206MixtureResample, q219Chi2Features, q220FeatureHashing,
+    q221BigramLmEval)
 }
