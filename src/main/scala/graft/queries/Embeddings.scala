@@ -1592,10 +1592,58 @@ object Embeddings {
             .as("mislabel"))
   }
 
+  // ---------------------------------------------------------------- q222
+  /** Johnson–Lindenstrauss random projection 64→16 with the ±1
+    * database-friendly matrix (Achlioptas '01): y_j = (Σ_i ±x_i)/4,
+    * sign(i,j) drawn from md5("jl|i|j") so the projection matrix is a
+    * PURE FUNCTION — no stored model, no broadcast, bit-reproducible on
+    * any engine (the oracle rebuilds the identical matrix from the same
+    * hashes). The dimensionality-reduction step in front of the ANN
+    * family (q31/q122/q125): at 100 TB this is the map-only pass that
+    * shrinks every distance computation 4× before any index build.
+    *
+    * Both engines fold the 64 signed terms LEFT-ASSOCIATIVELY (Spark
+    * `reduceLeft` over constant-signed columns ≡ DuckDB `list_reduce`),
+    * so the double sums are bit-identical; /4 = /√16 is the exact
+    * power-of-two JL scale. Spark's matrix is 1,024 compile-time
+    * constants — zero per-row hashing; zero shuffle anywhere. */
+  val q222JlProjection: Q = {
+    def jlSign(i: Int, j: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"jl|$i|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) < '8'
+    }
+    Q.sql(
+      "q222_jl_projection",
+      """SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+        |  list_reduce(
+        |    [CASE WHEN substr(md5('jl|' || CAST(i AS VARCHAR) || '|'
+        |            || CAST(j AS VARCHAR)), 1, 1) < '8'
+        |          THEN CAST(embedding[i] AS DOUBLE)
+        |          ELSE -CAST(embedding[i] AS DOUBLE) END
+        |     for i in range(1, 65)], (x, y) -> x + y) / 4 AS y
+        |FROM embeddings, LATERAL (SELECT unnest(range(1, 17)) AS j) r""".stripMargin,
+      "deterministic +-1 JL projection of embeddings to 16 dims, map-only") {
+      (s, dir) =>
+        val ys = (1 to 16).map { j =>
+          val terms = (1 to 64).map { i =>
+            val t = element_at(col("embedding"), i).cast("double")
+            if (jlSign(i, j)) t else -t
+          }
+          terms.reduceLeft(_ + _) / lit(4.0)
+        }
+        emb(s, dir).select(col("vec_id"),
+            posexplode(array(ys: _*)).as(Seq("p", "y")))
+          .select(col("vec_id"), (col("p") + 1).cast("long").as("out_dim"),
+            col("y"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
       q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
-      q194LinkPrediction, q211NnDescent, q217LabelNoise)
+      q194LinkPrediction, q211NnDescent, q217LabelNoise, q222JlProjection)
 }
