@@ -1607,13 +1607,27 @@ object Embeddings {
     * so the double sums are bit-identical; /4 = /√16 is the exact
     * power-of-two JL scale. Spark's matrix is 1,024 compile-time
     * constants — zero per-row hashing; zero shuffle anywhere. */
-  val q222JlProjection: Q = {
-    def jlSign(i: Int, j: Int): Boolean = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"jl|$i|$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      hex.charAt(0) < '8'
+  private def jlSign(i: Int, j: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl|$i|$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    hex.charAt(0) < '8'
+  }
+
+  /** The 16 JL components of a 64-dim embedding column — constant-signed
+    * left-associated sums, matching the oracle's `list_reduce` fold. */
+  private def jlProject(e: Column): Column = {
+    val ys = (1 to 16).map { j =>
+      val terms = (1 to 64).map { i =>
+        val t = element_at(e, i).cast("double")
+        if (jlSign(i, j)) t else -t
+      }
+      terms.reduceLeft(_ + _) / lit(4.0)
     }
+    array(ys: _*)
+  }
+
+  val q222JlProjection: Q = {
     Q.sql(
       "q222_jl_projection",
       """SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
@@ -1626,18 +1640,94 @@ object Embeddings {
         |FROM embeddings, LATERAL (SELECT unnest(range(1, 17)) AS j) r""".stripMargin,
       "deterministic +-1 JL projection of embeddings to 16 dims, map-only") {
       (s, dir) =>
-        val ys = (1 to 16).map { j =>
-          val terms = (1 to 64).map { i =>
-            val t = element_at(col("embedding"), i).cast("double")
-            if (jlSign(i, j)) t else -t
-          }
-          terms.reduceLeft(_ + _) / lit(4.0)
-        }
         emb(s, dir).select(col("vec_id"),
-            posexplode(array(ys: _*)).as(Seq("p", "y")))
+            posexplode(jlProject(col("embedding"))).as(Seq("p", "y")))
           .select(col("vec_id"), (col("p") + 1).cast("long").as("out_dim"),
             col("y"))
     }
+  }
+
+  // ---------------------------------------------------------------- q223
+  /** JL neighbor-recall evaluation — the measure-before-trust loop
+    * (q95's discipline) applied to q222's projection: for each probe,
+    * the top-5 cosine neighbors in the 16-dim JL space vs the exact
+    * 64-dim top-5, recall@5 per query. This is the number that decides
+    * whether the 4× distance-computation saving is safe to put in front
+    * of the ANN index build — measured, not assumed (uniform synthetic
+    * vectors are the JL-unfriendly case: all pairwise angles
+    * concentrate, so small rank perturbations swap neighbors; the
+    * honest low recall here is the fixture speaking, same as q122's PQ
+    * reading).
+    *
+    * Both rankings are bit-identical across engines: JL components and
+    * both cosines are the same left-associated folds (DotProduct ≡
+    * list_reduce). The probe set is a broadcast cut; the corpus is
+    * scanned once per ranking and never shuffled. */
+  val q223JlRecall: Q = Q.sql(
+    "q223_jl_recall",
+    s"""WITH jl AS (
+       |  SELECT vec_id,
+       |    [list_reduce(
+       |       [CASE WHEN substr(md5('jl|' || CAST(i AS VARCHAR) || '|'
+       |               || CAST(j AS VARCHAR)), 1, 1) < '8'
+       |             THEN CAST(embedding[i] AS DOUBLE)
+       |             ELSE -CAST(embedding[i] AS DOUBLE) END
+       |        for i in range(1, 65)], (x, y) -> x + y) / 4
+       |     for j in range(1, 17)] AS v
+       |  FROM embeddings
+       |), eqs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 20
+       |), jqs AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM jl WHERE vec_id < 20
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${duckCos("qe", "e.embedding")} DESC, e.vec_id) AS rn
+       |    FROM eqs, embeddings e WHERE e.vec_id <> query_id)
+       |  WHERE rn <= 5
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, jl.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${duckCos("qv", "jl.v", 16)} DESC, jl.vec_id) AS rn
+       |    FROM jqs, jl WHERE jl.vec_id <> query_id)
+       |  WHERE rn <= 5
+       |)
+       |SELECT exact.query_id,
+       |  CAST(count(approx.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(approx.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+       |GROUP BY 1""".stripMargin,
+    "recall@5 of 16-dim JL cosine ranking vs the exact 64-dim top-5") {
+    (s, dir) =>
+      val e = emb(s, dir)
+      val jl = e.select(col("vec_id"), jlProject(col("embedding")).as("v"))
+      val eqs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val jqs = jl.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      def top5(cand: DataFrame): DataFrame = cand
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = top5(e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .crossJoin(broadcast(eqs))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qe"), col("embedding")).as("cosine")))
+      val approx = top5(jl.select(col("vec_id").as("neighbor_id"), col("v"))
+        .crossJoin(broadcast(jqs))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("v")).as("cosine")))
+      exact.join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).cast("long").as("n_hits"),
+          (count(col("hit")).cast("double") / 5).as("recall"))
   }
 
   val all: Seq[Q] =
@@ -1645,5 +1735,6 @@ object Embeddings {
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
       q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
-      q194LinkPrediction, q211NnDescent, q217LabelNoise, q222JlProjection)
+      q194LinkPrediction, q211NnDescent, q217LabelNoise, q222JlProjection,
+      q223JlRecall)
 }
