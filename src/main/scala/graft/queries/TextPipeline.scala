@@ -3316,6 +3316,71 @@ object TextPipeline {
           (col("n_covered").cast("double") / col("n_test")).as("coverage"))
   }
 
+  // ---------------------------------------------------------------- q224
+  /** Rendezvous (highest-random-weight) shard placement + elasticity
+    * diff — Thaler & Ravishankar '96, the placement discipline behind
+    * consistent-hashing stores: each doc's shard is argmax over shards
+    * of md5(doc|shard), so when a 9th shard joins, a doc moves ONLY if
+    * the new shard wins its argmax — expected movement 1/9 of the
+    * corpus, and nothing else reshuffles. The emitted per-(old, new)
+    * transition matrix is the rebalancing plan a 100 TB store would
+    * execute, and the gate proves the minimal-movement property row by
+    * row (every moved doc's new shard is 8 — anything else flips the
+    * hash).
+    *
+    * Entirely map-side: 8 (then 9) constant-key hashes per doc, two
+    * integer argmaxes by GREATEST-style fold, one bounded ≤81-group
+    * partial agg. No shuffle touches the corpus; the weights are
+    * `Text.baseHash` 60-bit integers, exact on both engines. */
+  val q224RendezvousShards: Q = {
+    def duckW(n: Int): String =
+      (0 until n).map { k =>
+        s"(SELECT $k AS s, ('0x' || substr(md5('shard' || $k || '|' " +
+          s"|| CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS w)"
+      }.mkString(" UNION ALL ")
+    Q.sql(
+      "q224_rendezvous_shards",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    (SELECT s FROM (${duckW(8)}) t ORDER BY w DESC, s LIMIT 1)
+         |      AS old_shard,
+         |    (SELECT s FROM (${duckW(9)}) t ORDER BY w DESC, s LIMIT 1)
+         |      AS new_shard
+         |  FROM documents
+         |)
+         |SELECT CAST(old_shard AS BIGINT) AS old_shard,
+         |  CAST(new_shard AS BIGINT) AS new_shard,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END AS BIGINT)
+         |    AS moved
+         |FROM (SELECT old_shard, new_shard, COUNT(*) AS n
+         |      FROM a GROUP BY 1, 2) g""".stripMargin,
+      "rendezvous-hash shard map for 8 shards and the 9-shard rebalance diff") {
+      (s, dir) =>
+        // argmax by weight, lowest shard id on (hash-impossible) ties:
+        // greatest() orders structs lexicographically, so the id rides
+        // along NEGATED — max(w, -s) picks min s among equal w, matching
+        // the oracle's ORDER BY w DESC, s
+        def shardOf(n: Int): Column = {
+          val pairs = (0 until n).map { k =>
+            struct(
+              Text.baseHash(concat(lit(s"shard$k|"),
+                col("doc_id").cast("string"))).as("w"),
+              lit(-k.toLong).as("ns"))
+          }
+          greatest(pairs: _*).getField("ns") * -1
+        }
+        val a = docs(s, dir).select(col("doc_id"),
+          shardOf(8).as("old_shard"), shardOf(9).as("new_shard"))
+        a.groupBy(col("old_shard"), col("new_shard"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .select(col("old_shard").cast("long").as("old_shard"),
+            col("new_shard").cast("long").as("new_shard"), col("n_docs"),
+            when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L)
+              .as("moved"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3331,5 +3396,5 @@ object TextPipeline {
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
-    q221BigramLmEval)
+    q221BigramLmEval, q224RendezvousShards)
 }
