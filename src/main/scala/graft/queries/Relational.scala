@@ -3748,6 +3748,101 @@ object Relational {
             .as("brier_bin"))
   }
 
+  // ---------------------------------------------------------------- q225
+  /** CUPED variance reduction (Deng et al. WSDM'13) — the adjusted A/B
+    * readout every experimentation platform ships: per user the
+    * PRE-period engagement (before the q163 cut) is the covariate X,
+    * the post-period engagement the metric Y, θ = cov(X,Y)/var(X)
+    * pooled over all users, and each arm's mean is shifted by
+    * −θ·(X̄_arm − X̄). Same arms as q174 (user_id % 2), same cut as
+    * q163 — the experiment stack composes.
+    *
+    * Exactness: per-user X, Y are bigint centi-unit sums; the pooled
+    * moment sums ΣX², ΣXY accumulate in DECIMAL (order-independent —
+    * per-user products pass 2⁶³ at corpus scale); θ, raw and adjusted
+    * means are fixed-parenthesization double trees over those exact
+    * aggregates, cast factor-by-factor (q189's discipline), emitted
+    * raw. The hash gates n/Σx/Σy exactly, so a single lost user or
+    * misassigned event flips the row.
+    *
+    * Scale shape: ONE user-keyed partial agg over the corpus (the same
+    * exchange every per-user metric rides), then a 2-group agg + a
+    * 1-row broadcast of the pooled moments. Nothing else moves. */
+  val q225Cuped: Q = {
+    val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    Q.sql(
+      "q225_cuped",
+      s"""WITH u AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |    CAST(SUM(CASE WHEN ts < $cut
+         |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS x,
+         |    CAST(SUM(CASE WHEN ts >= $cut
+         |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS y
+         |  FROM events WHERE value IS NOT NULL
+         |  GROUP BY 1, 2
+         |), a AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+         |  FROM u GROUP BY 1
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         |    CAST(SUM(x) AS BIGINT) AS gsx, CAST(SUM(y) AS BIGINT) AS gsy,
+         |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS gsxx,
+         |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS gsxy
+         |  FROM u
+         |), t AS (
+         |  SELECT gn, gsx,
+         |    (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+         |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+         |    / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+         |      - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) AS theta
+         |  FROM g
+         |)
+         |SELECT CAST(arm AS BIGINT) AS arm, n, sx, sy, theta,
+         |  CAST(sy AS DOUBLE) / n AS mean_raw,
+         |  CAST(sy AS DOUBLE) / n
+         |    - theta * (CAST(sx AS DOUBLE) / n - CAST(gsx AS DOUBLE) / gn)
+         |    AS mean_adj
+         |FROM a, t""".stripMargin,
+      "CUPED pre-period covariate adjustment of per-arm engagement means") {
+      (s, dir) =>
+        val cutTs = lit("2024-01-16 00:00:00").cast("timestamp")
+        val centi = floor(col("value") * 100).cast("long")
+        val u = Tables(s, dir, "events").where(col("value").isNotNull)
+          .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).as("arm"))
+          .agg(sum(when(col("ts") < cutTs, centi).otherwise(0L)).cast("long")
+            .as("x"),
+            sum(when(col("ts") >= cutTs, centi).otherwise(0L)).cast("long")
+              .as("y"))
+        val a = u.groupBy(col("arm"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x")).cast("long").as("sx"),
+            sum(col("y")).cast("long").as("sy"))
+        val g = u.agg(count(lit(1)).cast("long").as("gn"),
+          sum(col("x")).cast("long").as("gsx"),
+          sum(col("y")).cast("long").as("gsy"),
+          sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .as("gsxx"),
+          sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+            .as("gsxy"))
+        val t = g.select(col("gn"), col("gsx"),
+          ((col("gn").cast("double") * col("gsxy").cast("double")
+            - col("gsx").cast("double") * col("gsy").cast("double"))
+            / (col("gn").cast("double") * col("gsxx").cast("double")
+              - col("gsx").cast("double") * col("gsx").cast("double")))
+            .as("theta"))
+        a.crossJoin(broadcast(t))
+          .select(col("arm").cast("long").as("arm"), col("n"), col("sx"),
+            col("sy"), col("theta"),
+            (col("sy").cast("double") / col("n")).as("mean_raw"),
+            (col("sy").cast("double") / col("n")
+              - col("theta") * (col("sx").cast("double") / col("n")
+                - col("gsx").cast("double") / col("gn"))).as("mean_adj"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3766,5 +3861,5 @@ object Relational {
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
-    q216AucRanking, q218Calibration)
+    q216AucRanking, q218Calibration, q225Cuped)
 }

@@ -692,4 +692,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"dup-gram count not partial-aggregated:\n$p")
   }
+
+  test("q222: JL projection is map-only — zero exchanges, zero joins") {
+    val p = plan("q222_jl_projection")
+    assert(countExchanges(p) == 0, s"map-only projection shuffled:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q224: rendezvous placement is one bounded partial agg, no joins") {
+    val p = plan("q224_rendezvous_shards")
+    // two constant-fold argmaxes per doc map-side; the only exchange is
+    // the <=81-group aggregate split
+    assert(countExchanges(p) <= 1, s"corpus shuffled beyond the agg:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count"), s"agg not map-side combined:\n$p")
+  }
+
+  test("q221: LM argmax window is w1-partitioned, never a global sort") {
+    val p = plan("q221_bigram_lm_eval")
+    // the trained-model cut must window PARTITION BY w1 (vocab-distributed);
+    // a single-partition window here would serialize the vocabulary
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("w1#")),
+      s"argmax window not partitioned by w1:\n$p")
+  }
+
+  test("q219: chi2 rank window sees only the df-cut vocabulary") {
+    val p = plan("q219_chi2_features")
+    // presence explode partial-aggregates map-side; the global rank window
+    // input is the df>=5 vocabulary frame, downstream of that filter
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"contingency not map-side combined:\n$p")
+    val filterIdx = p.indexOf("(df")
+    val winIdx = p.indexOf("row_number")
+    assert(filterIdx >= 0 || p.contains(">= 5"), s"df cut missing:\n$p")
+    assert(winIdx > 0, s"rank window missing:\n$p")
+  }
 }
