@@ -3843,6 +3843,67 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q226
+  /** RFM quintile segmentation — the classic CRM/customer-value cube
+    * (Hughes '94): per customer recency (last order epoch-µs),
+    * frequency (order count) and monetary (exact centi-unit spend),
+    * each cut into quintiles by NTILE over a (metric, custkey) TOTAL
+    * order so tile assignment is deterministic, then the ≤125-cell
+    * (r_q, f_q, m_q) segment cube with exact customer counts and spend.
+    *
+    * Scale shape: the corpus collapses to the CUSTOMER dimension in one
+    * partial agg; the three ntile windows sort that dimension-sized
+    * frame (the q75 exact-rank floor — at extreme customer counts the
+    * q182 bounded-histogram / q204 sketch quantile paths are the
+    * recorded swap, trading exact tile edges for no global sort); the
+    * final cube is a bounded partial agg. avg_monet is the one emitted
+    * double, left-associated identically on both engines. */
+  val q226RfmSegments: Q = Q.sql(
+    "q226_rfm_segments",
+    """WITH c AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monet
+      |  FROM orders GROUP BY 1
+      |), q AS (
+      |  SELECT monet,
+      |    NTILE(5) OVER (ORDER BY last_us, custkey) AS r_q,
+      |    NTILE(5) OVER (ORDER BY freq, custkey) AS f_q,
+      |    NTILE(5) OVER (ORDER BY monet, custkey) AS m_q
+      |  FROM c
+      |)
+      |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      |  CAST(m_q AS BIGINT) AS m_q,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(monet) AS BIGINT) AS total_monet_centi,
+      |  CAST(SUM(monet) AS DOUBLE) / COUNT(*) / 100 AS avg_monet
+      |FROM q GROUP BY 1, 2, 3""".stripMargin,
+    "RFM quintile cube: deterministic ntile cuts, exact per-segment spend") {
+    (s, dir) =>
+      val c = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).cast("long")
+          .as("last_us"),
+          count(lit(1)).cast("long").as("freq"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
+            .as("monet"))
+      val q = c.select(col("monet"),
+        ntile(5).over(Window.orderBy(col("last_us"), col("custkey"))).as("r_q"),
+        ntile(5).over(Window.orderBy(col("freq"), col("custkey"))).as("f_q"),
+        ntile(5).over(Window.orderBy(col("monet"), col("custkey"))).as("m_q"))
+      q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("monet")).cast("long").as("total_monet_centi"))
+        .select(col("r_q").cast("long").as("r_q"),
+          col("f_q").cast("long").as("f_q"),
+          col("m_q").cast("long").as("m_q"),
+          col("n_customers"), col("total_monet_centi"),
+          (col("total_monet_centi").cast("double") / col("n_customers") / 100)
+            .as("avg_monet"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3861,5 +3922,5 @@ object Relational {
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
-    q216AucRanking, q218Calibration, q225Cuped)
+    q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments)
 }
