@@ -3904,6 +3904,56 @@ object Relational {
             .as("avg_monet"))
   }
 
+  // ---------------------------------------------------------------- q227
+  /** Dwell-time transition matrix — the TIME dimension q169's transition
+    * PROBABILITIES lack: for every (from_type → to_type) step inside a
+    * user's stream, exact integer-µs dwell mass and count, avg dwell the
+    * one emitted division. The "how long do users sit in state A before
+    * doing B" readout behind funnel latency budgets and session-timeout
+    * tuning (the semi-Markov sojourn estimate beside the embedded-chain
+    * probabilities).
+    *
+    * Scale shape: ONE user-keyed window exchange (the same shuffle
+    * q169/q05/q156 ride — at 100 TB this family shares its
+    * partitioning), then a ≤25-cell partial agg. Dwell sums are bigint
+    * µs (wraps past ~292k user-years of cumulative dwell per cell —
+    * not a real corpus). */
+  val q227DwellTime: Q = Q.sql(
+    "q227_dwell_time",
+    """WITH s AS (
+      |  SELECT user_id, event_type, ts,
+      |    LEAD(event_type) OVER w AS next_type,
+      |    LEAD(ts) OVER w AS next_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(epoch_us(CAST(next_ts AS TIMESTAMP))
+      |    - epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS dwell_us,
+      |  CAST(SUM(epoch_us(CAST(next_ts AS TIMESTAMP))
+      |    - epoch_us(CAST(ts AS TIMESTAMP))) AS DOUBLE) / COUNT(*)
+      |    AS avg_dwell_us
+      |FROM s WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin,
+    "per-transition exact dwell-time mass and mean sojourn before each step") {
+    (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val st = Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+      st.filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(unix_micros(col("next_ts")) - unix_micros(col("ts")))
+            .cast("long").as("dwell_us"))
+        .select(col("from_type"), col("to_type"), col("n"), col("dwell_us"),
+          (col("dwell_us").cast("double") / col("n")).as("avg_dwell_us"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3922,5 +3972,6 @@ object Relational {
     q190CusumChangepoint, q192IvmJoin, q193PathMining, q196TargetEncoding,
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
-    q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments)
+    q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
+    q227DwellTime)
 }

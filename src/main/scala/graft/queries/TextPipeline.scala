@@ -3381,6 +3381,80 @@ object TextPipeline {
     }
   }
 
+  // ---------------------------------------------------------------- q228
+  /** Good–Turing counts-of-counts (Gale & Sampson '95 core): N_r = how
+    * many token types occur exactly r times, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, and the unseen-probability mass N_1/N —
+    * the estimate of how much of the LANGUAGE the corpus hasn't seen
+    * yet, which is the statistic behind vocabulary-growth planning and
+    * LM smoothing (and the corpus-QA "are we still learning new
+    * vocabulary" curve when tracked across snapshots).
+    *
+    * The type unit is the word TRIGRAM — the n-gram space Katz backoff
+    * actually smooths, and the fixture's own unigram vocabulary is 31
+    * saturated types (every r > 10, so unigram GT is empty — recorded,
+    * not hidden). Integer end to end: the type histogram is one
+    * partial-agg pass, the counts-of-counts a second partial agg over
+    * the TYPE frame, and the final lead/divide runs on ≤11 rows (the
+    * r ≤ 10 head — the only regime where raw Good–Turing is used
+    * anyway). Nothing corpus-sized survives the first aggregation. */
+  val q228GoodTuring: Q = Q.sql(
+    "q228_good_turing",
+    """WITH d AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), t AS (
+      |  SELECT list_extract(toks, CAST(i AS INT)) || ' '
+      |    || list_extract(toks, CAST(i AS INT) + 1) || ' '
+      |    || list_extract(toks, CAST(i AS INT) + 2) AS w
+      |  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) r
+      |  WHERE len(toks) >= 3
+      |), c AS (
+      |  SELECT w, COUNT(*) AS r FROM t GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM t
+      |), nr AS (
+      |  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+      |  FROM c WHERE r <= 11 GROUP BY 1
+      |), led AS (
+      |  SELECT r, n_r,
+      |    LEAD(n_r) OVER (ORDER BY r) AS n_r1,
+      |    LEAD(r) OVER (ORDER BY r) AS r1
+      |  FROM nr
+      |)
+      |SELECT CAST(r AS BIGINT) AS r, n_r,
+      |  CASE WHEN r1 = r + 1
+      |    THEN CAST((r + 1) * n_r1 AS DOUBLE) / n_r END AS r_star,
+      |  CASE WHEN r = 1 THEN CAST(n_r AS DOUBLE) / n_tok END AS unseen_mass
+      |FROM led, n WHERE r <= 10""".stripMargin,
+    "Good-Turing counts-of-counts, adjusted counts, unseen vocabulary mass") {
+    (s, dir) =>
+      // toks materialized before the trigram transform (HOF-recompute trap)
+      val tks = docs(s, dir).select(Text.tokens(col("text")).as("toks"))
+      val grams = when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + lit(1)),
+            element_at(col("toks"), i + lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val t = tks.select(explode(grams).as("w"))
+      val c = t.groupBy(col("w")).agg(count(lit(1)).as("r"))
+      val n = t.agg(count(lit(1)).cast("long").as("n_tok"))
+      val nr = c.filter(col("r") <= 11)
+        .groupBy(col("r")).agg(count(lit(1)).cast("long").as("n_r"))
+      val wl = Window.orderBy(col("r"))
+      val led = nr.select(col("r"), col("n_r"),
+        lead(col("n_r"), 1).over(wl).as("n_r1"),
+        lead(col("r"), 1).over(wl).as("r1"))
+      led.filter(col("r") <= 10).crossJoin(broadcast(n))
+        .select(col("r").cast("long").as("r"), col("n_r"),
+          when(col("r1") === col("r") + 1,
+            ((col("r") + 1) * col("n_r1")).cast("double") / col("n_r"))
+            .as("r_star"),
+          when(col("r") === 1, col("n_r").cast("double") / col("n_tok"))
+            .as("unseen_mass"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3396,5 +3470,5 @@ object TextPipeline {
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
-    q221BigramLmEval, q224RendezvousShards)
+    q221BigramLmEval, q224RendezvousShards, q228GoodTuring)
 }
