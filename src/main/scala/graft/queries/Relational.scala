@@ -3954,6 +3954,80 @@ object Relational {
           (col("dwell_us").cast("double") / col("n")).as("avg_dwell_us"))
   }
 
+  // ---------------------------------------------------------------- q229
+  /** Data-slice deviation audit (the SliceFinder / model-QA shape,
+    * Chung '19): cross the bounded attributes (event_type × 6-hour
+    * daypart × arm) into ≤40 slices and rank them by how far the
+    * slice's mean engagement sits from the global mean in
+    * global-variance units — the "which data slice is broken /
+    * underperforming" question every eval pipeline asks after the
+    * aggregate metric moves.
+    *
+    * Counts and sums are exact (centi-unit bigints; the global Σv²
+    * moment in DECIMAL — order-independent past 2⁶³); the z score is
+    * one fixed-parenthesization double tree over those aggregates
+    * (q189's sqrt discipline), and the ranking is over the BOUNDED
+    * slice frame with full tiebreaks. Scale shape: one conditional
+    * partial-agg corpus pass + a 1-row broadcast of the global
+    * moments; the rank window sees ≤40 rows. */
+  val q229SliceAudit: Q = Q.sql(
+    "q229_slice_audit",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) % 4 AS daypart,
+      |    user_id % 2 AS arm,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc
+      |  FROM events WHERE value IS NOT NULL
+      |), g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+      |    CAST(SUM(vc) AS BIGINT) AS gs,
+      |    SUM(CAST(vc AS DECIMAL(18,0)) * CAST(vc AS DECIMAL(18,0))) AS gss
+      |  FROM e
+      |), s AS (
+      |  SELECT event_type, daypart, arm,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sv
+      |  FROM e GROUP BY 1, 2, 3
+      |), z AS (
+      |  SELECT event_type, CAST(daypart AS BIGINT) AS daypart,
+      |    CAST(arm AS BIGINT) AS arm, n, sv,
+      |    (CAST(sv AS DOUBLE) / n - CAST(gs AS DOUBLE) / gn)
+      |      / sqrt((CAST(gss AS DOUBLE) / gn
+      |        - (CAST(gs AS DOUBLE) / gn) * (CAST(gs AS DOUBLE) / gn)) / n)
+      |      AS z
+      |  FROM s, g
+      |)
+      |SELECT event_type, daypart, arm, n, sv, z, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY abs(z) DESC,
+      |        event_type, daypart, arm) AS rnk FROM z)
+      |WHERE rnk <= 20""".stripMargin,
+    "slices ranked by global-variance-unit deviation of mean engagement") {
+    (s, dir) =>
+      val e = Tables(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(unix_micros(col("ts")) / 21600000000L).cast("long") % 4)
+            .as("daypart"),
+          pmod(col("user_id"), lit(2)).as("arm"),
+          floor(col("value") * 100).cast("long").as("vc"))
+      val g = e.agg(count(lit(1)).cast("long").as("gn"),
+        sum(col("vc")).cast("long").as("gs"),
+        sum(col("vc").cast("decimal(18,0)") * col("vc").cast("decimal(18,0)"))
+          .as("gss"))
+      val sl = e.groupBy(col("event_type"), col("daypart"), col("arm"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("vc")).cast("long").as("sv"))
+      val gm = col("gs").cast("double") / col("gn")
+      val wr = Window.orderBy(abs(col("z")).desc,
+        col("event_type"), col("daypart"), col("arm"))
+      sl.crossJoin(broadcast(g))
+        .select(col("event_type"), col("daypart").cast("long").as("daypart"),
+          col("arm").cast("long").as("arm"), col("n"), col("sv"),
+          ((col("sv").cast("double") / col("n") - gm)
+            / sqrt((col("gss").cast("double") / col("gn") - gm * gm)
+              / col("n"))).as("z"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 20)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -3973,5 +4047,5 @@ object Relational {
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
-    q227DwellTime)
+    q227DwellTime, q229SliceAudit)
 }
