@@ -717,6 +717,22 @@ class PlanSpec extends AnyFunSuite {
       s"argmax window not partitioned by w1:\n$p")
   }
 
+  test("q225: CUPED pooled moments broadcast; corpus shuffles once on user") {
+    val p = plan("q225_cuped")
+    assert(p.contains("BroadcastExchange"),
+      s"pooled-moment frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"moment join fell off the broadcast path:\n$p")
+  }
+
+  test("q229: slice audit is one corpus pass + broadcast moments") {
+    val p = plan("q229_slice_audit")
+    assert(p.contains("BroadcastExchange"),
+      s"global moments not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"slice agg not map-side combined:\n$p")
+  }
+
   test("q219: chi2 rank window sees only the df-cut vocabulary") {
     val p = plan("q219_chi2_features")
     // presence explode partial-aggregates map-side; the global rank window
