@@ -4028,6 +4028,88 @@ object Relational {
         .filter(col("rnk") <= 20)
   }
 
+  // ---------------------------------------------------------------- q230
+  /** Post-stratified A/B estimator — CUPED's nonparametric sibling
+    * (Miratrix '13): users are cut into quintiles of PRE-period
+    * engagement (q225's covariate, q226's deterministic NTILE
+    * discipline), the arm contrast is taken WITHIN each stratum, and
+    * the overall effect is the stratum-share-weighted sum of the
+    * per-stratum diffs — removing the covariate imbalance a small
+    * experiment inherits without assuming the linear model θ encodes.
+    * Emitted per stratum: exact counts and centi-unit sums, the diff,
+    * the weight, and the weighted contribution (the overall estimate is
+    * their sum — each term gated).
+    *
+    * Scale shape: the same single user-keyed partial agg as q225; the
+    * NTILE sorts only the USER dimension (q226's recorded trade); the
+    * stratum×arm roll-up is a ≤10-group partial agg with a 1-row total
+    * broadcast. All doubles are fixed-order divisions at emission. */
+  val q230PostStratified: Q = {
+    val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    Q.sql(
+      "q230_post_stratified",
+      s"""WITH u AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |    CAST(SUM(CASE WHEN ts < $cut
+         |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS x,
+         |    CAST(SUM(CASE WHEN ts >= $cut
+         |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS y
+         |  FROM events WHERE value IS NOT NULL
+         |  GROUP BY 1, 2
+         |), q AS (
+         |  SELECT arm, y, NTILE(5) OVER (ORDER BY x, user_id) AS stratum
+         |  FROM u
+         |), s AS (
+         |  SELECT stratum,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM q GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(SUM(n_a + n_b) AS BIGINT) AS n_tot FROM s
+         |)
+         |SELECT CAST(stratum AS BIGINT) AS stratum, n_a, n_b, sy_a, sy_b,
+         |  CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a AS diff,
+         |  CAST(n_a + n_b AS DOUBLE) / n_tot AS w,
+         |  (CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a)
+         |    * (CAST(n_a + n_b AS DOUBLE) / n_tot) AS contribution
+         |FROM s, t""".stripMargin,
+      "arm contrast within pre-period strata, share-weighted contributions") {
+      (s, dir) =>
+        val cutTs = lit("2024-01-16 00:00:00").cast("timestamp")
+        val centi = floor(col("value") * 100).cast("long")
+        val u = Tables(s, dir, "events").where(col("value").isNotNull)
+          .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).as("arm"))
+          .agg(sum(when(col("ts") < cutTs, centi).otherwise(0L)).cast("long")
+            .as("x"),
+            sum(when(col("ts") >= cutTs, centi).otherwise(0L)).cast("long")
+              .as("y"))
+        val q = u.select(col("arm"), col("y"),
+          ntile(5).over(Window.orderBy(col("x"), col("user_id")))
+            .as("stratum"))
+        val st = q.groupBy(col("stratum"))
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+            .as("n_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_b"),
+            sum(when(col("arm") === 0, col("y")).otherwise(0L)).cast("long")
+              .as("sy_a"),
+            sum(when(col("arm") === 1, col("y")).otherwise(0L)).cast("long")
+              .as("sy_b"))
+        val t = st.agg(sum(col("n_a") + col("n_b")).cast("long").as("n_tot"))
+        val diff = col("sy_b").cast("double") / col("n_b") -
+          col("sy_a").cast("double") / col("n_a")
+        val w = (col("n_a") + col("n_b")).cast("double") / col("n_tot")
+        st.crossJoin(broadcast(t))
+          .select(col("stratum").cast("long").as("stratum"), col("n_a"),
+            col("n_b"), col("sy_a"), col("sy_b"), diff.as("diff"), w.as("w"),
+            (diff * w).as("contribution"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4047,5 +4129,5 @@ object Relational {
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
-    q227DwellTime, q229SliceAudit)
+    q227DwellTime, q229SliceAudit, q230PostStratified)
 }
