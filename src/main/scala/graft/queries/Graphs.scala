@@ -706,7 +706,81 @@ object Graphs {
     }
   }
 
+  // ---------------------------------------------------------------- q231
+  /** Degree assortativity (Newman '02) of the customer↔part bipartite
+    * graph — do high-degree customers buy high-degree (popular) parts?
+    * The Pearson correlation of endpoint degrees over the distinct edge
+    * set, the one summary statistic the graph family (degrees, CC, PR,
+    * triangles, k-core, WL, HITS, LPA, PPR) still lacked. Negative
+    * assortativity is the classic bipartite-commerce signature (hubs
+    * attach to the long tail).
+    *
+    * All five moment sums are exact (degree products in DECIMAL —
+    * degrees are dimension-bounded but their edge-weighted products sum
+    * past 2⁶³ at 100 TB); r is one fixed-parenthesization double tree
+    * (q189's sqrt discipline). Scale shape: edges come from ONE
+    * orderkey equi-join + a distinct partial agg; both degree frames
+    * are dimension-sized equi-joins back onto the edge list (AQE
+    * broadcasts); the moments are a 1-row partial agg. Nothing
+    * quadratic, nothing collected. */
+  val q231Assortativity: Q = Q.sql(
+    "q231_assortativity",
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |), dc AS (
+      |  SELECT c, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1
+      |), dp AS (
+      |  SELECT p, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY 1
+      |), j AS (
+      |  SELECT dc.x, dp.y FROM e JOIN dc USING (c) JOIN dp USING (p)
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
+      |  FROM j
+      |)
+      |SELECT n, sx, sy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+      |FROM m""".stripMargin,
+    "Pearson degree correlation over the customer-part bipartite edges") {
+    (s, dir) =>
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val dc = e.groupBy(col("c")).agg(count(lit(1)).cast("long").as("x"))
+      val dp = e.groupBy(col("p")).agg(count(lit(1)).cast("long").as("y"))
+      val j = e.join(dc, Seq("c")).join(dp, Seq("p"))
+        .select(col("x"), col("y"))
+      val m = j.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+          .as("sxy"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("sxx"),
+        sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+          .as("syy"))
+      m.select(col("n"), col("sx"), col("sy"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("assortativity"))
+  }
+
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
     q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff,
-    q186WlRefinement, q209Hits)
+    q186WlRefinement, q209Hits, q231Assortativity)
 }
