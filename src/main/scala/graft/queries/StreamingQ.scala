@@ -1898,6 +1898,69 @@ object StreamingQ {
       }.select(col("bucket_start"), col("n_events"), col("p50"), col("p90"))
   }
 
+  // ---------------------------------------------------------------- q232
+  /** Streaming calibration monitoring — q218's reliability deciles
+    * folded per tumbling hour in watermarked streaming state: the live
+    * "is the model's score still calibrated" dashboard, which is the
+    * first signal of upstream feature drift in a deployed scorer. Per
+    * (closed hour, decile bin): exact n, positives, Σp_milli — the
+    * acc/conf gap is derivable row-locally downstream, so the stream
+    * emits only integer state (q218's quantized-score discipline is
+    * what makes the streaming fold exact: every accumulator is a bigint,
+    * merge-order-free across micro-batches by construction).
+    *
+    * The oracle recomputes the same hour buckets closed-form under
+    * q80's watermark-cutoff rule — the stream filters to scored event
+    * types BEFORE the watermark, so the cutoff derives from the max
+    * event time of the FILTERED feed (asserted by matching the
+    * subselect's WHERE). State is O(open windows × 10 bins). */
+  val q232StreamCalibration: Q = Q.sql(
+    "q232_stream_calibration",
+    """WITH f AS (
+      |  SELECT ts, value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), p AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start, y,
+      |    CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |      / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT)
+      |      AS p_milli
+      |  FROM f
+      |)
+      |SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+      |  CAST(floor(p_milli / 100) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  CAST(SUM(p_milli) AS BIGINT) AS sum_p_milli
+      |FROM p
+      |WHERE (bucket_start + 3600) * 1000000 <=
+      |      (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM f)
+      |GROUP BY 1, 2""".stripMargin,
+    "per-hour streaming reliability-decile counters under the watermark") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      streamOnce("stream-calibration", s, dir) { _ =>
+        val vc = floor(col("value") * 100).cast("long")
+        val pm = floor(lit(1000) * vc / (vc + 5000)).cast("long")
+        StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+          .where(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .withWatermark("ts", "10 minutes")
+          .select(col("ts"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            pm.as("p_milli"))
+          .withColumn("bin", floor(col("p_milli") / 100).cast("long"))
+          .groupBy(window(col("ts"), "1 hour"), col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("p_milli")).as("sum_p_milli"))
+          .select(unix_timestamp(col("window.start")).as("bucket_start"),
+            col("bin"), col("n").cast("long").as("n"),
+            col("n_pos").cast("long").as("n_pos"),
+            col("sum_p_milli").cast("long").as("sum_p_milli"))
+      }
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -1907,5 +1970,6 @@ object StreamingQ {
     q128StreamIngestGate, q145StreamAnomaly, q159StreamAnomalyRestart,
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
-    q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart)
+    q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
+    q232StreamCalibration)
 }
