@@ -4110,6 +4110,86 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q233
+  /** Growth-accounting ledger — the DAU decomposition every product
+    * dashboard runs (new / retained / resurrected per day, churned
+    * attributed to the day AFTER last activity): active(d) = new(d) +
+    * retained(d) + resurrected(d), with churn right-censored at the
+    * feed's end (users last active on the final day aren't declared
+    * churned — the day that would prove it hasn't happened). The
+    * roll-forward identity active(d) = active(d−1) − churned(d) +
+    * new(d) + resurrected(d) holds exactly on the output, so the hash
+    * gate is also an internal-consistency proof.
+    *
+    * Distinct (user, day) pairs collapse in one partial agg; first/
+    * prev/next-day derivations ride ONE user exchange (three window
+    * functions, same partitioning); the daily ledger is a
+    * day-bounded roll-up joined once on day. All integer. */
+  val q233GrowthAccounting: Q = Q.sql(
+    "q233_growth_accounting",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS day
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, day,
+      |    MIN(day) OVER (PARTITION BY user_id) AS first_day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM d
+      |), c AS (
+      |  SELECT day,
+      |    CAST(COUNT(*) AS BIGINT) AS active,
+      |    CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_users,
+      |    CAST(SUM(CASE WHEN day > first_day AND prev_day = day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |    CAST(SUM(CASE WHEN day > first_day AND prev_day < day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      |  FROM f GROUP BY 1
+      |), ch AS (
+      |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churned
+      |  FROM f
+      |  WHERE next_day IS NULL OR next_day > day + 1
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(c.day AS BIGINT) AS day, active, new_users, retained,
+      |  resurrected,
+      |  CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned_from_prev
+      |FROM c LEFT JOIN ch ON ch.day = c.day""".stripMargin,
+    "daily DAU decomposition: new/retained/resurrected plus prior-day churn") {
+    (s, dir) =>
+      val d = Tables(s, dir, "events")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id"))
+      val wO = wU.orderBy(col("day"))
+      val f = d.select(col("user_id"), col("day"),
+        min(col("day")).over(wU).as("first_day"),
+        lag(col("day"), 1).over(wO).as("prev_day"),
+        lead(col("day"), 1).over(wO).as("next_day"))
+      val c = f.groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .cast("long").as("new_users"),
+          sum(when(col("day") > col("first_day") &&
+            col("prev_day") === col("day") - 1, 1L).otherwise(0L))
+            .cast("long").as("retained"),
+          sum(when(col("day") > col("first_day") &&
+            col("prev_day") < col("day") - 1, 1L).otherwise(0L))
+            .cast("long").as("resurrected"))
+      val ch = f.filter(col("next_day").isNull ||
+          col("next_day") > col("day") + 1)
+        .groupBy((col("day") + 1).as("day"))
+        .agg(count(lit(1)).cast("long").as("churned"))
+      c.join(ch, Seq("day"), "left")
+        .select(col("day").cast("long").as("day"), col("active"),
+          col("new_users"), col("retained"), col("resurrected"),
+          coalesce(col("churned"), lit(0L)).cast("long")
+            .as("churned_from_prev"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4129,5 +4209,6 @@ object Relational {
     q198SeasonalBaseline, q199BenfordAudit, q204QuantileSketch,
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
-    q227DwellTime, q229SliceAudit, q230PostStratified)
+    q227DwellTime, q229SliceAudit, q230PostStratified,
+    q233GrowthAccounting)
 }
