@@ -4190,6 +4190,76 @@ object Relational {
             .as("churned_from_prev"))
   }
 
+  // ---------------------------------------------------------------- q234
+  /** Cumulative gains / lift chart — the third leg of the score-eval
+    * tripod (q216 AUC ranks, q218 checks calibration, this answers the
+    * TARGETING question: "if we act on the top k score deciles, what
+    * share of conversions do we capture, at what lift over random?").
+    * Same quantized score and deciles as q218, so the three reports
+    * describe one model.
+    *
+    * Per decile (highest score first): exact n/pos and their running
+    * sums; gain = cum_pos/tot_pos and lift = (cum_pos/cum_n)/
+    * (tot_pos/tot_n) are fixed-order divisions at emission. Scale
+    * shape: ONE conditional partial agg over the corpus to ≤10 rows;
+    * both windows (running + total) ride that bounded frame — nothing
+    * corpus-sized is sorted or shuffled twice. */
+  val q234GainsChart: Q = Q.sql(
+    "q234_gains_chart",
+    """WITH u AS (
+      |  SELECT CAST(floor(value * 100) AS BIGINT) AS vc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), p AS (
+      |  SELECT CAST(floor(1000 * vc / (vc + 5000)) AS BIGINT) AS p_milli, y
+      |  FROM u
+      |), b AS (
+      |  SELECT CAST(floor(p_milli / 100) AS BIGINT) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM p GROUP BY 1
+      |), c AS (
+      |  SELECT bin, n, pos,
+      |    SUM(n) OVER (ORDER BY bin DESC) AS cum_n,
+      |    SUM(pos) OVER (ORDER BY bin DESC) AS cum_pos,
+      |    SUM(n) OVER () AS tot_n,
+      |    SUM(pos) OVER () AS tot_pos
+      |  FROM b
+      |)
+      |SELECT bin, n, pos,
+      |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CAST(cum_pos AS DOUBLE) / tot_pos AS gain,
+      |  (CAST(cum_pos AS DOUBLE) / cum_n)
+      |    / (CAST(tot_pos AS DOUBLE) / tot_n) AS lift
+      |FROM c""".stripMargin,
+    "per-decile cumulative conversion capture and lift over random") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("vc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val p = u.select(
+        floor(lit(1000) * col("vc") / (col("vc") + 5000)).cast("long")
+          .as("p_milli"), col("y"))
+      val b = p.groupBy(floor(col("p_milli") / 100).cast("long").as("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("pos"))
+      val wCum = Window.orderBy(col("bin").desc)
+      val wAll = Window.partitionBy()
+      b.select(col("bin"), col("n"), col("pos"),
+          sum(col("n")).over(wCum).as("cum_n"),
+          sum(col("pos")).over(wCum).as("cum_pos"),
+          sum(col("n")).over(wAll).as("tot_n"),
+          sum(col("pos")).over(wAll).as("tot_pos"))
+        .select(col("bin"), col("n"), col("pos"),
+          col("cum_n").cast("long").as("cum_n"),
+          col("cum_pos").cast("long").as("cum_pos"),
+          (col("cum_pos").cast("double") / col("tot_pos")).as("gain"),
+          ((col("cum_pos").cast("double") / col("cum_n"))
+            / (col("tot_pos").cast("double") / col("tot_n"))).as("lift"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4210,5 +4280,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting)
+    q233GrowthAccounting, q234GainsChart)
 }
