@@ -4260,6 +4260,217 @@ object Relational {
             / (col("tot_pos").cast("double") / col("tot_n"))).as("lift"))
   }
 
+  // ---------------------------------------------------------------- q235
+  /** Histogram-based decision-stump split finding — the distributed-GBDT
+    * core primitive (LightGBM/XGBoost `hist` method: quantize the
+    * feature, build a per-bin (n, positives) histogram with ONE
+    * map-side-combined pass, then evaluate every candidate split on the
+    * bounded histogram — never on rows). Feature = q218's quantized
+    * milli-score, label = purchase-vs-click, so the eval family
+    * (q216/q218/q234) and the training family describe one model.
+    *
+    * Every candidate split s ("bin ≤ s goes left") gets exact bigint
+    * child counts off two cumsum windows on the ≤20-bin frame; Gini
+    * impurities and the parent−weighted-children gain are fixed-
+    * parenthesization double trees over those integers (one division
+    * per term, correctly rounded in both engines — the q229 ranking
+    * discipline), ranked with a split tiebreak. Scale shape: the corpus
+    * is touched by ONE conditional partial agg to ≤20 rows; every
+    * window rides that bounded frame. A 1000-feature forest iteration
+    * is 1000 such histograms in one wide agg — the shape is the
+    * at-scale answer, not a toy. */
+  val q235SplitFinding: Q = Q.sql(
+    "q235_split_finding",
+    """WITH u AS (
+      |  SELECT CAST(floor(value * 100) AS BIGINT) AS vc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), b AS (
+      |  SELECT CAST(floor(floor(1000 * vc / (vc + 5000)) / 50) AS BIGINT)
+      |    AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM u GROUP BY 1
+      |), c AS (
+      |  SELECT bin,
+      |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS n_l,
+      |    CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS pos_l,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+      |    CAST(SUM(pos) OVER () AS BIGINT) AS pos_tot,
+      |    CAST(MAX(bin) OVER () AS BIGINT) AS max_bin
+      |  FROM b
+      |), s AS (
+      |  SELECT bin AS split, n_l, pos_l,
+      |    n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r, n_tot, pos_tot
+      |  FROM c WHERE bin < max_bin
+      |), g AS (
+      |  SELECT split, n_l, pos_l, n_r, pos_r,
+      |    CAST(1 AS DOUBLE)
+      |      - ((CAST(pos_l AS DOUBLE) / n_l) * (CAST(pos_l AS DOUBLE) / n_l)
+      |        + (CAST(n_l - pos_l AS DOUBLE) / n_l)
+      |          * (CAST(n_l - pos_l AS DOUBLE) / n_l)) AS gini_l,
+      |    CAST(1 AS DOUBLE)
+      |      - ((CAST(pos_r AS DOUBLE) / n_r) * (CAST(pos_r AS DOUBLE) / n_r)
+      |        + (CAST(n_r - pos_r AS DOUBLE) / n_r)
+      |          * (CAST(n_r - pos_r AS DOUBLE) / n_r)) AS gini_r,
+      |    CAST(1 AS DOUBLE)
+      |      - ((CAST(pos_tot AS DOUBLE) / n_tot)
+      |          * (CAST(pos_tot AS DOUBLE) / n_tot)
+      |        + (CAST(n_tot - pos_tot AS DOUBLE) / n_tot)
+      |          * (CAST(n_tot - pos_tot AS DOUBLE) / n_tot)) AS gini_p,
+      |    CAST(n_l AS DOUBLE) / n_tot AS w_l,
+      |    CAST(n_r AS DOUBLE) / n_tot AS w_r
+      |  FROM s
+      |), e AS (
+      |  SELECT split, n_l, pos_l, n_r, pos_r, gini_l, gini_r,
+      |    gini_p - (w_l * gini_l + w_r * gini_r) AS gain
+      |  FROM g
+      |)
+      |SELECT split, n_l, pos_l, n_r, pos_r, gini_l, gini_r, gain,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, split) AS BIGINT) AS rnk
+      |FROM e""".stripMargin,
+    "exact Gini gain of every histogram split candidate, ranked") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("vc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val b = u.groupBy(
+          floor(floor(lit(1000) * col("vc") / (col("vc") + 5000)) / 50)
+            .cast("long").as("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("pos"))
+      val wCum = Window.orderBy(col("bin"))
+      val wAll = Window.partitionBy()
+      val c = b.select(col("bin"),
+        sum(col("n")).over(wCum).cast("long").as("n_l"),
+        sum(col("pos")).over(wCum).cast("long").as("pos_l"),
+        sum(col("n")).over(wAll).cast("long").as("n_tot"),
+        sum(col("pos")).over(wAll).cast("long").as("pos_tot"),
+        max(col("bin")).over(wAll).cast("long").as("max_bin"))
+      val sp = c.where(col("bin") < col("max_bin"))
+        .select(col("bin").as("split"), col("n_l"), col("pos_l"),
+          (col("n_tot") - col("n_l")).as("n_r"),
+          (col("pos_tot") - col("pos_l")).as("pos_r"),
+          col("n_tot"), col("pos_tot"))
+      // identical parenthesization to the oracle: p*p + q*q inside, the
+      // 1-minus outside; each division correctly rounded IEEE
+      def gini(p: Column, n: Column): Column =
+        lit(1).cast("double") -
+          ((p.cast("double") / n) * (p.cast("double") / n) +
+            ((n - p).cast("double") / n) * ((n - p).cast("double") / n))
+      val g = sp.select(col("split"), col("n_l"), col("pos_l"), col("n_r"),
+        col("pos_r"),
+        gini(col("pos_l"), col("n_l")).as("gini_l"),
+        gini(col("pos_r"), col("n_r")).as("gini_r"),
+        gini(col("pos_tot"), col("n_tot")).as("gini_p"),
+        (col("n_l").cast("double") / col("n_tot")).as("w_l"),
+        (col("n_r").cast("double") / col("n_tot")).as("w_r"))
+      val e = g.select(col("split"), col("n_l"), col("pos_l"), col("n_r"),
+        col("pos_r"), col("gini_l"), col("gini_r"),
+        (col("gini_p") - (col("w_l") * col("gini_l") +
+          col("w_r") * col("gini_r"))).as("gain"))
+      e.select(col("split"), col("n_l"), col("pos_l"), col("n_r"),
+        col("pos_r"), col("gini_l"), col("gini_r"), col("gain"),
+        row_number().over(Window.orderBy(col("gain").desc, col("split")))
+          .cast("long").as("rnk"))
+  }
+
+  // ---------------------------------------------------------------- q236
+  /** Kaplan–Meier survival curve for time-to-first-purchase — the
+    * right-censoring-correct conversion estimate (a naive "mean hours to
+    * purchase over converters" is biased optimistic: users who never
+    * converted carry information — they survived AT LEAST their observed
+    * span — and KM is the standard way to count it; q233's censoring
+    * idea graduated to the full estimator).
+    *
+    * Per user: t = hours from first activity to first purchase (event)
+    * or to last activity (censored). At each distinct t: d deaths,
+    * c censored, n_risk = survivors entering t; the survival product
+    * S(t) = Π_{t'≤t} (n−d)/n folds LEFT-ASSOCIATED over the ordered
+    * factor list on both engines (Spark `aggregate` HOF seeded 1.0 ≡
+    * DuckDB `list_reduce` seeded with the first element, since 1.0·f =
+    * f exactly), each factor one correctly-rounded division — the q187
+    * fixed-fold discipline. Scale shape: the corpus collapses to the
+    * user dimension in ONE partial agg; the time histogram is a second
+    * partial agg to a span-bounded frame (≤ hours in the feed); the
+    * fold and windows ride that bounded frame only. */
+  val q236KaplanMeier: Q = Q.sql(
+    "q236_kaplan_meier",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS first_h,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS last_h,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 END) AS conv_h
+      |  FROM events GROUP BY 1
+      |), obs AS (
+      |  SELECT CASE WHEN conv_h IS NOT NULL THEN conv_h - first_h
+      |           ELSE last_h - first_h END AS t,
+      |    CASE WHEN conv_h IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u
+      |), h AS (
+      |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+      |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+      |  FROM obs GROUP BY 1
+      |), r AS (
+      |  SELECT t, d, c,
+      |    CAST(SUM(d + c) OVER () -
+      |      COALESCE(SUM(d + c) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk,
+      |    CAST(COUNT(*) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS k
+      |  FROM h
+      |), f AS (
+      |  SELECT t, d, c, n_risk, k,
+      |    CAST(n_risk - d AS DOUBLE) / n_risk AS factor
+      |  FROM r
+      |), al AS (
+      |  SELECT list(factor ORDER BY t) AS fs FROM f
+      |)
+      |SELECT CAST(t AS BIGINT) AS t_hours, n_risk, d AS events,
+      |  c AS censored, list_reduce(fs[:k], (a, b) -> a * b) AS survival
+      |FROM f, al""".stripMargin,
+    "right-censored time-to-first-purchase survival curve") { (s, dir) =>
+    val hourCol = floor(unix_micros(col("ts")) / 3600000000L).cast("long")
+    val u = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(hourCol).as("first_h"), max(hourCol).as("last_h"),
+        min(when(col("event_type") === "purchase", hourCol)).as("conv_h"))
+    val obs = u.select(
+      when(col("conv_h").isNotNull, col("conv_h") - col("first_h"))
+        .otherwise(col("last_h") - col("first_h")).as("t"),
+      when(col("conv_h").isNotNull, 1L).otherwise(0L).as("ev"))
+    val h = obs.groupBy(col("t"))
+      .agg(sum(col("ev")).cast("long").as("d"),
+        (count(lit(1)) - sum(col("ev"))).cast("long").as("c"))
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = h.select(col("t"), col("d"), col("c"),
+      (sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .cast("long").as("n_risk"),
+      count(lit(1)).over(wCur).cast("long").as("k"))
+    val f = r.select(col("t"), col("d"), col("c"), col("n_risk"), col("k"),
+      ((col("n_risk") - col("d")).cast("double") / col("n_risk"))
+        .as("factor"))
+    // ordered factor list, one bounded row, broadcast back onto the frame
+    val al = f.agg(transform(
+      sort_array(collect_list(struct(col("t"), col("factor")))),
+      x => x.getField("factor")).as("fs"))
+    f.crossJoin(broadcast(al))
+      .select(col("t").cast("long").as("t_hours"), col("n_risk"),
+        col("d").as("events"), col("c").as("censored"),
+        aggregate(slice(col("fs"), lit(1), col("k").cast("int")),
+          lit(1.0), (acc, x) => acc * x).as("survival"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4280,5 +4491,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier)
 }
