@@ -4471,6 +4471,143 @@ object Relational {
           lit(1.0), (acc, x) => acc * x).as("survival"))
   }
 
+  // ---------------------------------------------------------------- q237
+  /** Zone-map data-skipping audit — the lakehouse layout question
+    * answered with numbers: partition the corpus into 64 "files" under
+    * three layouts (time-range, user-range, and q153's z-order
+    * interleave of 8 time × 8 user buckets), build per-file min/max
+    * zone maps, and replay two predicate classes (a one-day time
+    * window, a single-user lookup) against the maps. The output is the
+    * files/rows each layout lets the scanner SKIP — on the fixture:
+    * time layout 3/64 files for the time predicate but 64/64 for the
+    * user lookup, user layout the exact mirror, z-order 8/64 for BOTH
+    * (the Morton guarantee q153's spec proves, here priced in rows).
+    *
+    * Scale shape: file assignment is map-side integer arithmetic off a
+    * 1-row bounds broadcast; all three layouts' zone maps build in ONE
+    * corpus pass via GROUPING SETS (grouping flags name the layout);
+    * the audit itself touches only the ≤192-row file-stats frame. All
+    * counts exact bigints; `div` keeps bucket math exact integer
+    * division on both engines. */
+  val q237ZoneMapAudit: Q = Q.sql(
+    "q237_zonemap_audit",
+    """WITH bounds AS (
+      |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS t1,
+      |    MAX(user_id) AS mu
+      |  FROM events
+      |), e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tu, user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) - t0) * 64 // (t1 - t0 + 1)
+      |      AS f_time,
+      |    user_id * 64 // (mu + 1) AS f_user,
+      |    ((epoch_us(CAST(ts AS TIMESTAMP)) - t0) * 8 // (t1 - t0 + 1))
+      |      AS tb,
+      |    (user_id * 8 // (mu + 1)) AS ub,
+      |    t0
+      |  FROM events, bounds
+      |), z AS (
+      |  SELECT tu, user_id, f_time, f_user, t0,
+      |    (tb % 2) + 2 * (ub % 2) + 4 * ((tb // 2) % 2)
+      |      + 8 * ((ub // 2) % 2) + 16 * ((tb // 4) % 2)
+      |      + 32 * ((ub // 4) % 2) AS f_z
+      |  FROM e
+      |), zm AS (
+      |  SELECT f_time, f_user, f_z,
+      |    CASE WHEN GROUPING(f_user) = 0 THEN 'user'
+      |         WHEN GROUPING(f_z) = 0 THEN 'zorder' ELSE 'time' END
+      |      AS layout,
+      |    MIN(tu) AS min_tu, MAX(tu) AS max_tu,
+      |    CAST(MIN(user_id) AS BIGINT) AS min_u,
+      |    CAST(MAX(user_id) AS BIGINT) AS max_u,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN tu >= t0 + 10*86400000000
+      |      AND tu < t0 + 11*86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS m_time,
+      |    CAST(SUM(CASE WHEN user_id = 42 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS m_user,
+      |    MIN(t0) AS t0
+      |  FROM z GROUP BY GROUPING SETS ((f_time), (f_user), (f_z))
+      |)
+      |SELECT layout, 'ts_day10' AS predicate,
+      |  CAST(COUNT(*) AS BIGINT) AS files_total,
+      |  CAST(SUM(CASE WHEN max_tu >= t0 + 10*86400000000
+      |    AND min_tu < t0 + 11*86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS files_scanned,
+      |  CAST(SUM(CASE WHEN max_tu >= t0 + 10*86400000000
+      |    AND min_tu < t0 + 11*86400000000 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_scanned,
+      |  CAST(SUM(m_time) AS BIGINT) AS rows_matched
+      |FROM zm GROUP BY 1
+      |UNION ALL
+      |SELECT layout, 'user_eq_42',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN max_u >= 42 AND min_u <= 42 THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(SUM(CASE WHEN max_u >= 42 AND min_u <= 42 THEN n ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(SUM(m_user) AS BIGINT)
+      |FROM zm GROUP BY 1""".stripMargin,
+    "files/rows skipped by zone maps under time, user and z-order layouts") {
+    (s, dir) =>
+      val dayUs = 86400000000L
+      val ev = Tables(s, dir, "events")
+        .select(unix_micros(col("ts")).as("tu"), col("user_id"))
+      val bounds = ev.agg(min(col("tu")).as("t0"), max(col("tu")).as("t1"),
+        max(col("user_id")).as("mu"))
+      val e = ev.crossJoin(broadcast(bounds)).select(col("tu"),
+        col("user_id"),
+        expr("(tu - t0) * 64 div (t1 - t0 + 1)").as("f_time"),
+        expr("user_id * 64 div (mu + 1)").as("f_user"),
+        expr("(tu - t0) * 8 div (t1 - t0 + 1)").as("tb"),
+        expr("user_id * 8 div (mu + 1)").as("ub"), col("t0"))
+      val z = e.select(col("tu"), col("user_id"), col("f_time"),
+        col("f_user"), col("t0"),
+        expr("(tb % 2) + 2 * (ub % 2) + 4 * ((tb div 2) % 2)" +
+          " + 8 * ((ub div 2) % 2) + 16 * ((tb div 4) % 2)" +
+          " + 32 * ((ub div 4) % 2)").as("f_z"))
+      val zm = z.groupingSets(
+          Seq(Seq(col("f_time")), Seq(col("f_user")), Seq(col("f_z"))),
+          col("f_time"), col("f_user"), col("f_z"))
+        .agg(
+          when(grouping(col("f_user")) === 0, "user")
+            .when(grouping(col("f_z")) === 0, "zorder")
+            .otherwise("time").as("layout"),
+          min(col("tu")).as("min_tu"), max(col("tu")).as("max_tu"),
+          min(col("user_id")).cast("long").as("min_u"),
+          max(col("user_id")).cast("long").as("max_u"),
+          count(lit(1)).cast("long").as("n"),
+          sum(when(col("tu") >= col("t0") + 10 * dayUs &&
+            col("tu") < col("t0") + 11 * dayUs, 1L).otherwise(0L))
+            .cast("long").as("m_time"),
+          sum(when(col("user_id") === 42, 1L).otherwise(0L))
+            .cast("long").as("m_user"),
+          min(col("t0")).as("t0"))
+      val tPred = zm.groupBy(col("layout"))
+        .agg(count(lit(1)).cast("long").as("files_total"),
+          sum(when(col("max_tu") >= col("t0") + 10 * dayUs &&
+            col("min_tu") < col("t0") + 11 * dayUs, 1L).otherwise(0L))
+            .cast("long").as("files_scanned"),
+          sum(when(col("max_tu") >= col("t0") + 10 * dayUs &&
+            col("min_tu") < col("t0") + 11 * dayUs, col("n"))
+            .otherwise(0L)).cast("long").as("rows_scanned"),
+          sum(col("m_time")).cast("long").as("rows_matched"))
+        .select(col("layout"), lit("ts_day10").as("predicate"),
+          col("files_total"), col("files_scanned"), col("rows_scanned"),
+          col("rows_matched"))
+      val uPred = zm.groupBy(col("layout"))
+        .agg(count(lit(1)).cast("long").as("files_total"),
+          sum(when(col("max_u") >= 42 && col("min_u") <= 42, 1L)
+            .otherwise(0L)).cast("long").as("files_scanned"),
+          sum(when(col("max_u") >= 42 && col("min_u") <= 42, col("n"))
+            .otherwise(0L)).cast("long").as("rows_scanned"),
+          sum(col("m_user")).cast("long").as("rows_matched"))
+        .select(col("layout"), lit("user_eq_42").as("predicate"),
+          col("files_total"), col("files_scanned"), col("rows_scanned"),
+          col("rows_matched"))
+      tPred.unionByName(uPred)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4491,5 +4628,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit)
 }
