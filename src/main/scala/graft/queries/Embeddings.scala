@@ -1730,11 +1730,130 @@ object Embeddings {
           (count(col("hit")).cast("double") / 5).as("recall"))
   }
 
+  // ---------------------------------------------------------------- q238
+  /** MMR rounds after the relevance-only first pick. */
+  val MmrRounds = 4
+
+  private def mmrOracle: String = {
+    val steps = (2 to MmrRounds + 1).map { k =>
+      s"""sc$k AS (
+         |  SELECT c.probe, c.cand, (c.simq - MAX(p.sim)) / 2 AS score
+         |  FROM cand c
+         |  JOIN pairs p ON p.probe = c.probe AND p.ca = c.cand
+         |  JOIN selall${k - 1} s ON s.probe = p.probe AND s.cand = p.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall${k - 1} x
+         |    WHERE x.probe = c.probe AND x.cand = c.cand)
+         |  GROUP BY c.probe, c.cand, c.simq
+         |), pick$k AS (
+         |  SELECT probe, cand, score, CAST($k AS BIGINT) AS mmr_rank
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+         |    ORDER BY score DESC, cand) AS rn FROM sc$k) WHERE rn = 1
+         |), selall$k AS (
+         |  SELECT * FROM selall${k - 1} UNION ALL SELECT * FROM pick$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH qs AS (
+       |  SELECT vec_id AS probe, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 4
+       |), c0 AS (
+       |  SELECT probe, vec_id AS cand, embedding AS ce,
+       |    ${duckCos("qe", "embedding")} AS simq
+       |  FROM qs, embeddings WHERE vec_id <> probe
+       |), cand AS (
+       |  SELECT probe, cand, ce, simq
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+       |    ORDER BY simq DESC, cand) AS rn FROM c0) WHERE rn <= 12
+       |), pairs AS (
+       |  SELECT a.probe, a.cand AS ca, b.cand AS cb,
+       |    ${duckCos("a.ce", "b.ce")} AS sim
+       |  FROM cand a JOIN cand b ON a.probe = b.probe AND a.cand <> b.cand
+       |), selall1 AS (
+       |  SELECT probe, cand, simq AS score, CAST(1 AS BIGINT) AS mmr_rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+       |    ORDER BY simq DESC, cand) AS rn FROM cand) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT probe, mmr_rank, cand AS picked, score
+       |FROM selall${MmrRounds + 1}""".stripMargin
+  }
+
+  /** Maximal-marginal-relevance diversified top-5 (Carbonell–Goldstein
+    * '98, λ = 1/2) — the re-ranking step between retrieval and a
+    * training batch / RAG context: plain top-k returns near-duplicates
+    * of one neighborhood, MMR greedily picks the next result by
+    * relevance MINUS similarity to what's already picked. First pick is
+    * pure relevance; each later score is (sim_to_query − max_sim_to_
+    * selected)/2 — the subtraction of two fused-kernel cosines and an
+    * exact halving, so both engines rank identical doubles (the q187
+    * dyadic discipline; deterministic cand tiebreaks throughout).
+    *
+    * Scale shape: the corpus is touched ONCE by the q30 broadcast-probe
+    * top-12 candidate scan (WindowGroupLimit, no corpus shuffle); the
+    * greedy loop — pairwise cosines and 4 unrolled argmax rounds — runs
+    * entirely on the ≤(probes × 12) candidate frame. At 100 TB the
+    * candidate stage swaps for q95b's IVF probe; the MMR algebra is
+    * unchanged. The oracle unrolls the identical greedy recurrence. */
+  val q238MmrRerank: Q = Q.sql(
+    "q238_mmr_rerank",
+    mmrOracle,
+    "greedy MMR diversified top-5 per probe over exact-cosine candidates") {
+    (s, dir) =>
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("probe"), col("embedding").as("qe"))
+      val wCand = Window.partitionBy(col("probe"))
+        .orderBy(col("simq").desc, col("cand"))
+      val cand = e.select(col("vec_id").as("cand"), col("embedding"))
+        .crossJoin(broadcast(qs))
+        .filter(col("cand") =!= col("probe"))
+        .select(col("probe"), col("cand"), col("embedding").as("ce"),
+          Vectors.cosine(col("qe"), col("embedding")).as("simq"))
+        .withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") <= 12)
+        .drop("rn")
+        .localCheckpoint()
+      val a = cand.select(col("probe"), col("cand").as("ca"),
+        col("ce").as("cea"))
+      val b = cand.select(col("probe"), col("cand").as("cb"),
+        col("ce").as("ceb"))
+      val pairs = a.join(b, Seq("probe"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("probe"), col("ca"), col("cb"),
+          Vectors.cosine(col("cea"), col("ceb")).as("sim"))
+        .localCheckpoint()
+      var selall = cand
+        .withColumn("rn", row_number().over(wCand))
+        .filter(col("rn") === 1)
+        .select(col("probe"), col("cand"), col("simq").as("score"),
+          lit(1L).as("mmr_rank"))
+      for (k <- 2 to MmrRounds + 1) {
+        val scored = cand.select(col("probe"), col("cand"), col("simq"))
+          .join(selall.select(col("probe"), col("cand")), Seq("probe", "cand"),
+            "left_anti")
+          .join(pairs.withColumnRenamed("ca", "cand"), Seq("probe", "cand"))
+          .join(selall.select(col("probe"), col("cand").as("cb")),
+            Seq("probe", "cb"))
+          .groupBy(col("probe"), col("cand"), col("simq"))
+          .agg(max(col("sim")).as("mx"))
+          .select(col("probe"), col("cand"),
+            ((col("simq") - col("mx")) / 2).as("score"))
+        val wPick = Window.partitionBy(col("probe"))
+          .orderBy(col("score").desc, col("cand"))
+        val pick = scored.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("probe"), col("cand"), col("score"),
+            lit(k.toLong).as("mmr_rank"))
+        selall = selall.unionByName(pick)
+      }
+      selall.select(col("probe"), col("mmr_rank"),
+        col("cand").as("picked"), col("score"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
       q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
       q194LinkPrediction, q211NnDescent, q217LabelNoise, q222JlProjection,
-      q223JlRecall)
+      q223JlRecall, q238MmrRerank)
 }
