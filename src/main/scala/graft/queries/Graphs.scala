@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GraphX-backed analytics queries (BASELINE.json: "GraphX for analytics
@@ -706,6 +706,131 @@ object Graphs {
     }
   }
 
+  // ---------------------------------------------------------------- q239
+  /** BFS rounds for the harmonic-closeness seeds (the bipartite graph's
+    * diameter from any seed is ≤ 4 hops on the fixture; absent rows stay
+    * the infinities, exactly q85's discipline). */
+  val ClosenessRounds = 4
+
+  private def closenessOracle: String = {
+    val steps = (1 to ClosenessRounds).map { k =>
+      s"""r$k AS (
+         |  SELECT seed, id, MIN(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT r.seed, e.dst AS id, r.dist + 1 AS dist
+         |    FROM edges e JOIN r${k - 1} r ON r.id = e.src
+         |  ) u GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ep AS (
+       |  SELECT DISTINCT 1000000000000 + o.o_custkey AS c,
+       |    2000000000000 + l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), edges AS (
+       |  SELECT c AS src, p AS dst FROM ep
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM ep
+       |), r0 AS (
+       |  SELECT seed, seed AS id, CAST(0 AS BIGINT) AS dist
+       |  FROM (VALUES (2000000000001), (2000000000002), (2000000000003))
+       |    s(seed)
+       |),
+       |$steps,
+       |piv AS (
+       |  SELECT id,
+       |    MIN(CASE WHEN seed = 2000000000001 THEN dist END) AS d1,
+       |    MIN(CASE WHEN seed = 2000000000002 THEN dist END) AS d2,
+       |    MIN(CASE WHEN seed = 2000000000003 THEN dist END) AS d3
+       |  FROM r$ClosenessRounds GROUP BY 1
+       |)
+       |SELECT CAST(id AS BIGINT) AS node_id,
+       |  CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       |  CAST(d3 AS BIGINT) AS d3,
+       |  ((CASE WHEN d1 IS NULL OR d1 = 0 THEN CAST(0 AS DOUBLE)
+       |      ELSE CAST(1 AS DOUBLE) / d1 END
+       |    + CASE WHEN d2 IS NULL OR d2 = 0 THEN CAST(0 AS DOUBLE)
+       |        ELSE CAST(1 AS DOUBLE) / d2 END)
+       |   + CASE WHEN d3 IS NULL OR d3 = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(1 AS DOUBLE) / d3 END) AS harmonic
+       |FROM piv""".stripMargin
+  }
+
+  /** Harmonic closeness centrality from a seed set (Boldi–Vigna's
+    * harmonic variant — finite under disconnection where classic
+    * closeness is not): BFS distances from 3 seed parts over the
+    * undirected customer↔part purchase graph, h(v) = Σ_s 1/d(s,v)
+    * (self and unreachable contribute 0). The exact-centrality-by-
+    * sampled-sources estimator (Eppstein–Wang): at 100 TB you never
+    * run all-sources BFS — you sample seeds, and each seed costs one
+    * frontier sweep.
+    *
+    * Hash-parity: distances are exact integer BFS levels (q85's
+    * absent-rows-are-infinities discipline, seed carried through the
+    * frontier); the harmonic sum is three correctly-rounded 1/d terms
+    * added in fixed order. Scale shape: per round ONE equi-join of the
+    * cached edge frame against the frontier + a partial-agg min per
+    * (seed, node); `localCheckpoint` keeps the plan O(1) deep; the
+    * pivot is a partial agg over the O(V·seeds) distance frame. */
+  val q239HarmonicCloseness: Q = Q.sql(
+    "q239_harmonic_closeness",
+    closenessOracle,
+    "seed-sampled harmonic closeness over the purchase bipartite graph") {
+    (s, dir) =>
+      val ep = cachedOnce(s, dir, "closeness-edges") {
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") + lit(1000000000000L)).as("c"),
+            (col("l_partkey") + lit(2000000000000L)).as("p"))
+          .distinct()
+      }
+      val edges = ep.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(ep.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = Seq(2000000000001L, 2000000000002L, 2000000000003L)
+      var dists = s.createDataFrame(
+          s.sparkContext.parallelize(seeds.map(x =>
+            org.apache.spark.sql.Row(x, x, 0L))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("seed",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("dist",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        .localCheckpoint()
+      var frontier = dists
+      for (_ <- 1 to ClosenessRounds) {
+        val improved = edges
+          .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("seed"), col("dst").as("id"),
+            (col("dist") + 1L).as("cand"))
+          .groupBy(col("seed"), col("id")).agg(min(col("cand")).as("cand"))
+          .join(dists.withColumnRenamed("dist", "old"), Seq("seed", "id"),
+            "left_outer")
+          .filter(col("old").isNull || col("cand") < col("old"))
+          .select(col("seed"), col("id"), col("cand").as("dist"))
+          .localCheckpoint()
+        frontier = improved
+        dists = dists.unionByName(frontier)
+          .groupBy(col("seed"), col("id")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      def term(d: Column): Column =
+        when(d.isNull || d === 0, lit(0).cast("double"))
+          .otherwise(lit(1).cast("double") / d)
+      dists.groupBy(col("id"))
+        .agg(
+          min(when(col("seed") === seeds(0), col("dist"))).as("d1"),
+          min(when(col("seed") === seeds(1), col("dist"))).as("d2"),
+          min(when(col("seed") === seeds(2), col("dist"))).as("d3"))
+        .select(col("id").cast("long").as("node_id"),
+          col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
+          col("d3").cast("long").as("d3"),
+          ((term(col("d1")) + term(col("d2"))) + term(col("d3")))
+            .as("harmonic"))
+  }
+
   // ---------------------------------------------------------------- q231
   /** Degree assortativity (Newman '02) of the customer↔part bipartite
     * graph — do high-degree customers buy high-degree (popular) parts?
@@ -782,5 +907,5 @@ object Graphs {
 
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
     q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff,
-    q186WlRefinement, q209Hits, q231Assortativity)
+    q186WlRefinement, q209Hits, q231Assortativity, q239HarmonicCloseness)
 }
