@@ -4608,6 +4608,126 @@ object Relational {
       tPred.unionByName(uPred)
   }
 
+  // ---------------------------------------------------------------- q240
+  /** Naive Bayes classifier, trained AND evaluated exactly — the
+    * count-based baseline classifier every labeling pipeline starts
+    * from (and the q217 label-noise audit's natural companion):
+    * predict purchase-vs-click from two categorical features (daypart
+    * = hour div 4, value bin = q218's milli-score decile), Laplace +1
+    * smoothing, 80/20 md5 split (q221's discipline).
+    *
+    * The decision P(pos)·Π P(f|pos) vs P(neg)·Π P(f|neg) never touches
+    * a float: cross-multiplying the smoothed likelihood fractions gives
+    * one exact product comparison per cell — Spark DECIMAL(38,0) ≡
+    * DuckDB HUGEINT for the intermediates (5 factors ≤ 1e7 each stay
+    * inside both), ties break to 'click' deterministically. Scale
+    * shape: training is two conditional partial aggs to class- and
+    * feature-bounded frames; the test corpus collapses to the ≤60-cell
+    * (f1, f2) grid in one partial agg; conditionals join back as
+    * broadcasts. At 100 TB the same shapes hold — NB training IS a
+    * partial-agg histogram. */
+  val q240NaiveBayes: Q = Q.sql(
+    "q240_naive_bayes",
+    """WITH u AS (
+      |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 4
+      |      AS f1,
+      |    CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |      / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT) // 100
+      |      AS f2,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |    ('0x' || substr(md5('smp|' || CAST(event_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 100 < 20 AS is_test
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), pri AS (
+      |  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      |  FROM u WHERE NOT is_test
+      |), c1 AS (
+      |  SELECT f1, CAST(SUM(y) AS BIGINT) AS c1p,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c1n
+      |  FROM u WHERE NOT is_test GROUP BY 1
+      |), c2 AS (
+      |  SELECT f2, CAST(SUM(y) AS BIGINT) AS c2p,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c2n
+      |  FROM u WHERE NOT is_test GROUP BY 1
+      |), cells AS (
+      |  SELECT f1, f2, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(y) AS BIGINT) AS pos_actual
+      |  FROM u WHERE is_test GROUP BY 1, 2
+      |), j AS (
+      |  SELECT cells.f1, cells.f2, n_test, pos_actual, n_pos, n_neg,
+      |    COALESCE(c1p, 0) AS c1p, COALESCE(c1n, 0) AS c1n,
+      |    COALESCE(c2p, 0) AS c2p, COALESCE(c2n, 0) AS c2n
+      |  FROM cells
+      |  LEFT JOIN c1 ON c1.f1 = cells.f1
+      |  LEFT JOIN c2 ON c2.f2 = cells.f2
+      |  CROSS JOIN pri
+      |), d AS (
+      |  SELECT f1, f2, n_test, pos_actual,
+      |    CAST(n_pos AS HUGEINT) * (c1p + 1) * (c2p + 1)
+      |      * (n_neg + 6) * (n_neg + 10) AS lp,
+      |    CAST(n_neg AS HUGEINT) * (c1n + 1) * (c2n + 1)
+      |      * (n_pos + 6) * (n_pos + 10) AS ln
+      |  FROM j
+      |)
+      |SELECT CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, n_test,
+      |  pos_actual,
+      |  CASE WHEN lp > ln THEN 'purchase' ELSE 'click' END AS pred,
+      |  CASE WHEN lp > ln THEN pos_actual ELSE n_test - pos_actual END
+      |    AS n_correct
+      |FROM d""".stripMargin,
+    "exact-integer Laplace Naive Bayes: train on 80%, score held-out cells") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(
+          expr("((unix_micros(ts) div 3600000000) % 24) div 4").as("f1"),
+          expr("floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) div 100")
+            .as("f2"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          (graft.ops.Text.baseHash(
+            concat(lit("smp|"), col("event_id").cast("string"))) % 100 < 20)
+            .as("is_test"))
+      val train = u.where(!col("is_test"))
+      val pri = train.agg(sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
+      val c1 = train.groupBy(col("f1"))
+        .agg(sum(col("y")).cast("long").as("c1p"),
+          (count(lit(1)) - sum(col("y"))).cast("long").as("c1n"))
+      val c2 = train.groupBy(col("f2"))
+        .agg(sum(col("y")).cast("long").as("c2p"),
+          (count(lit(1)) - sum(col("y"))).cast("long").as("c2n"))
+      val cells = u.where(col("is_test"))
+        .groupBy(col("f1"), col("f2"))
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(col("y")).cast("long").as("pos_actual"))
+      val j = cells.crossJoin(broadcast(pri))
+        .join(broadcast(c1), Seq("f1"), "left")
+        .join(broadcast(c2), Seq("f2"), "left")
+        .select(col("f1"), col("f2"), col("n_test"), col("pos_actual"),
+          col("n_pos"), col("n_neg"),
+          coalesce(col("c1p"), lit(0L)).as("c1p"),
+          coalesce(col("c1n"), lit(0L)).as("c1n"),
+          coalesce(col("c2p"), lit(0L)).as("c2p"),
+          coalesce(col("c2n"), lit(0L)).as("c2n"))
+      def big(c: Column): Column = c.cast("decimal(38,0)")
+      val d = j.select(col("f1"), col("f2"), col("n_test"),
+        col("pos_actual"),
+        (big(col("n_pos")) * big(col("c1p") + 1) * big(col("c2p") + 1) *
+          big(col("n_neg") + 6) * big(col("n_neg") + 10)).as("lp"),
+        (big(col("n_neg")) * big(col("c1n") + 1) * big(col("c2n") + 1) *
+          big(col("n_pos") + 6) * big(col("n_pos") + 10)).as("ln"))
+      d.select(col("f1").cast("long").as("f1"),
+        col("f2").cast("long").as("f2"), col("n_test"), col("pos_actual"),
+        when(col("lp") > col("ln"), "purchase").otherwise("click")
+          .as("pred"),
+        when(col("lp") > col("ln"), col("pos_actual"))
+          .otherwise(col("n_test") - col("pos_actual")).as("n_correct"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4628,5 +4748,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes)
 }
