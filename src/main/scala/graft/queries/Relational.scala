@@ -4728,6 +4728,184 @@ object Relational {
           .otherwise(col("n_test") - col("pos_actual")).as("n_correct"))
   }
 
+  // ---------------------------------------------------------------- q241
+  /** Bootstrap replicas (more replicas narrow the CI estimate's own
+    * noise; 32 keeps the demo frame readable). */
+  val BootstrapReplicas = 32
+
+  /** Poisson(1) pmf quantized to percent thresholds: w=0 below 37,
+    * 1 below 74, 2 below 92, 3 below 98, else 4 (e^-1/k! rounded —
+    * the deterministic stand-in for a Poisson draw). */
+  private def bootWeightSql(b: Int): String =
+    s"""CASE WHEN ('0x' || substr(md5('boot|$b|' ||
+       | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 37 THEN 0
+       | WHEN ('0x' || substr(md5('boot|$b|' ||
+       | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 74 THEN 1
+       | WHEN ('0x' || substr(md5('boot|$b|' ||
+       | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 92 THEN 2
+       | WHEN ('0x' || substr(md5('boot|$b|' ||
+       | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 98 THEN 3
+       | ELSE 4 END""".stripMargin.replace("\n", "")
+
+  private def bootstrapOracle: String = {
+    val reps = (0 until BootstrapReplicas).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS b,
+         |  CAST(SUM(${bootWeightSql(b)}) AS BIGINT) AS n,
+         |  CAST(SUM((${bootWeightSql(b)}) * cents) AS BIGINT) AS sum_cents
+         |FROM u""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL
+       |), r AS (
+       |$reps
+       |)
+       |SELECT b, n, sum_cents,
+       |  (CAST(sum_cents AS DOUBLE) / n) / 100 AS mean_value,
+       |  CAST(ROW_NUMBER() OVER (
+       |    ORDER BY (CAST(sum_cents AS DOUBLE) / n) / 100, b) AS BIGINT)
+       |    AS rnk
+       |FROM r""".stripMargin
+  }
+
+  /** Poisson bootstrap CI (Chamandy et al., Google '12 — "Estimating
+    * uncertainty for massive data streams") for the mean purchase
+    * value: the bootstrap that actually runs at 100 TB. Classic
+    * resampling needs n draws WITH replacement per replica — a global
+    * shuffle per replica; the Poisson trick gives every (row, replica)
+    * an independent Poisson(1) weight, so ALL 32 replicas are 64
+    * conditional integer sums folded in ONE map-side corpus pass,
+    * zero extra shuffles. Weights are deterministic md5 percentiles
+    * quantized to the Poisson(1) pmf, so both engines draw the same
+    * "sample"; replica means are one fixed-order division at emission,
+    * ranked with a replica tiebreak (read the CI off the rank column:
+    * ranks 2 and 31 bracket the central 93.75%). */
+  val q241BootstrapCi: Q = Q.sql(
+    "q241_bootstrap_ci",
+    bootstrapOracle,
+    "32 one-pass Poisson bootstrap replicas of mean purchase value, ranked") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      def w(b: Int): Column = {
+        val h = graft.ops.Text.baseHash(
+          concat(lit(s"boot|$b|"), col("event_id").cast("string"))) % 100
+        when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
+          .when(h < 98, 3L).otherwise(4L)
+      }
+      val aggs = (0 until BootstrapReplicas).flatMap { b =>
+        Seq(sum(w(b)).cast("long").as(s"n_$b"),
+          sum(w(b) * col("cents")).cast("long").as(s"s_$b"))
+      }
+      val one = u.agg(aggs.head, aggs.tail: _*)
+      val stacked = one.select(explode(array(
+        (0 until BootstrapReplicas).map { b =>
+          struct(lit(b.toLong).as("b"), col(s"n_$b").as("n"),
+            col(s"s_$b").as("sum_cents"))
+        }: _*)).as("r"))
+        .select(col("r.b").as("b"), col("r.n").as("n"),
+          col("r.sum_cents").as("sum_cents"))
+      stacked.select(col("b"), col("n"), col("sum_cents"),
+          ((col("sum_cents").cast("double") / col("n")) / 100)
+            .as("mean_value"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("mean_value"), col("b")))
+            .cast("long"))
+  }
+
+  // ---------------------------------------------------------------- q242
+  /** PAV pooling rounds: 10 starting blocks can need at most 9 merges. */
+  val PavRounds = 9
+
+  private def pavOracle: String = {
+    val steps = (1 to PavRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT bid, n, pos,
+         |    LAG(bid) OVER (ORDER BY bid) AS pbid,
+         |    LAG(n) OVER (ORDER BY bid) AS pn,
+         |    LAG(pos) OVER (ORDER BY bid) AS ppos
+         |  FROM blk${r - 1}
+         |), m$r AS (
+         |  SELECT CASE WHEN pbid IS NOT NULL
+         |      AND CAST(ppos AS HUGEINT) * n > CAST(pos AS HUGEINT) * pn
+         |    THEN pbid ELSE bid END AS bid, n, pos
+         |  FROM p$r
+         |), blk$r AS (
+         |  SELECT bid, CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS pos
+         |  FROM m$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS (
+       |  SELECT CAST(floor(value * 100) AS BIGINT) AS vc,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+       |), blk0 AS (
+       |  SELECT CAST(floor(1000 * vc / (vc + 5000)) AS BIGINT) // 100
+       |      AS bid,
+       |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+       |  FROM u GROUP BY 1
+       |),
+       |$steps
+       |SELECT bid AS block, n, pos,
+       |  CAST(pos AS DOUBLE) / n AS iso_rate
+       |FROM blk$PavRounds""".stripMargin
+  }
+
+  /** Isotonic calibration by pool-adjacent-violators (Zadrozny–Elkan
+    * '02 / sklearn `IsotonicRegression`) over q218's reliability
+    * deciles — q218 MEASURES miscalibration, this FITS the monotone
+    * repair every scoring pipeline applies before thresholding. Each
+    * PAV round pools every adjacent block pair whose rate decreases
+    * (the violation test is an exact integer cross-multiplication —
+    * HUGEINT ≡ DECIMAL(38,0), no rate doubles until emission); 9
+    * unrolled rounds are the worst case for 10 blocks, and any pooled
+    * pair is provably in the optimum's level set, so simultaneous
+    * pooling converges to the unique isotonic fit.
+    *
+    * Scale shape: the corpus collapses to the ≤10-bin histogram in ONE
+    * conditional partial agg; all 9 rounds (lag window + partial-agg
+    * re-group) ride that bounded frame. The oracle unrolls the
+    * identical recurrence. */
+  val q242IsotonicPav: Q = Q.sql(
+    "q242_isotonic_pav",
+    pavOracle,
+    "pool-adjacent-violators isotonic fit of conversion rate over deciles") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("vc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      var blk = u.groupBy(
+          expr("cast(floor(1000 * vc / (vc + 5000)) as bigint) div 100")
+            .as("bid"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("pos"))
+      val wLag = Window.orderBy(col("bid"))
+      def big(c: Column): Column = c.cast("decimal(38,0)")
+      for (_ <- 1 to PavRounds) {
+        val p = blk.select(col("bid"), col("n"), col("pos"),
+          lag(col("bid"), 1).over(wLag).as("pbid"),
+          lag(col("n"), 1).over(wLag).as("pn"),
+          lag(col("pos"), 1).over(wLag).as("ppos"))
+        val m = p.select(
+          when(col("pbid").isNotNull &&
+            big(col("ppos")) * big(col("n")) >
+              big(col("pos")) * big(col("pn")),
+            col("pbid")).otherwise(col("bid")).as("bid"),
+          col("n"), col("pos"))
+        blk = m.groupBy(col("bid"))
+          .agg(sum(col("n")).cast("long").as("n"),
+            sum(col("pos")).cast("long").as("pos"))
+      }
+      blk.select(col("bid").as("block"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n")).as("iso_rate"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4748,5 +4926,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav)
 }
