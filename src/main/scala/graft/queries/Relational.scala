@@ -4906,6 +4906,154 @@ object Relational {
         (col("pos").cast("double") / col("n")).as("iso_rate"))
   }
 
+  // ---------------------------------------------------------------- q243
+  /** k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala '07)
+    * — the privacy-governance gate a training corpus passes before
+    * release: rows whose quasi-identifier combination is shared by
+    * fewer than k individuals are re-identifiable, and cells where the
+    * sensitive attribute doesn't vary leak it even at high k. QI =
+    * (daypart, value decile, user-id bucket), sensitive = event_type;
+    * the report is rows/cells below k ∈ {2, 5, 10} plus cells with
+    * l < 2 distinct sensitive values.
+    *
+    * Scale shape: ONE partial agg collapses the corpus to the QI grid
+    * (count + exact distinct over a 5-value domain); the four audit
+    * rows are conditional sums over that bounded frame with a 1-row
+    * total broadcast; share is one division at emission. */
+  val q243KAnonymity: Q = Q.sql(
+    "q243_k_anonymity",
+    """WITH u AS (
+      |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 4
+      |      AS f1,
+      |    CASE WHEN value IS NULL THEN -1 ELSE
+      |      CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |        / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT)
+      |        // 100 END AS f2,
+      |    user_id % 10 AS ub, event_type
+      |  FROM events
+      |), cells AS (
+      |  SELECT f1, f2, ub, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l
+      |  FROM u GROUP BY 1, 2, 3
+      |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells),
+      |a AS (
+      |  SELECT 'k2' AS metric,
+      |    CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cells_below,
+      |    CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT)
+      |      AS rows_below
+      |  FROM cells
+      |  UNION ALL
+      |  SELECT 'k5',
+      |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |  FROM cells
+      |  UNION ALL
+      |  SELECT 'k10',
+      |    CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |  FROM cells
+      |  UNION ALL
+      |  SELECT 'l2',
+      |    CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN l < 2 THEN n ELSE 0 END) AS BIGINT)
+      |  FROM cells
+      |)
+      |SELECT metric, cells_below, rows_below,
+      |  CAST(rows_below AS DOUBLE) / t AS share_rows
+      |FROM a, tot""".stripMargin,
+    "re-identifiable rows/cells below k anonymity and l=2 diversity") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events").select(
+        expr("((unix_micros(ts) div 3600000000) % 24) div 4").as("f1"),
+        when(col("value").isNull, lit(-1L)).otherwise(
+          expr("cast(floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) as bigint)" +
+            " div 100")).as("f2"),
+        (col("user_id") % 10).as("ub"), col("event_type"))
+      val cells = u.groupBy(col("f1"), col("f2"), col("ub"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("event_type")).cast("long").as("l"))
+      val tot = cells.agg(sum(col("n")).cast("long").as("t"))
+      def row(metric: String, pred: Column): DataFrame =
+        cells.agg(
+          sum(when(pred, 1L).otherwise(0L)).cast("long").as("cells_below"),
+          sum(when(pred, col("n")).otherwise(0L)).cast("long")
+            .as("rows_below"))
+          .select(lit(metric).as("metric"), col("cells_below"),
+            col("rows_below"))
+      val a = row("k2", col("n") < 2)
+        .unionByName(row("k5", col("n") < 5))
+        .unionByName(row("k10", col("n") < 10))
+        .unionByName(row("l2", col("l") < 2))
+      a.crossJoin(broadcast(tot))
+        .select(col("metric"), col("cells_below"), col("rows_below"),
+          (col("rows_below").cast("double") / col("t")).as("share_rows"))
+  }
+
+  // ---------------------------------------------------------------- q244
+  /** Shuffle-partition skew planner — "what happens if I shuffle on
+    * this key": hash user_id into 32 virtual reducers (deterministic
+    * md5, so both engines model the same placement) and report each
+    * reducer's row/key load and load factor (n·32/total; 1.0 =
+    * perfectly balanced), side by side with the 4-way SALTED variant
+    * of the same key. The gap between the two load_factor columns is
+    * the measured case for q45's salting before any job runs.
+    *
+    * Scale shape: both schemes are ONE map-side-combined partial agg
+    * each over (scheme, part) — 64 output rows; the totals broadcast;
+    * the load factor is one fixed-order division at emission. */
+  val q244SkewPlanner: Q = Q.sql(
+    "q244_skew_planner",
+    """WITH u AS (
+      |  SELECT ('0x' || substr(md5('pk|' || CAST(user_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 32 AS p_raw,
+      |    ('0x' || substr(md5('pk|' || CAST(user_id AS VARCHAR) || '#'
+      |      || CAST(event_id % 4 AS VARCHAR)), 1, 15))::BIGINT % 32
+      |      AS p_salt,
+      |    user_id
+      |  FROM events
+      |), r AS (
+      |  SELECT 'raw' AS scheme, p_raw AS part,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+      |  FROM u GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'salted4', p_salt,
+      |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |  FROM u GROUP BY 2
+      |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM u)
+      |SELECT scheme, CAST(part AS BIGINT) AS part, n_rows, n_keys,
+      |  CAST(n_rows * 32 AS DOUBLE) / t AS load_factor
+      |FROM r, tot""".stripMargin,
+    "per-reducer load of a user_id shuffle, raw vs 4-way salted") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events").select(
+        (graft.ops.Text.baseHash(
+          concat(lit("pk|"), col("user_id").cast("string"))) % 32)
+          .as("p_raw"),
+        (graft.ops.Text.baseHash(
+          concat(lit("pk|"), col("user_id").cast("string"), lit("#"),
+            (col("event_id") % 4).cast("string"))) % 32).as("p_salt"),
+        col("user_id"))
+      val raw = u.groupBy(col("p_raw").as("part"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("user_id")).cast("long").as("n_keys"))
+        .select(lit("raw").as("scheme"), col("part"), col("n_rows"),
+          col("n_keys"))
+      val salted = u.groupBy(col("p_salt").as("part"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("user_id")).cast("long").as("n_keys"))
+        .select(lit("salted4").as("scheme"), col("part"), col("n_rows"),
+          col("n_keys"))
+      val tot = u.agg(count(lit(1)).cast("long").as("t"))
+      raw.unionByName(salted).crossJoin(broadcast(tot))
+        .select(col("scheme"), col("part").cast("long").as("part"),
+          col("n_rows"), col("n_keys"),
+          ((col("n_rows") * 32).cast("double") / col("t"))
+            .as("load_factor"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -4926,5 +5074,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner)
 }
