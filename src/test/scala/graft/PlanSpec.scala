@@ -744,4 +744,64 @@ class PlanSpec extends AnyFunSuite {
     assert(filterIdx >= 0 || p.contains(">= 5"), s"df cut missing:\n$p")
     assert(winIdx > 0, s"rank window missing:\n$p")
   }
+
+  test("q235: split histogram is one conditional partial agg, join-free") {
+    val p = plan("q235_split_finding")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bin histogram not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q236: KM folds on the bounded frame; factor list broadcasts") {
+    val p = plan("q236_kaplan_meier")
+    assert(p.contains("BroadcastExchange"),
+      s"ordered factor list not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"KM fell off the broadcast path:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      s"user collapse not map-side combined:\n$p")
+  }
+
+  test("q237: all three zone-map layouts build in one Expand pass") {
+    val p = plan("q237_zonemap_audit")
+    assert(p.contains("Expand"), s"grouping sets not planned as Expand:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounds broadcast fell off:\n$p")
+    assert(p.contains("partial_min"), s"zone maps not map-side combined:\n$p")
+  }
+
+  test("q240: NB conditionals broadcast onto the test grid") {
+    val p = plan("q240_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"),
+      s"feature conditionals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"conditional join shuffled:\n$p")
+  }
+
+  test("q241: all 32 bootstrap replicas fold in one join-free pass") {
+    val p = plan("q241_bootstrap_ci")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_sum"), s"replica sums not map-side:\n$p")
+  }
+
+  test("q242: PAV rounds are join-free aggs over the decile frame") {
+    val p = plan("q242_isotonic_pav")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"decile histogram not map-side combined:\n$p")
+  }
+
+  test("q243: QI grid partial-aggregates; total broadcasts") {
+    val p = plan("q243_k_anonymity")
+    assert(p.contains("partial_count"), s"QI grid not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"total frame fell off the broadcast path:\n$p")
+  }
+
+  test("q244: both skew schemes partial-aggregate; no shuffle join") {
+    val p = plan("q244_skew_planner")
+    assert(p.contains("partial_count"),
+      s"reducer loads not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"total frame fell off the broadcast path:\n$p")
+  }
 }
