@@ -1961,6 +1961,103 @@ object StreamingQ {
       }
   }
 
+  // ---------------------------------------------------------------- q245
+  /** Streaming replica count (8 keeps state at 16 bigints per window;
+    * the batch q241 runs 32 — the shape is identical). */
+  val StreamBootstrapReplicas = 8
+
+  private def streamBootstrapOracle: String = {
+    def w(b: Int): String =
+      s"""CASE WHEN ('0x' || substr(md5('boot|$b|' ||
+         | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 37 THEN 0
+         | WHEN ('0x' || substr(md5('boot|$b|' ||
+         | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 74 THEN 1
+         | WHEN ('0x' || substr(md5('boot|$b|' ||
+         | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 92 THEN 2
+         | WHEN ('0x' || substr(md5('boot|$b|' ||
+         | CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 98 THEN 3
+         | ELSE 4 END""".stripMargin.replace("\n", "")
+    val reps = (0 until StreamBootstrapReplicas).map { b =>
+      s"""SELECT bucket_start, CAST($b AS BIGINT) AS b,
+         |  CAST(SUM(${w(b)}) AS BIGINT) AS n,
+         |  CAST(SUM((${w(b)}) * cents) AS BIGINT) AS sum_cents
+         |FROM p GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL
+       |), p AS (
+       |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+       |    event_id, cents
+       |  FROM f
+       |  WHERE ((epoch_us(ts) // 3600000000) * 3600 + 3600) * 1000000 <=
+       |        (SELECT ((MAX(epoch_us(ts)) // 1000) - 600000) * 1000 FROM f)
+       |), r AS (
+       |$reps
+       |)
+       |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, b, n, sum_cents,
+       |  CASE WHEN n > 0 THEN (CAST(sum_cents AS DOUBLE) / n) / 100 END
+       |    AS mean_value
+       |FROM r""".stripMargin
+  }
+
+  /** Streaming Poisson bootstrap — q241's one-pass uncertainty estimate
+    * running LIVE: per tumbling hour, 8 bootstrap replicas of mean
+    * purchase value folded in watermarked streaming state. The Poisson
+    * trick is what makes a streaming bootstrap possible at all: each
+    * replica is two conditional integer sums per window (state = 16
+    * bigints), merge-order-free across micro-batches, where
+    * resample-with-replacement has no incremental spelling. Replica
+    * spread per closed hour is the live error bar on the dashboard
+    * q80/q232 draw.
+    *
+    * Oracle: closed-form recomputation under q232's ms-truncated
+    * 10-minute watermark cutoff derived from the FILTERED feed; the
+    * per-replica md5 weights are pure functions of event_id, so stream
+    * and oracle draw the identical "sample". Wide-row state is exploded
+    * to (window, replica) rows batch-side after the sink read. */
+  val q245StreamBootstrap: Q = Q.sql(
+    "q245_stream_bootstrap",
+    streamBootstrapOracle,
+    "per-hour streaming Poisson-bootstrap replicas of mean purchase value") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val wide = streamOnce("stream-bootstrap", s, dir) { _ =>
+        def w(b: Int) = {
+          val h = graft.ops.Text.baseHash(
+            concat(lit(s"boot|$b|"), col("event_id").cast("string"))) % 100
+          when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
+            .when(h < 98, 3L).otherwise(4L)
+        }
+        val aggs = (0 until StreamBootstrapReplicas).flatMap { b =>
+          Seq(sum(w(b)).as(s"n_$b"), sum(w(b) * col("cents")).as(s"s_$b"))
+        }
+        StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+          .where(col("event_type") === "purchase" && col("value").isNotNull)
+          .withWatermark("ts", "10 minutes")
+          .select(col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(Seq(unix_timestamp(col("window.start")).as("bucket_start")) ++
+            (0 until StreamBootstrapReplicas).flatMap(b =>
+              Seq(col(s"n_$b").cast("long").as(s"n_$b"),
+                col(s"s_$b").cast("long").as(s"s_$b"))): _*)
+      }
+      wide.select(col("bucket_start"), explode(array(
+          (0 until StreamBootstrapReplicas).map { b =>
+            struct(lit(b.toLong).as("b"), col(s"n_$b").as("n"),
+              col(s"s_$b").as("sum_cents"))
+          }: _*)).as("r"))
+        .select(col("bucket_start").cast("long").as("bucket_start"),
+          col("r.b").as("b"), col("r.n").as("n"),
+          col("r.sum_cents").as("sum_cents"),
+          when(col("r.n") > 0,
+            (col("r.sum_cents").cast("double") / col("r.n")) / 100)
+            .as("mean_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -1971,5 +2068,5 @@ object StreamingQ {
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
-    q232StreamCalibration)
+    q232StreamCalibration, q245StreamBootstrap)
 }
