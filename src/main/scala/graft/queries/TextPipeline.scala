@@ -3455,6 +3455,120 @@ object TextPipeline {
             .as("unseen_mass"))
   }
 
+  // ---------------------------------------------------------------- q246
+  /** TextRank iterations (3 reach a stable top-10 on the fixture; the
+    * oracle unrolls the identical integer recurrence). */
+  val TextRankIters = 3
+
+  private def textRankOracle: String = {
+    val steps = (1 to TextRankIters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.lang, v.word,
+         |    CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT)
+         |      AS rank
+         |  FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.lang, e.dst AS word, SUM((r.rank * e.w) // o.ow) AS s
+         |    FROM e
+         |    JOIN outw o ON o.lang = e.lang AND o.src = e.src
+         |    JOIN r${k - 1} r ON r.lang = e.lang AND r.word = e.src
+         |    GROUP BY 1, 2) c ON c.lang = v.lang AND c.word = v.word)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang,
+       |    list_extract(toks, CAST(i AS INT)) AS w1,
+       |    list_extract(toks, CAST(i AS INT) + 1) AS w2
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+       |  WHERE len(toks) >= 2
+       |), ew AS (
+       |  SELECT lang, w1 AS src, w2 AS dst FROM g WHERE w1 <> w2
+       |  UNION ALL
+       |  SELECT lang, w2, w1 FROM g WHERE w1 <> w2
+       |), e AS (
+       |  SELECT lang, src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM ew GROUP BY 1, 2, 3
+       |), outw AS (
+       |  SELECT lang, src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1, 2
+       |), verts AS (
+       |  SELECT DISTINCT lang, src AS word FROM e
+       |), r0 AS (
+       |  SELECT lang, word, CAST(1000000 AS BIGINT) AS rank FROM verts
+       |),
+       |$steps
+       |SELECT lang, word, rank AS rank_micro, CAST(rn AS BIGINT) AS rnk
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY rank DESC, word) AS rn FROM r$TextRankIters)
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** TextRank keyword extraction (Mihalcea–Tarau '04) — per-language
+    * top-10 keywords by PageRank over the word co-occurrence graph
+    * (adjacent-token edges, symmetrized, co-occurrence-count weighted).
+    * The unsupervised keyword/keyphrase primitive between raw token
+    * stats (q20/q141) and embeddings — what a corpus browser shows per
+    * slice, with zero training.
+    *
+    * q78's integer discipline, extended to WEIGHTED edges: the vote
+    * share is (rank·w) // out_weight, all bigint, so three unrolled
+    * rounds are a pure integer recurrence both engines execute
+    * identically. Scale shape: bigram edges partial-aggregate to the
+    * vocabulary-bounded (lang, src, dst) frame; each round is ONE
+    * equi-join against the O(vocab) rank frame + a partial-agg sum —
+    * the corpus is touched once, at edge build. */
+  val q246TextRank: Q = Q.sql(
+    "q246_textrank",
+    textRankOracle,
+    "per-language TextRank top-10 keywords over the co-occurrence graph") {
+    (s, dir) =>
+      val t = docs(s, dir).select(col("lang"),
+        Text.tokens(col("text")).as("toks"))
+      val pairsCol = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val g = t.select(col("lang"), explode(pairsCol).as("p"))
+        .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val ew = g.select(col("lang"), col("w1").as("src"), col("w2").as("dst"))
+        .unionByName(
+          g.select(col("lang"), col("w2").as("src"), col("w1").as("dst")))
+      val e = graft.SessionCache.once(s, s"textrank#$dir#edges") {
+        ew.groupBy(col("lang"), col("src"), col("dst"))
+          .agg(count(lit(1)).cast("long").as("w")).cache()
+      }
+      val outw = e.groupBy(col("lang"), col("src"))
+        .agg(sum(col("w")).cast("long").as("ow"))
+      val verts = e.select(col("lang"), col("src").as("word")).distinct()
+        .localCheckpoint()
+      var rank = verts.select(col("lang"), col("word"),
+        lit(1000000L).as("rank"))
+      for (_ <- 1 to TextRankIters) {
+        val contrib = e
+          .join(outw, Seq("lang", "src"))
+          .join(rank.withColumnRenamed("word", "src"), Seq("lang", "src"))
+          .select(col("lang"), col("dst").as("word"),
+            expr("(rank * w) div ow").as("share"))
+          .groupBy(col("lang"), col("word"))
+          .agg(sum(col("share")).as("s"))
+        rank = verts.join(contrib, Seq("lang", "word"), "left_outer")
+          .select(col("lang"), col("word"),
+            (lit(150000L) + expr("(850000 * coalesce(s, 0)) div 1000000"))
+              .cast("long").as("rank"))
+          .localCheckpoint()
+      }
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("rank").desc, col("word"))
+      rank.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("word"), col("rank").as("rank_micro"),
+          col("rn").cast("long").as("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3470,5 +3584,5 @@ object TextPipeline {
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
-    q221BigramLmEval, q224RendezvousShards, q228GoodTuring)
+    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank)
 }
