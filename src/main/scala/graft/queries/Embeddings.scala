@@ -1849,11 +1849,89 @@ object Embeddings {
         col("cand").as("picked"), col("score"))
   }
 
+  // ---------------------------------------------------------------- q247
+  /** Embedding centroid drift — the "did my embedding distribution move
+    * between corpus snapshots" monitor (the embedding-space sibling of
+    * q163/q215's tabular drift tests, and the gate an ANN index rebuild
+    * hangs on): per label, the cosine between the centroid of snapshot
+    * half A (even vec_id) and half B (odd). The float-sum trap is
+    * dodged twice: elements quantize to exact ints (q158's ×128 grid),
+    * and the cosine is computed on the INTEGER SUM vectors directly —
+    * cosine is scale-invariant, so cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb)
+    * with no division before the final expression. Dot and norms
+    * accumulate in HUGEINT ≡ DECIMAL(38,0) (order-independent), the
+    * emitted cosine is one fixed-parenthesization double tree.
+    *
+    * Scale shape: ONE posexplode pass partial-aggregates to the
+    * (label × 64 dim) frame; everything after rides that bounded
+    * frame. */
+  val q247CentroidDrift: Q = Q.sql(
+    "q247_centroid_drift",
+    """WITH q AS (
+      |  SELECT vec_id, label, vec_id % 2 = 0 AS half_a,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT)
+      |      for x in embedding] AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, half_a, i AS dim, qv[i] AS qi
+      |  FROM q, UNNEST(range(1, 65)) r(i)
+      |), s AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CASE WHEN half_a THEN qi ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN half_a THEN 0 ELSE qi END) AS BIGINT) AS sb
+      |  FROM e GROUP BY 1, 2
+      |), d AS (
+      |  SELECT label,
+      |    SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+      |    SUM(CAST(sa AS HUGEINT) * sa) AS na2,
+      |    SUM(CAST(sb AS HUGEINT) * sb) AS nb2
+      |  FROM s GROUP BY 1
+      |), n AS (
+      |  SELECT label,
+      |    CAST(SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN half_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT CAST(d.label AS BIGINT) AS label, n_a, n_b,
+      |  CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+      |    AS centroid_cosine
+      |FROM d JOIN n ON n.label = d.label""".stripMargin,
+    "per-label cosine between snapshot-half centroids, exact integer core") {
+    (s, dir) =>
+      val q = emb(s, dir).select(col("vec_id"), col("label"),
+        (col("vec_id") % 2 === 0).as("half_a"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 128).cast("long")).as("qv"))
+      val e = q.select(col("label"), col("half_a"),
+        posexplode(col("qv")).as(Seq("dim0", "qi")))
+      val sFrame = e.groupBy(col("label"), col("dim0"))
+        .agg(sum(when(col("half_a"), col("qi")).otherwise(0L)).cast("long")
+          .as("sa"),
+          sum(when(col("half_a"), 0L).otherwise(col("qi"))).cast("long")
+            .as("sb"))
+      def big(c: Column): Column = c.cast("decimal(38,0)")
+      val d = sFrame.groupBy(col("label"))
+        .agg(sum(big(col("sa")) * big(col("sb"))).as("dot"),
+          sum(big(col("sa")) * big(col("sa"))).as("na2"),
+          sum(big(col("sb")) * big(col("sb"))).as("nb2"))
+      val n = q.groupBy(col("label"))
+        .agg(sum(when(col("half_a"), 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+          sum(when(col("half_a"), 0L).otherwise(1L)).cast("long").as("n_b"))
+      d.join(n, Seq("label"))
+        .select(col("label").cast("long").as("label"), col("n_a"),
+          col("n_b"),
+          (col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double")))).as("centroid_cosine"))
+  }
+
   val all: Seq[Q] =
     Seq(q30CosineTopK, q31BucketedAnn, q32EmbeddingNearDup, q33HyperplaneLsh,
       q35LabelCentroids, q92QuantizedAnn, q95AnnRecall, q95bIvfRecall,
       q104DedupRetrieval, q111SemanticDedup, q122PqAdcTopK, q125Ivfadc,
       q148GramMatrix, q155RankFusion, q158Standardize, q172MatryoshkaRecall,
       q194LinkPrediction, q211NnDescent, q217LabelNoise, q222JlProjection,
-      q223JlRecall, q238MmrRerank)
+      q223JlRecall, q238MmrRerank, q247CentroidDrift)
 }
