@@ -5054,6 +5054,87 @@ object Relational {
             .as("load_factor"))
   }
 
+  // ---------------------------------------------------------------- q248
+  /** A-priori frequent 3-itemsets (Agrawal–Srikant '94) over brand
+    * baskets — the association-mining step above q177's pairs: which
+    * brand TRIPLES co-occur in an order beyond chance. The Spark side
+    * runs the real distributed A-priori shape: L2 (pair support ≥ 340)
+    * computed first, candidate triples generated by the L2⋈L2
+    * prefix-join + the third-pair membership check (downward closure),
+    * broadcast, and the per-basket triple enumeration SEMI-JOINS that
+    * candidate list BEFORE the count — the prune-before-count that
+    * makes A-priori feasible when the candidate space is huge. The
+    * oracle counts all basket triples and prunes after — same output,
+    * the lazy spelling only an oracle can afford.
+    *
+    * Scale shape: baskets are the distinct (order, brand) frame (one
+    * equi-join + partial-agg distinct); enumeration fan-out is bounded
+    * by basket size (≤11 brands → ≤165 triples/order), every join is
+    * keyed on the order; candidates are a bounded broadcast. All
+    * supports exact bigints. */
+  val q248AprioriTriples: Q = Q.sql(
+    "q248_apriori_triples",
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |), l2 AS (
+      |  SELECT a.it AS x, c.it AS y, CAST(COUNT(*) AS BIGINT) AS sup
+      |  FROM b a JOIN b c ON a.o = c.o AND a.it < c.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 340
+      |), t AS (
+      |  SELECT a.it AS x, c.it AS y, d.it AS z,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM b a
+      |  JOIN b c ON a.o = c.o AND a.it < c.it
+      |  JOIN b d ON a.o = d.o AND c.it < d.it
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT x AS item1, y AS item2, z AS item3, support
+      |FROM t
+      |WHERE support >= 60
+      |  AND EXISTS (SELECT 1 FROM l2 WHERE l2.x = t.x AND l2.y = t.y)
+      |  AND EXISTS (SELECT 1 FROM l2 WHERE l2.x = t.x AND l2.y = t.z)
+      |  AND EXISTS (SELECT 1 FROM l2 WHERE l2.x = t.y AND l2.y = t.z)"""
+      .stripMargin,
+    "frequent brand triples via L2-pruned candidate generation") {
+    (s, dir) =>
+      val b = graft.SessionCache.once(s, s"relational#$dir#apriori-baskets") {
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey"))
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("o"), col("p_brand").as("it"))
+          .distinct()
+          .cache()
+      }
+      val l2 = b.select(col("o"), col("it").as("x"))
+        .join(b.select(col("o"), col("it").as("y")), Seq("o"))
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).cast("long").as("sup"))
+        .filter(col("sup") >= 340)
+      // downward closure: a triple is a candidate iff all three of its
+      // pairs are frequent — L2 prefix-join + third-pair semi-join
+      val c3 = l2.select(col("x"), col("y"))
+        .join(l2.select(col("x"), col("y").as("z")), Seq("x"))
+        .filter(col("y") < col("z"))
+        .join(l2.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"),
+          "left_semi")
+        .select(col("x"), col("y"), col("z"))
+      val triples = b.select(col("o"), col("it").as("x"))
+        .join(b.select(col("o"), col("it").as("y")), Seq("o"))
+        .filter(col("x") < col("y"))
+        .join(b.select(col("o"), col("it").as("z")), Seq("o"))
+        .filter(col("y") < col("z"))
+        .join(broadcast(c3), Seq("x", "y", "z"), "left_semi")
+        .groupBy(col("x"), col("y"), col("z"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .filter(col("support") >= 60)
+      triples.select(col("x").as("item1"), col("y").as("item2"),
+        col("z").as("item3"), col("support"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5074,5 +5155,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples)
 }
