@@ -797,6 +797,29 @@ class PlanSpec extends AnyFunSuite {
       s"total frame fell off the broadcast path:\n$p")
   }
 
+  test("q246: TextRank top-10 prunes via WindowGroupLimit") {
+    // per-round plans are opaque behind localCheckpoint (q85's design);
+    // the visible stage is the per-lang top-10, which must group-limit
+    val p = plan("q246_textrank")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"keyword top-k not pushed into the window:\n$p")
+  }
+
+  test("q247: centroid drift is one posexplode partial-agg pass") {
+    val p = plan("q247_centroid_drift")
+    assert(p.contains("partial_sum"), s"dim sums not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"label join fell off the broadcast path:\n$p")
+  }
+
+  test("q248: candidate triples broadcast-semi-join before the count") {
+    val p = plan("q248_apriori_triples")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate prune not a broadcast semi-join:\n$p")
+    assert(p.contains("partial_count"), s"support count not map-side:\n$p")
+  }
+
   test("q244: both skew schemes partial-aggregate; no shuffle join") {
     val p = plan("q244_skew_planner")
     assert(p.contains("partial_count"),
