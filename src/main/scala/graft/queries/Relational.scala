@@ -5077,10 +5077,14 @@ object Relational {
     """WITH b AS (
       |  SELECT DISTINCT l_orderkey AS o, p_brand AS it
       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |), nb AS (
+      |  SELECT (23 * COUNT(DISTINCT o)) // 1000 AS s2,
+      |    (4 * COUNT(DISTINCT o)) // 1000 AS s3
+      |  FROM b
       |), l2 AS (
       |  SELECT a.it AS x, c.it AS y, CAST(COUNT(*) AS BIGINT) AS sup
       |  FROM b a JOIN b c ON a.o = c.o AND a.it < c.it
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 340
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT s2 FROM nb)
       |), t AS (
       |  SELECT a.it AS x, c.it AS y, d.it AS z,
       |    CAST(COUNT(*) AS BIGINT) AS support
@@ -5091,7 +5095,7 @@ object Relational {
       |)
       |SELECT x AS item1, y AS item2, z AS item3, support
       |FROM t
-      |WHERE support >= 60
+      |WHERE support >= (SELECT s3 FROM nb)
       |  AND EXISTS (SELECT 1 FROM l2 WHERE l2.x = t.x AND l2.y = t.y)
       |  AND EXISTS (SELECT 1 FROM l2 WHERE l2.x = t.x AND l2.y = t.z)
       |  AND EXISTS (SELECT 1 FROM l2 WHERE l2.x = t.y AND l2.y = t.z)"""
@@ -5108,12 +5112,20 @@ object Relational {
           .distinct()
           .cache()
       }
+      // scale-relative min supports (2.3% / 0.4% of basket count), so
+      // the prune stays selective at ANY corpus size — an absolute
+      // count would stop cutting on a 10x blow-up and return nothing
+      // on a 10x shrink
+      val nb = b.agg(
+        expr("(23 * count(distinct o)) div 1000").as("s2"),
+        expr("(4 * count(distinct o)) div 1000").as("s3"))
       val l2 = b.select(col("o"), col("it").as("x"))
         .join(b.select(col("o"), col("it").as("y")), Seq("o"))
         .filter(col("x") < col("y"))
         .groupBy(col("x"), col("y"))
         .agg(count(lit(1)).cast("long").as("sup"))
-        .filter(col("sup") >= 340)
+        .crossJoin(broadcast(nb))
+        .filter(col("sup") >= col("s2"))
       // downward closure: a triple is a candidate iff all three of its
       // pairs are frequent — L2 prefix-join + third-pair semi-join
       val c3 = l2.select(col("x"), col("y"))
@@ -5130,7 +5142,8 @@ object Relational {
         .join(broadcast(c3), Seq("x", "y", "z"), "left_semi")
         .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).cast("long").as("support"))
-        .filter(col("support") >= 60)
+        .crossJoin(broadcast(nb))
+        .filter(col("support") >= col("s3"))
       triples.select(col("x").as("item1"), col("y").as("item2"),
         col("z").as("item3"), col("support"))
   }
