@@ -30,7 +30,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("the registry is large enough that a family went missing if it shrinks") {
-    assert(Registry.all.size >= 146, s"registry shrank to ${Registry.all.size}")
+    assert(Registry.all.size >= 235, s"registry shrank to ${Registry.all.size}")
   }
 
   test("no orphan queries: every qNNN_ name literal in queries/*.scala is registered") {
