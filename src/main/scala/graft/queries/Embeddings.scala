@@ -1736,7 +1736,7 @@ object Embeddings {
 
   private def mmrOracle: String = {
     val steps = (2 to MmrRounds + 1).map { k =>
-      s"""sc$k AS (
+      s"""sc$k AS MATERIALIZED (
          |  SELECT c.probe, c.cand, (c.simq - MAX(p.sim)) / 2 AS score
          |  FROM cand c
          |  JOIN pairs p ON p.probe = c.probe AND p.ca = c.cand
@@ -1744,30 +1744,30 @@ object Embeddings {
          |  WHERE NOT EXISTS (SELECT 1 FROM selall${k - 1} x
          |    WHERE x.probe = c.probe AND x.cand = c.cand)
          |  GROUP BY c.probe, c.cand, c.simq
-         |), pick$k AS (
+         |), pick$k AS MATERIALIZED (
          |  SELECT probe, cand, score, CAST($k AS BIGINT) AS mmr_rank
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
          |    ORDER BY score DESC, cand) AS rn FROM sc$k) WHERE rn = 1
-         |), selall$k AS (
+         |), selall$k AS MATERIALIZED (
          |  SELECT * FROM selall${k - 1} UNION ALL SELECT * FROM pick$k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH qs AS (
+    s"""WITH qs AS MATERIALIZED (
        |  SELECT vec_id AS probe, embedding AS qe FROM embeddings
        |  WHERE vec_id < 4
-       |), c0 AS (
+       |), c0 AS MATERIALIZED (
        |  SELECT probe, vec_id AS cand, embedding AS ce,
        |    ${duckCos("qe", "embedding")} AS simq
        |  FROM qs, embeddings WHERE vec_id <> probe
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT probe, cand, ce, simq
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
        |    ORDER BY simq DESC, cand) AS rn FROM c0) WHERE rn <= 12
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.probe, a.cand AS ca, b.cand AS cb,
        |    ${duckCos("a.ce", "b.ce")} AS sim
        |  FROM cand a JOIN cand b ON a.probe = b.probe AND a.cand <> b.cand
-       |), selall1 AS (
+       |), selall1 AS MATERIALIZED (
        |  SELECT probe, cand, simq AS score, CAST(1 AS BIGINT) AS mmr_rank
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
        |    ORDER BY simq DESC, cand) AS rn FROM cand) WHERE rn = 1

@@ -714,7 +714,7 @@ object Graphs {
 
   private def closenessOracle: String = {
     val steps = (1 to ClosenessRounds).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT seed, id, MIN(dist) AS dist FROM (
          |    SELECT seed, id, dist FROM r${k - 1}
          |    UNION ALL
@@ -722,11 +722,11 @@ object Graphs {
          |    FROM edges e JOIN r${k - 1} r ON r.id = e.src
          |  ) u GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ep AS (
+    s"""WITH ep AS MATERIALIZED (
        |  SELECT DISTINCT 1000000000000 + o.o_custkey AS c,
        |    2000000000000 + l.l_partkey AS p
        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT c AS src, p AS dst FROM ep
        |  UNION ALL
        |  SELECT p AS src, c AS dst FROM ep

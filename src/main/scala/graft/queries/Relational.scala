@@ -4424,7 +4424,7 @@ object Relational {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |      AS k
       |  FROM h
-      |), f AS (
+      |), f AS MATERIALIZED (
       |  SELECT t, d, c, n_risk, k,
       |    CAST(n_risk - d AS DOUBLE) / n_risk AS factor
       |  FROM r
@@ -4512,7 +4512,7 @@ object Relational {
       |      + 8 * ((ub // 2) % 2) + 16 * ((tb // 4) % 2)
       |      + 32 * ((ub // 4) % 2) AS f_z
       |  FROM e
-      |), zm AS (
+      |), zm AS MATERIALIZED (
       |  SELECT f_time, f_user, f_z,
       |    CASE WHEN GROUPING(f_user) = 0 THEN 'user'
       |         WHEN GROUPING(f_z) = 0 THEN 'zorder' ELSE 'time' END
@@ -4628,7 +4628,7 @@ object Relational {
     * partial-agg histogram. */
   val q240NaiveBayes: Q = Q.sql(
     "q240_naive_bayes",
-    """WITH u AS (
+    """WITH u AS MATERIALIZED (
       |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 4
       |      AS f1,
       |    CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
@@ -4754,7 +4754,7 @@ object Relational {
          |  CAST(SUM((${bootWeightSql(b)}) * cents) AS BIGINT) AS sum_cents
          |FROM u""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH u AS (
+    s"""WITH u AS MATERIALIZED (
        |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
        |  FROM events
        |  WHERE event_type = 'purchase' AND value IS NOT NULL
@@ -4931,7 +4931,7 @@ object Relational {
       |        // 100 END AS f2,
       |    user_id % 10 AS ub, event_type
       |  FROM events
-      |), cells AS (
+      |), cells AS MATERIALIZED (
       |  SELECT f1, f2, ub, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l
       |  FROM u GROUP BY 1, 2, 3
@@ -5005,7 +5005,7 @@ object Relational {
     * the load factor is one fixed-order division at emission. */
   val q244SkewPlanner: Q = Q.sql(
     "q244_skew_planner",
-    """WITH u AS (
+    """WITH u AS MATERIALIZED (
       |  SELECT ('0x' || substr(md5('pk|' || CAST(user_id AS VARCHAR)),
       |      1, 15))::BIGINT % 32 AS p_raw,
       |    ('0x' || substr(md5('pk|' || CAST(user_id AS VARCHAR) || '#'
@@ -5074,14 +5074,14 @@ object Relational {
     * supports exact bigints. */
   val q248AprioriTriples: Q = Q.sql(
     "q248_apriori_triples",
-    """WITH b AS (
+    """WITH b AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS o, p_brand AS it
       |  FROM lineitem JOIN part ON p_partkey = l_partkey
       |), nb AS (
       |  SELECT (23 * COUNT(DISTINCT o)) // 1000 AS s2,
       |    (4 * COUNT(DISTINCT o)) // 1000 AS s3
       |  FROM b
-      |), l2 AS (
+      |), l2 AS MATERIALIZED (
       |  SELECT a.it AS x, c.it AS y, CAST(COUNT(*) AS BIGINT) AS sup
       |  FROM b a JOIN b c ON a.o = c.o AND a.it < c.it
       |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT s2 FROM nb)

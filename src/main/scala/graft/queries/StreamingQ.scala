@@ -1987,7 +1987,7 @@ object StreamingQ {
        |  SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
        |  FROM events
        |  WHERE event_type = 'purchase' AND value IS NOT NULL
-       |), p AS (
+       |), p AS MATERIALIZED (
        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
        |    event_id, cents
        |  FROM f

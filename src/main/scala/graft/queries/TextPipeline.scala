@@ -3462,7 +3462,7 @@ object TextPipeline {
 
   private def textRankOracle: String = {
     val steps = (1 to TextRankIters).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT v.lang, v.word,
          |    CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT)
          |      AS rank
@@ -3488,12 +3488,12 @@ object TextPipeline {
        |  SELECT lang, w1 AS src, w2 AS dst FROM g WHERE w1 <> w2
        |  UNION ALL
        |  SELECT lang, w2, w1 FROM g WHERE w1 <> w2
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT lang, src, dst, CAST(COUNT(*) AS BIGINT) AS w
        |  FROM ew GROUP BY 1, 2, 3
-       |), outw AS (
+       |), outw AS MATERIALIZED (
        |  SELECT lang, src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1, 2
-       |), verts AS (
+       |), verts AS MATERIALIZED (
        |  SELECT DISTINCT lang, src AS word FROM e
        |), r0 AS (
        |  SELECT lang, word, CAST(1000000 AS BIGINT) AS rank FROM verts
