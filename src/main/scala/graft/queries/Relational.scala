@@ -5148,6 +5148,70 @@ object Relational {
         col("z").as("item3"), col("support"))
   }
 
+  // ---------------------------------------------------------------- q249
+  /** Sequential pattern mining with gaps (the PrefixSpan/GSP question:
+    * how many users exhibit type-a THEN type-b THEN type-c, other
+    * events allowed between) — the memoryful ordering signal q193's
+    * CONSECUTIVE trigrams and q169's memoryless transitions both miss.
+    * Subsequence containment is decided by the greedy earliest-
+    * occurrence chain (provably equivalent: if any witness exists, the
+    * earliest-first one does): e1 = first a, e2 = first b after e1,
+    * e3 = first c after e2; support = users where e3 exists, over all
+    * 125 ordered type triples.
+    *
+    * Scale shape: the corpus collapses to (user, type) firsts in one
+    * partial agg; the chain steps are two keyed joins of the corpus
+    * against per-user bounded frames (fan-out ≤ types then types² per
+    * event — the bounded-alphabet price, paid in map-side width, never
+    * in shuffle count), each followed by a partial-agg min. All
+    * integer; share is one division at emission. */
+  val q249SeqPatterns: Q = Q.sql(
+    "q249_seq_patterns",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id AS u, event_type AS t,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+      |  FROM events
+      |), e1 AS MATERIALIZED (
+      |  SELECT u, t AS a, MIN(tu) AS t1 FROM ev GROUP BY 1, 2
+      |), e2 AS MATERIALIZED (
+      |  SELECT ev.u, e1.a, ev.t AS b, MIN(ev.tu) AS t2
+      |  FROM ev JOIN e1 ON e1.u = ev.u AND ev.tu > e1.t1
+      |  GROUP BY 1, 2, 3
+      |), e3 AS MATERIALIZED (
+      |  SELECT ev.u, e2.a, e2.b, ev.t AS c, MIN(ev.tu) AS t3
+      |  FROM ev JOIN e2 ON e2.u = ev.u AND ev.tu > e2.t2
+      |  GROUP BY 1, 2, 3, 4
+      |), nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+      |          FROM ev)
+      |SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support, n_users,
+      |  CAST(COUNT(*) AS DOUBLE) / n_users AS share
+      |FROM e3, nu
+      |GROUP BY 1, 2, 3, n_users""".stripMargin,
+    "user support of every ordered type triple with gaps allowed") {
+    (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("t"),
+          unix_micros(col("ts")).as("tu"))
+      val e1 = ev.groupBy(col("u"), col("t").as("a"))
+        .agg(min(col("tu")).as("t1"))
+        .withColumnRenamed("t", "a")
+      val e2 = ev.join(e1, Seq("u"))
+        .filter(col("tu") > col("t1"))
+        .groupBy(col("u"), col("a"), col("t").as("b"))
+        .agg(min(col("tu")).as("t2"))
+      val e3 = ev.join(e2, Seq("u"))
+        .filter(col("tu") > col("t2"))
+        .groupBy(col("u"), col("a"), col("b"), col("t").as("c"))
+        .agg(min(col("tu")).as("t3"))
+      val nu = ev.agg(countDistinct(col("u")).cast("long").as("n_users"))
+      e3.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .crossJoin(broadcast(nu))
+        .select(col("a"), col("b"), col("c"), col("support"),
+          col("n_users"),
+          (col("support").cast("double") / col("n_users")).as("share"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
