@@ -5212,6 +5212,77 @@ object Relational {
           (col("support").cast("double") / col("n_users")).as("share"))
   }
 
+  // ---------------------------------------------------------------- q250
+  /** Item-item collaborative filtering (Sarwar '01 / Amazon's
+    * classic): recommend each customer the top-3 brands they DON'T buy,
+    * scored by summed customer-level co-occurrence with the brands they
+    * DO. The serving-side recommender built from q177/q248's
+    * association counts — similarity is the exact co-occurrence count
+    * (integer, no cosine needed for ranking stability), owned brands
+    * excluded by anti-join, ties broken by brand.
+    *
+    * Scale shape: the item-item matrix is bounded by items² (≤600
+    * rows here) and BROADCAST — the whole point of item-item over
+    * user-user CF at scale; the per-customer pass is one keyed join
+    * against that broadcast + a partial-agg sum + a WindowGroupLimit
+    * top-3. The corpus is touched once to build baskets. */
+  val q250ItemItemCf: Q = Q.sql(
+    "q250_item_item_cf",
+    """WITH b AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS u, p.p_brand AS it
+      |  FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |), cooc AS MATERIALIZED (
+      |  SELECT a.it AS x, c.it AS y, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM b a JOIN b c ON a.u = c.u AND a.it <> c.it
+      |  GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT b.u, cooc.y AS rec, CAST(SUM(cooc.w) AS BIGINT) AS score
+      |  FROM b JOIN cooc ON cooc.x = b.it
+      |  WHERE NOT EXISTS (SELECT 1 FROM b o
+      |                    WHERE o.u = b.u AND o.it = cooc.y)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(u AS BIGINT) AS custkey, rec, score,
+      |  CAST(rn AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+      |        ORDER BY score DESC, rec) AS rn FROM sc)
+      |WHERE rn <= 3""".stripMargin,
+    "top-3 unowned brands per customer by summed item-item co-occurrence") {
+    (s, dir) =>
+      val b = graft.SessionCache.once(s, s"relational#$dir#cf-baskets") {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("u"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("u"), col("p_brand").as("it"))
+          .distinct()
+          .cache()
+      }
+      val cooc = b.select(col("u"), col("it").as("x"))
+        .join(b.select(col("u"), col("it").as("y")), Seq("u"))
+        .filter(col("x") =!= col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      val sc = b.withColumnRenamed("it", "x")
+        .join(broadcast(cooc), Seq("x"))
+        .join(b.select(col("u"), col("it").as("y")), Seq("u", "y"),
+          "left_anti")
+        .groupBy(col("u"), col("y").as("rec"))
+        .agg(sum(col("w")).cast("long").as("score"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("score").desc, col("rec"))
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("u").cast("long").as("custkey"), col("rec"),
+          col("score"), col("rn").cast("long").as("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5232,5 +5303,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf)
 }
