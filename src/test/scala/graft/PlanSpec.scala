@@ -820,6 +820,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"support count not map-side:\n$p")
   }
 
+  test("q249: chain steps are keyed joins with partial-agg mins") {
+    val p = plan("q249_seq_patterns")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert(p.contains("partial_min"), s"chain mins not map-side combined:\n$p")
+  }
+
+  test("q250: item-item matrix broadcasts; top-3 group-limits") {
+    val p = plan("q250_item_item_cf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"co-occurrence matrix not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3 not pushed into the window:\n$p")
+  }
+
   test("q244: both skew schemes partial-aggregate; no shuffle join") {
     val p = plan("q244_skew_planner")
     assert(p.contains("partial_count"),
