@@ -5283,6 +5283,77 @@ object Relational {
           col("score"), col("rn").cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------- q251
+  /** Point-in-time-correct training-example generation — the
+    * feature-store operation every supervised pipeline on event data
+    * needs and the one that silently leaks when done wrong: for every
+    * (user, active day) example, trailing-7-day features computed ONLY
+    * from days ≤ d (a RANGE frame over the daily grid, so a user's
+    * sparse days can't smuggle in out-of-window rows) and a label
+    * drawn strictly from the FUTURE (purchase on day d+1, resolved by
+    * an exact day+1 equi-join, not a next-active-day LEAD — a LEAD
+    * would mislabel users who skip a day). q168/q200 enrich with PIT
+    * state; this EMITS the supervised dataset.
+    *
+    * All features exact integers off ONE user-day partial agg; both
+    * windows ride the same user exchange. */
+  val q251PitExamples: Q = Q.sql(
+    "q251_pit_examples",
+    """WITH d AS MATERIALIZED (
+      |  SELECT user_id AS u,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purch,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS v_cents
+      |  FROM events GROUP BY 1, 2
+      |), f AS (
+      |  SELECT u, day,
+      |    CAST(SUM(n_ev) OVER w AS BIGINT) AS f_events_7d,
+      |    CAST(SUM(n_purch) OVER w AS BIGINT) AS f_purch_7d,
+      |    CAST(SUM(v_cents) OVER w AS BIGINT) AS f_value_7d_cents,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS f_active_days_7d
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY u ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT f.u AS user_id, CAST(f.day AS BIGINT) AS day, f_events_7d,
+      |  f_purch_7d, f_value_7d_cents, f_active_days_7d,
+      |  CAST(CASE WHEN nx.n_purch > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS label
+      |FROM f LEFT JOIN d nx ON nx.u = f.u AND nx.day = f.day + 1"""
+      .stripMargin,
+    "leakage-free supervised examples: trailing-7d features, next-day label") {
+    (s, dir) =>
+      val d = Tables(s, dir, "events")
+        .groupBy(col("user_id").as("u"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long")
+            .as("day"))
+        .agg(count(lit(1)).cast("long").as("n_ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purch"),
+          sum(when(col("event_type") === "purchase" &&
+            col("value").isNotNull,
+            floor(col("value") * 100).cast("long")).otherwise(0L))
+            .cast("long").as("v_cents"))
+      val w = Window.partitionBy(col("u")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      val f = d.select(col("u"), col("day"),
+        sum(col("n_ev")).over(w).cast("long").as("f_events_7d"),
+        sum(col("n_purch")).over(w).cast("long").as("f_purch_7d"),
+        sum(col("v_cents")).over(w).cast("long").as("f_value_7d_cents"),
+        count(lit(1)).over(w).cast("long").as("f_active_days_7d"))
+      val nx = d.select(col("u"), (col("day") - 1).as("day"),
+        col("n_purch").as("nx_purch"))
+      f.join(nx, Seq("u", "day"), "left")
+        .select(col("u").as("user_id"), col("day").cast("long").as("day"),
+          col("f_events_7d"), col("f_purch_7d"), col("f_value_7d_cents"),
+          col("f_active_days_7d"),
+          when(col("nx_purch") > 0, 1L).otherwise(0L).as("label"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5303,5 +5374,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples)
 }
