@@ -2058,6 +2058,79 @@ object StreamingQ {
             .as("mean_value"))
   }
 
+  // ---------------------------------------------------------------- q252
+  /** Streaming distribution-drift alarm — q163's categorical chi-square
+    * running LIVE: per tumbling 6-hour window the event-type counts
+    * fold in watermarked streaming state (exact bigints, merge-order-
+    * free); batch-side the closed windows join the full-feed reference
+    * distribution and each (window, type) cell emits its expected count
+    * and chi-square term. Completes the live-monitoring triad: q232
+    * watches calibration, q145 watches anomalies, this watches the
+    * input distribution itself — the earliest upstream-breakage signal.
+    *
+    * Determinism: observed and reference counts are integers; e =
+    * win_total·ref_t/ref_total and term = (o−e)²/e are fixed-
+    * parenthesization double trees (one division each step). Oracle =
+    * closed-form recomputation under q232's ms-truncated watermark
+    * cutoff. State is O(open windows × 5 types). */
+  val q252StreamDrift: Q = Q.sql(
+    "q252_stream_drift",
+    """WITH ref AS MATERIALIZED (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM events GROUP BY 1
+      |), rt AS (SELECT CAST(SUM(r) AS BIGINT) AS r_tot FROM ref),
+      |w AS MATERIALIZED (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600
+      |      AS bucket_start,
+      |    event_type, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events
+      |  WHERE ((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600
+      |      + 21600) * 1000000 <=
+      |    (SELECT ((MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000)
+      |      - 600000) * 1000 FROM events)
+      |  GROUP BY 1, 2
+      |), wt AS (
+      |  SELECT bucket_start, CAST(SUM(o) AS BIGINT) AS w_tot
+      |  FROM w GROUP BY 1
+      |)
+      |SELECT CAST(w.bucket_start AS BIGINT) AS bucket_start,
+      |  w.event_type, o, w_tot,
+      |  CAST(w_tot AS DOUBLE) * r / r_tot AS expected,
+      |  (CAST(o AS DOUBLE) - CAST(w_tot AS DOUBLE) * r / r_tot)
+      |    * (CAST(o AS DOUBLE) - CAST(w_tot AS DOUBLE) * r / r_tot)
+      |    / (CAST(w_tot AS DOUBLE) * r / r_tot) AS chisq_term
+      |FROM w
+      |JOIN wt ON wt.bucket_start = w.bucket_start
+      |JOIN ref ON ref.event_type = w.event_type
+      |CROSS JOIN rt""".stripMargin,
+    "per-window event-type counts vs the reference: live chi-square terms") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val counts = streamOnce("stream-drift", s, dir) { _ =>
+        StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("o"))
+          .select(unix_timestamp(col("window.start")).as("bucket_start"),
+            col("event_type"), col("o").cast("long").as("o"))
+      }
+      val ref = graft.Tables(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("r"))
+      val rt = ref.agg(sum(col("r")).cast("long").as("r_tot"))
+      val wt = counts.groupBy(col("bucket_start"))
+        .agg(sum(col("o")).cast("long").as("w_tot"))
+      val e = col("w_tot").cast("double") * col("r") / col("r_tot")
+      counts
+        .join(wt, Seq("bucket_start"))
+        .join(broadcast(ref), Seq("event_type"))
+        .crossJoin(broadcast(rt))
+        .select(col("bucket_start").cast("long").as("bucket_start"),
+          col("event_type"), col("o"), col("w_tot"),
+          e.as("expected"),
+          ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+            .as("chisq_term"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -2068,5 +2141,5 @@ object StreamingQ {
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
-    q232StreamCalibration, q245StreamBootstrap)
+    q232StreamCalibration, q245StreamBootstrap, q252StreamDrift)
 }
