@@ -834,6 +834,18 @@ class PlanSpec extends AnyFunSuite {
       s"top-3 not pushed into the window:\n$p")
   }
 
+  test("q251: PIT features ride one user exchange; label join is keyed") {
+    val p = plan("q251_pit_examples")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"daily grid not map-side combined:\n$p")
+    // both windows must partition by the user key, never a global window
+    val winLines =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.forall(_.contains("u#")),
+      s"feature window not user-partitioned:\n$p")
+  }
+
   test("q244: both skew schemes partial-aggregate; no shuffle join") {
     val p = plan("q244_skew_planner")
     assert(p.contains("partial_count"),
