@@ -5354,6 +5354,155 @@ object Relational {
           when(col("nx_purch") > 0, 1L).otherwise(0L).as("label"))
   }
 
+  // ---------------------------------------------------------------- q253
+  /** Inter-labeler agreement (Cohen's kappa) — the labeling-pipeline QA
+    * number beside q217's label-noise audit: before trusting ANY
+    * labeled corpus, measure whether two labelers agree beyond chance.
+    * Labeler A = the q218 milli-score thresholded at 300, labeler B =
+    * a morning-daypart heuristic, ground truth = purchase; the output
+    * is the full 2×2 confusion matrix (exact bigints), observed and
+    * chance agreement, kappa, and each labeler's accuracy — kappa =
+    * (po − pe)/(1 − pe) over exact integer cross products, one
+    * fixed-parenthesization double tree at emission.
+    *
+    * Scale shape: labels are map-side projections; the ENTIRE statistic
+    * folds in ONE conditional partial agg to a single row. */
+  val q253CohenKappa: Q = Q.sql(
+    "q253_cohen_kappa",
+    """WITH u AS (
+      |  SELECT CASE WHEN CAST(floor(1000 * CAST(floor(value * 100)
+      |      AS BIGINT) / (CAST(floor(value * 100) AS BIGINT) + 5000))
+      |      AS BIGINT) >= 300 THEN 1 ELSE 0 END AS la,
+      |    CASE WHEN ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+      |      % 24) < 12 THEN 1 ELSE 0 END AS lb,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(la * lb) AS BIGINT) AS both_pos,
+      |    CAST(SUM(la * (1 - lb)) AS BIGINT) AS a_only,
+      |    CAST(SUM((1 - la) * lb) AS BIGINT) AS b_only,
+      |    CAST(SUM((1 - la) * (1 - lb)) AS BIGINT) AS both_neg,
+      |    CAST(SUM(la) AS BIGINT) AS a_pos,
+      |    CAST(SUM(lb) AS BIGINT) AS b_pos,
+      |    CAST(SUM(CASE WHEN la = y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS a_correct,
+      |    CAST(SUM(CASE WHEN lb = y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS b_correct
+      |  FROM u
+      |)
+      |SELECT n, both_pos, a_only, b_only, both_neg,
+      |  CAST(both_pos + both_neg AS DOUBLE) / n AS po,
+      |  (CAST(a_pos AS DOUBLE) * b_pos
+      |    + CAST(n - a_pos AS DOUBLE) * (n - b_pos))
+      |    / (CAST(n AS DOUBLE) * n) AS pe,
+      |  (CAST(both_pos + both_neg AS DOUBLE) / n
+      |    - (CAST(a_pos AS DOUBLE) * b_pos
+      |      + CAST(n - a_pos AS DOUBLE) * (n - b_pos))
+      |      / (CAST(n AS DOUBLE) * n))
+      |  / (CAST(1 AS DOUBLE)
+      |    - (CAST(a_pos AS DOUBLE) * b_pos
+      |      + CAST(n - a_pos AS DOUBLE) * (n - b_pos))
+      |      / (CAST(n AS DOUBLE) * n)) AS kappa,
+      |  CAST(a_correct AS DOUBLE) / n AS acc_a,
+      |  CAST(b_correct AS DOUBLE) / n AS acc_b
+      |FROM c""".stripMargin,
+    "2x2 labeler confusion, observed/chance agreement, Cohen's kappa") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(
+          when(expr("cast(floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) as bigint)")
+            >= 300, 1L).otherwise(0L).as("la"),
+          when(expr("(unix_micros(ts) div 3600000000) % 24") < 12, 1L)
+            .otherwise(0L).as("lb"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val c = u.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("la") * col("lb")).cast("long").as("both_pos"),
+        sum(col("la") * (lit(1L) - col("lb"))).cast("long").as("a_only"),
+        sum((lit(1L) - col("la")) * col("lb")).cast("long").as("b_only"),
+        sum((lit(1L) - col("la")) * (lit(1L) - col("lb"))).cast("long")
+          .as("both_neg"),
+        sum(col("la")).cast("long").as("a_pos"),
+        sum(col("lb")).cast("long").as("b_pos"),
+        sum(when(col("la") === col("y"), 1L).otherwise(0L)).cast("long")
+          .as("a_correct"),
+        sum(when(col("lb") === col("y"), 1L).otherwise(0L)).cast("long")
+          .as("b_correct"))
+      val po = (col("both_pos") + col("both_neg")).cast("double") / col("n")
+      val pe = (col("a_pos").cast("double") * col("b_pos") +
+        (col("n") - col("a_pos")).cast("double") * (col("n") - col("b_pos"))) /
+        (col("n").cast("double") * col("n"))
+      c.select(col("n"), col("both_pos"), col("a_only"), col("b_only"),
+        col("both_neg"), po.as("po"), pe.as("pe"),
+        ((po - pe) / (lit(1).cast("double") - pe)).as("kappa"),
+        (col("a_correct").cast("double") / col("n")).as("acc_a"),
+        (col("b_correct").cast("double") / col("n")).as("acc_b"))
+  }
+
+  // ---------------------------------------------------------------- q254
+  /** Watermark-lateness audit — the number every `withWatermark` delay
+    * in the streaming family (q80…q252 all pin "10 minutes") should be
+    * CHOSEN from, not guessed: replay the feed in arrival order
+    * (event_id) within each synthetic source partition (user_id % 8,
+    * the Kafka-partition model) and measure each event's lateness
+    * against its partition's running event-time maximum. For candidate
+    * delays {1, 5, 10, 30, 60 min}: how many events a watermark at that
+    * delay would DROP, and the max observed disorder.
+    *
+    * Scale shape: ONE running-max window over 8 source partitions
+    * (parallel, never a global window) + one conditional partial agg
+    * to 5 rows. All integer; share is one division at emission. */
+  val q254LatenessAudit: Q = Q.sql(
+    "q254_lateness_audit",
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tu, event_id,
+      |    user_id % 8 AS sp
+      |  FROM events
+      |), l AS (
+      |  SELECT tu, MAX(tu) OVER (PARTITION BY sp ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tu
+      |    AS late_us
+      |  FROM e
+      |), d AS (
+      |  SELECT CAST(60 AS BIGINT) AS delay_s
+      |  UNION ALL SELECT 300 UNION ALL SELECT 600
+      |  UNION ALL SELECT 1800 UNION ALL SELECT 3600
+      |)
+      |SELECT delay_s,
+      |  CAST(SUM(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS share_dropped,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM l, d
+      |GROUP BY 1""".stripMargin,
+    "events each candidate watermark delay would drop, per source partition") {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(unix_micros(col("ts")).as("tu"), col("event_id"),
+          (col("user_id") % 8).as("sp"))
+      val w = Window.partitionBy(col("sp")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l = e.select(col("tu"),
+        (max(col("tu")).over(w) - col("tu")).as("late_us"))
+      val d = s.range(0, 1).select(explode(array(
+        lit(60L), lit(300L), lit(600L), lit(1800L), lit(3600L)))
+        .as("delay_s"))
+      l.crossJoin(broadcast(d))
+        .groupBy(col("delay_s"))
+        .agg(
+          sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).cast("long").as("n_dropped"),
+          (sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)))
+            .as("share_dropped"),
+          max(col("late_us")).cast("long").as("max_late_us"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5374,5 +5523,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit)
 }
