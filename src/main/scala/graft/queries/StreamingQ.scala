@@ -2022,40 +2022,9 @@ object StreamingQ {
     streamBootstrapOracle,
     "per-hour streaming Poisson-bootstrap replicas of mean purchase value") {
     (s, dir) =>
-      import org.apache.spark.sql.functions._
-      val wide = streamOnce("stream-bootstrap", s, dir) { _ =>
-        def w(b: Int) = {
-          val h = graft.ops.Text.baseHash(
-            concat(lit(s"boot|$b|"), col("event_id").cast("string"))) % 100
-          when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
-            .when(h < 98, 3L).otherwise(4L)
-        }
-        val aggs = (0 until StreamBootstrapReplicas).flatMap { b =>
-          Seq(sum(w(b)).as(s"n_$b"), sum(w(b) * col("cents")).as(s"s_$b"))
-        }
-        StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
-          .where(col("event_type") === "purchase" && col("value").isNotNull)
-          .withWatermark("ts", "10 minutes")
-          .select(col("ts"), col("event_id"),
-            floor(col("value") * 100).cast("long").as("cents"))
-          .groupBy(window(col("ts"), "1 hour"))
-          .agg(aggs.head, aggs.tail: _*)
-          .select(Seq(unix_timestamp(col("window.start")).as("bucket_start")) ++
-            (0 until StreamBootstrapReplicas).flatMap(b =>
-              Seq(col(s"n_$b").cast("long").as(s"n_$b"),
-                col(s"s_$b").cast("long").as(s"s_$b"))): _*)
-      }
-      wide.select(col("bucket_start"), explode(array(
-          (0 until StreamBootstrapReplicas).map { b =>
-            struct(lit(b.toLong).as("b"), col(s"n_$b").as("n"),
-              col(s"s_$b").as("sum_cents"))
-          }: _*)).as("r"))
-        .select(col("bucket_start").cast("long").as("bucket_start"),
-          col("r.b").as("b"), col("r.n").as("n"),
-          col("r.sum_cents").as("sum_cents"),
-          when(col("r.n") > 0,
-            (col("r.sum_cents").cast("double") / col("r.n")) / 100)
-            .as("mean_value"))
+      explodeBootstrap(streamOnce("stream-bootstrap", s, dir) { sess =>
+        bootstrapStreamFrame(sess, dir, glob = "events.parquet")
+      })
   }
 
   // ---------------------------------------------------------------- q252
@@ -2131,6 +2100,67 @@ object StreamingQ {
             .as("chisq_term"))
   }
 
+  // ---------------------------------------------------------------- q255
+  /** q245's streaming frame, parameterized over the scaffold (one-shot
+    * vs two-incarnation) so the restart gate runs the IDENTICAL plan. */
+  private def bootstrapStreamFrame(sess: SparkSession, src: String,
+      glob: String = "*.parquet"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def w(b: Int) = {
+      val h = graft.ops.Text.baseHash(
+        concat(lit(s"boot|$b|"), col("event_id").cast("string"))) % 100
+      when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
+        .when(h < 98, 3L).otherwise(4L)
+    }
+    val aggs = (0 until StreamBootstrapReplicas).flatMap { b =>
+      Seq(sum(w(b)).as(s"n_$b"), sum(w(b) * col("cents")).as(s"s_$b"))
+    }
+    StreamingFeed.eventsStream(sess, src, glob).toDF()
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(unix_timestamp(col("window.start")).as("bucket_start")) ++
+        (0 until StreamBootstrapReplicas).flatMap(b =>
+          Seq(col(s"n_$b").cast("long").as(s"n_$b"),
+            col(s"s_$b").cast("long").as(s"s_$b"))): _*)
+  }
+
+  private def explodeBootstrap(wide: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    wide.select(col("bucket_start"), explode(array(
+        (0 until StreamBootstrapReplicas).map { b =>
+          struct(lit(b.toLong).as("b"), col(s"n_$b").as("n"),
+            col(s"s_$b").as("sum_cents"))
+        }: _*)).as("r"))
+      .select(col("bucket_start").cast("long").as("bucket_start"),
+        col("r.b").as("b"), col("r.n").as("n"),
+        col("r.sum_cents").as("sum_cents"),
+        when(col("r.n") > 0,
+          (col("r.sum_cents").cast("double") / col("r.n")) / 100)
+          .as("mean_value"))
+  }
+
+  /** Checkpoint restart of the streaming-bootstrap state — the NINTH
+    * state shape under the restart matrix (fold, joins, sessions, CMS,
+    * HLL, EWMA buffers, capped-join counters… and now a WIDE windowed
+    * aggregate: 16 independent conditional accumulators per window).
+    * The q245 stream is cut mid-feed by the q117 two-incarnation
+    * scaffold; a recovery bug in ANY of the 16 per-window sums (lost
+    * partial, double-fold on replay, column transposition in the state
+    * row) flips the hash against the UNCHANGED one-shot oracle. */
+  val q255StreamBootstrapRestart: Q = Q.sql(
+    "q255_stream_bootstrap_restart",
+    streamBootstrapOracle,
+    "checkpoint restart mid-feed of the 16-accumulator bootstrap state") {
+    (s, dir) =>
+      explodeBootstrap(
+        streamRestart("bootstrap-restart", s, dir)(
+          (sess, watch) => bootstrapStreamFrame(sess, watch)))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -2141,5 +2171,6 @@ object StreamingQ {
     q167StreamHll, q184StreamHllRestart, q188StreamEwma,
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
-    q232StreamCalibration, q245StreamBootstrap, q252StreamDrift)
+    q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
+    q255StreamBootstrapRestart)
 }
