@@ -1047,8 +1047,21 @@ object Domain {
          |      GROUP BY c.dst, n.lbl)
          |    WHERE rn = 1) p ON p.id = v.id)""".stripMargin
     }.mkString(",\n")
+    lpaCore(steps) +
+      s""",
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM lp$LpaIters GROUP BY 1)
+         |SELECT CAST(l.id AS BIGINT) AS person_id, l.lbl AS community,
+         |       sz.n AS community_size
+         |FROM lp$LpaIters l JOIN sz ON sz.lbl = l.lbl""".stripMargin
+  }
+
+  /** The shared LPA oracle chain (edge build + lp0 + the unrolled
+    * rounds, ending at lp`LpaIters`) — q202 reads the labels off it,
+    * q256 scores them. */
+  private def lpaCore(steps: String): String =
     PRELUDE +
-      s""", co AS (
+      s""", co AS MATERIALIZED (
          |  SELECT a.person_id AS src, b.person_id AS dst,
          |         CAST(COUNT(*) AS BIGINT) AS w
          |  FROM mem a JOIN mem b
@@ -1057,13 +1070,7 @@ object Domain {
          |lp0 AS (
          |  SELECT DISTINCT person_id AS id, CAST(person_id AS BIGINT) AS lbl
          |  FROM mem),
-         |$steps,
-         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n
-         |       FROM lp$LpaIters GROUP BY 1)
-         |SELECT CAST(l.id AS BIGINT) AS person_id, l.lbl AS community,
-         |       sz.n AS community_size
-         |FROM lp$LpaIters l JOIN sz ON sz.lbl = l.lbl""".stripMargin
-  }
+         |$steps""".stripMargin
 
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007) over the player co-occurrence graph — the one classic
@@ -1120,6 +1127,115 @@ object Domain {
       labels.join(sz, Seq("lbl"))
         .select(col("id").as("person_id"), col("lbl").as("community"),
           col("community_size"))
+  }
+
+  // ---------------------------------------------------------------- q256
+  private def modularityOracle: String = {
+    val steps = (1 to LpaIters).map { k =>
+      s"""lp$k AS (
+         |  SELECT v.id, coalesce(p.lbl, v.lbl) AS lbl
+         |  FROM lp${k - 1} v LEFT JOIN (
+         |    SELECT dst AS id, lbl FROM (
+         |      SELECT c.dst, n.lbl, SUM(c.w) AS votes,
+         |             row_number() OVER (PARTITION BY c.dst
+         |               ORDER BY SUM(c.w) DESC, n.lbl) AS rn
+         |      FROM co c JOIN lp${k - 1} n ON n.id = c.src
+         |      GROUP BY c.dst, n.lbl)
+         |    WHERE rn = 1) p ON p.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    lpaCore(steps) +
+      s""",
+         |mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM co),
+         |lbl AS MATERIALIZED (SELECT id, lbl FROM lp$LpaIters),
+         |ec AS (
+         |  SELECT a.lbl, CAST(SUM(c.w) AS BIGINT) AS intra_w
+         |  FROM co c
+         |  JOIN lbl a ON a.id = c.src
+         |  JOIN lbl b ON b.id = c.dst AND b.lbl = a.lbl
+         |  GROUP BY 1),
+         |dc AS (
+         |  SELECT a.lbl, CAST(SUM(c.w) AS BIGINT) AS degree_w
+         |  FROM co c JOIN lbl a ON a.id = c.src GROUP BY 1),
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n FROM lbl
+         |       GROUP BY 1)
+         |SELECT CAST(sz.lbl AS BIGINT) AS community, sz.n AS n_members,
+         |  CAST(COALESCE(ec.intra_w, 0) AS BIGINT) AS intra_w,
+         |  CAST(COALESCE(dc.degree_w, 0) AS BIGINT) AS degree_w,
+         |  CAST(COALESCE(ec.intra_w, 0) AS DOUBLE) / m2
+         |    - (CAST(COALESCE(dc.degree_w, 0) AS DOUBLE) / m2)
+         |      * (CAST(COALESCE(dc.degree_w, 0) AS DOUBLE) / m2)
+         |    AS contribution
+         |FROM sz
+         |LEFT JOIN ec ON ec.lbl = sz.lbl
+         |LEFT JOIN dc ON dc.lbl = sz.lbl
+         |CROSS JOIN mm""".stripMargin
+  }
+
+  /** Modularity scoring of the q202 partition (Newman–Girvan Q) — the
+    * number that says whether the detected communities are BETTER than
+    * chance: per community, intra-edge weight e_c and total degree d_c
+    * (exact bigints over the weighted co-occurrence edges, directed
+    * convention so m2 = 2m), contribution e_c/m2 − (d_c/m2)² as a
+    * fixed-parenthesization double tree; Q is the column's sum.
+    * Detection without evaluation is half an operator — q202 finds,
+    * q256 grades (the same measure LPA's own stopping heuristics and
+    * Louvain's objective use).
+    *
+    * Scale shape: labels re-fold via the cached q202 loop (session-
+    * shared edges); scoring is two keyed joins of the edge frame
+    * against the O(V) label frame + bounded partial aggs. */
+  val q256Modularity: Q = Q.sql(
+    "q256_modularity",
+    modularityOracle,
+    "per-community Newman modularity contributions of the LPA partition") {
+    (s, dir) =>
+      val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
+        pipeline(s, dir).lineupStints
+          .select(col("stint_id"), explode(col("player_ids")).as("person_id"))
+      }
+      val co = graft.SessionCache.once(s, s"domain#$dir#lpa-co") {
+        val a = mem.select(col("stint_id"), col("person_id").as("src"))
+        val b = mem.select(col("stint_id"), col("person_id").as("dst"))
+        a.join(b, Seq("stint_id"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .cache()
+      }
+      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
+      var labels = verts.select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to LpaIters) {
+        val votes = co
+          .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(sum(col("w")).as("votes"))
+        val picked = votes
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
+          .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
+        labels = labels.join(picked, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      }
+      val mm = co.agg(sum(col("w")).cast("long").as("m2"))
+      val ls = labels.select(col("id").as("src"), col("lbl"))
+      val ld = labels.select(col("id").as("dst"), col("lbl").as("lbl_d"))
+      val ec = co.join(ls, Seq("src")).join(ld, Seq("dst"))
+        .filter(col("lbl") === col("lbl_d"))
+        .groupBy(col("lbl")).agg(sum(col("w")).cast("long").as("intra_w"))
+      val dc = co.join(ls, Seq("src"))
+        .groupBy(col("lbl")).agg(sum(col("w")).cast("long").as("degree_w"))
+      val sz = labels.groupBy(col("lbl")).agg(count(lit(1)).cast("long")
+        .as("n_members"))
+      sz.join(ec, Seq("lbl"), "left")
+        .join(dc, Seq("lbl"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("lbl").cast("long").as("community"), col("n_members"),
+          coalesce(col("intra_w"), lit(0L)).cast("long").as("intra_w"),
+          coalesce(col("degree_w"), lit(0L)).cast("long").as("degree_w"),
+          (coalesce(col("intra_w"), lit(0L)).cast("double") / col("m2") -
+            (coalesce(col("degree_w"), lit(0L)).cast("double") / col("m2")) *
+              (coalesce(col("degree_w"), lit(0L)).cast("double") / col("m2")))
+            .as("contribution"))
   }
 
   /** Power-iteration rounds for the personalized PageRank — unrolled
@@ -1240,6 +1356,6 @@ object Domain {
     Seq(q60StintPlusMinus, q61ScoreChain, q62PlayerStints, q63SeasonInvariant,
       q64GraphExport, q65SeasonChain, q66Periods, q67ActorEdges, q68CausalLinks,
       q69PygNodes, q70LabelFlags, q71ActionTimeline, q72ScheduleEdges,
-      q74GraphBfs, q77Possessions, q202LabelPropagation,
+      q74GraphBfs, q77Possessions, q202LabelPropagation, q256Modularity,
       q207PersonalizedPagerank)
 }
