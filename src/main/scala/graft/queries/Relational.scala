@@ -5503,6 +5503,108 @@ object Relational {
           max(col("late_us")).cast("long").as("max_late_us"))
   }
 
+  // ---------------------------------------------------------------- q257
+  /** Neyman-allocation stratified sampling (the survey-statistics
+    * optimum: sample stratum h in proportion to N_h·σ_h, so variance
+    * per sampled row is minimized) — the budgeted-sampling upgrade of
+    * q76's equal-rate draw: a 1000-row budget spread over the
+    * event-type strata lands MORE rows where the value column is both
+    * plentiful and volatile. σ_h comes from exact centi-unit moment
+    * sums (DECIMAL(38,0) — the q179/q225 discipline); the allocation
+    * n_h = floor(1000·w_h) + largest-remainder top-up is computed on
+    * the ≤5-row stratum frame with full tiebreaks, then realized by
+    * the q76 md5-Bernoulli rank draw (deterministic, engine-portable).
+    *
+    * Scale shape: ONE conditional partial agg to the stratum frame;
+    * the draw is a map-side hash rank + per-stratum WindowGroupLimit
+    * against the broadcast allocation. */
+  val q257NeymanSample: Q = Q.sql(
+    "q257_neyman_sample",
+    """WITH u AS MATERIALIZED (
+      |  SELECT event_id, event_type AS st,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc
+      |  FROM events WHERE value IS NOT NULL
+      |), mo AS (
+      |  SELECT st, CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    CAST(SUM(CAST(vc AS HUGEINT)) AS HUGEINT) AS s1,
+      |    CAST(SUM(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS s2
+      |  FROM u GROUP BY 1
+      |), sd AS (
+      |  SELECT st, n_h,
+      |    sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_h
+      |      - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h),
+      |      CAST(0 AS DOUBLE))) AS sigma
+      |  FROM mo
+      |), wts AS (
+      |  SELECT st, n_h, sigma,
+      |    (CAST(n_h AS DOUBLE) * sigma)
+      |      / SUM(CAST(n_h AS DOUBLE) * sigma) OVER () AS w_h
+      |  FROM sd
+      |), alloc AS (
+      |  SELECT st, n_h, sigma, w_h,
+      |    CAST(floor(1000 * w_h) AS BIGINT)
+      |      + CASE WHEN ROW_NUMBER() OVER (
+      |          ORDER BY 1000 * w_h - floor(1000 * w_h) DESC, st)
+      |        <= 1000 - CAST(SUM(floor(1000 * w_h)) OVER () AS BIGINT)
+      |      THEN 1 ELSE 0 END AS n_alloc
+      |  FROM wts
+      |), drawn AS (
+      |  SELECT u.st, COUNT(*) AS n_drawn FROM (
+      |    SELECT st, ROW_NUMBER() OVER (PARTITION BY st ORDER BY
+      |      ('0x' || substr(md5('ney|' || CAST(event_id AS VARCHAR)),
+      |        1, 15))::BIGINT, event_id) AS rk
+      |    FROM u) u
+      |  JOIN alloc ON alloc.st = u.st AND u.rk <= alloc.n_alloc
+      |  GROUP BY 1
+      |)
+      |SELECT alloc.st AS stratum, n_h, sigma, w_h, n_alloc,
+      |  CAST(COALESCE(n_drawn, 0) AS BIGINT) AS n_drawn
+      |FROM alloc LEFT JOIN drawn ON drawn.st = alloc.st""".stripMargin,
+    "variance-optimal 1000-row stratified sample: sigma, weights, draw") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type").as("st"),
+          floor(col("value") * 100).cast("long").as("vc"))
+      def big(c: Column): Column = c.cast("decimal(38,0)")
+      val mo = u.groupBy(col("st"))
+        .agg(count(lit(1)).cast("long").as("n_h"),
+          sum(big(col("vc"))).cast("decimal(38,0)").as("s1"),
+          sum(big(col("vc")) * big(col("vc"))).cast("decimal(38,0)")
+            .as("s2"))
+      val mean = col("s1").cast("double") / col("n_h")
+      val sd = mo.select(col("st"), col("n_h"),
+        sqrt(greatest(col("s2").cast("double") / col("n_h") - mean * mean,
+          lit(0).cast("double"))).as("sigma"))
+      val wAll = Window.partitionBy()
+      val wts = sd.select(col("st"), col("n_h"), col("sigma"),
+        ((col("n_h").cast("double") * col("sigma")) /
+          sum(col("n_h").cast("double") * col("sigma")).over(wAll))
+          .as("w_h"))
+      val wRem = Window.orderBy(
+        (lit(1000) * col("w_h") - floor(lit(1000) * col("w_h"))).desc,
+        col("st"))
+      val alloc = wts.select(col("st"), col("n_h"), col("sigma"),
+        col("w_h"),
+        (floor(lit(1000) * col("w_h")).cast("long") +
+          when(row_number().over(wRem) <=
+            lit(1000L) - sum(floor(lit(1000) * col("w_h"))).over(wAll)
+              .cast("long"), 1L).otherwise(0L)).as("n_alloc"))
+      val wRank = Window.partitionBy(col("st")).orderBy(
+        graft.ops.Text.baseHash(
+          concat(lit("ney|"), col("event_id").cast("string"))),
+        col("event_id"))
+      val drawn = u.select(col("st"),
+          row_number().over(wRank).as("rk"))
+        .join(broadcast(alloc.select(col("st"), col("n_alloc"))), Seq("st"))
+        .filter(col("rk") <= col("n_alloc"))
+        .groupBy(col("st")).agg(count(lit(1)).as("n_drawn"))
+      alloc.join(drawn, Seq("st"), "left")
+        .select(col("st").as("stratum"), col("n_h"), col("sigma"),
+          col("w_h"), col("n_alloc"),
+          coalesce(col("n_drawn"), lit(0L)).cast("long").as("n_drawn"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5523,5 +5625,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample)
 }
