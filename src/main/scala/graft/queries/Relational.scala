@@ -5605,6 +5605,93 @@ object Relational {
           coalesce(col("n_drawn"), lit(0L)).cast("long").as("n_drawn"))
   }
 
+  // ---------------------------------------------------------------- q258
+  /** Off-policy evaluation by inverse-propensity scoring (Horvitz–
+    * Thompson / the bandit replay estimator) — "what would the reward
+    * have been under a DIFFERENT policy", answered from logs alone:
+    * each user-day is one logged decision (context = daypart of its
+    * first event, action = that first event's type, reward = whether a
+    * purchase followed the same day), the logging propensity is the
+    * empirical p(a|x) = c_xa/c_x, and the target policy 'always click'
+    * is scored as Σ r·1[a=click]/p per context. Everything up to the
+    * final ratios is exact: per-context reward sums, decision counts
+    * and the IPS numerator r_sum·c_x are bigints; propensity, the IPS
+    * contribution and the direct-method mean are single fixed-order
+    * divisions. Reported per context beside the direct-method estimate
+    * so the variance/bias trade is visible.
+    *
+    * Scale shape: user-days collapse in ONE window-free partial agg
+    * pass (min-struct first event + conditional max), contexts are a
+    * ≤6-row frame, every statistic above it partial-aggregates. */
+  val q258IpsOffPolicy: Q = Q.sql(
+    "q258_ips_offpolicy",
+    """WITH ud AS MATERIALIZED (
+      |  SELECT user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS day,
+      |    MIN({'v1': epoch_us(CAST(ts AS TIMESTAMP)), 'v2': event_id,
+      |         'v3': event_type}) AS fe,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS last_purch
+      |  FROM events GROUP BY 1, 2
+      |), d AS MATERIALIZED (
+      |  SELECT ((fe.v1 // 3600000000) % 24) // 4 AS x,
+      |    fe.v3 AS a,
+      |    CASE WHEN last_purch IS NOT NULL AND last_purch > fe.v1
+      |      THEN 1 ELSE 0 END AS r
+      |  FROM ud
+      |), cx AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS c_x FROM d GROUP BY 1
+      |), ca AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS c_click,
+      |    CAST(SUM(r) AS BIGINT) AS r_click_sum
+      |  FROM d WHERE a = 'click' GROUP BY 1
+      |)
+      |SELECT CAST(cx.x AS BIGINT) AS daypart, c_x AS n_decisions,
+      |  CAST(COALESCE(c_click, 0) AS BIGINT) AS n_click,
+      |  CAST(COALESCE(r_click_sum, 0) AS BIGINT) AS r_click_sum,
+      |  CASE WHEN c_click IS NOT NULL
+      |    THEN CAST(c_click AS DOUBLE) / c_x END AS propensity,
+      |  CASE WHEN c_click IS NOT NULL AND c_click > 0
+      |    THEN CAST(r_click_sum * c_x AS DOUBLE) / c_click END
+      |    AS ips_weighted_reward,
+      |  CASE WHEN c_click IS NOT NULL AND c_click > 0
+      |    THEN CAST(r_click_sum AS DOUBLE) / c_click END AS dm_mean
+      |FROM cx LEFT JOIN ca ON ca.x = cx.x""".stripMargin,
+    "IPS replay of an always-click policy per daypart, beside direct-method") {
+    (s, dir) =>
+      val tu = unix_micros(col("ts"))
+      val ud = Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          floor(tu / 86400000000L).cast("long").as("day"))
+        .agg(min(struct(tu.as("v1"), col("event_id").as("v2"),
+          col("event_type").as("v3"))).as("fe"),
+          max(when(col("event_type") === "purchase", tu)).as("last_purch"))
+      val d = ud.select(
+        expr("((fe.v1 div 3600000000) % 24) div 4").as("x"),
+        col("fe.v3").as("a"),
+        when(col("last_purch").isNotNull &&
+          col("last_purch") > col("fe.v1"), 1L).otherwise(0L).as("r"))
+      val cx = d.groupBy(col("x"))
+        .agg(count(lit(1)).cast("long").as("c_x"))
+      val ca = d.where(col("a") === "click").groupBy(col("x"))
+        .agg(count(lit(1)).cast("long").as("c_click"),
+          sum(col("r")).cast("long").as("r_click_sum"))
+      cx.join(ca, Seq("x"), "left")
+        .select(col("x").cast("long").as("daypart"),
+          col("c_x").as("n_decisions"),
+          coalesce(col("c_click"), lit(0L)).cast("long").as("n_click"),
+          coalesce(col("r_click_sum"), lit(0L)).cast("long")
+            .as("r_click_sum"),
+          when(col("c_click").isNotNull,
+            col("c_click").cast("double") / col("c_x")).as("propensity"),
+          when(col("c_click").isNotNull && col("c_click") > 0,
+            (col("r_click_sum") * col("c_x")).cast("double") /
+              col("c_click")).as("ips_weighted_reward"),
+          when(col("c_click").isNotNull && col("c_click") > 0,
+            col("r_click_sum").cast("double") / col("c_click"))
+            .as("dm_mean"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5625,5 +5712,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy)
 }
