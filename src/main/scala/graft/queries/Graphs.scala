@@ -831,6 +831,120 @@ object Graphs {
             .as("harmonic"))
   }
 
+  // ---------------------------------------------------------------- q259
+  /** Sweep depth: the bipartite graph alternates part/customer levels,
+    * so 6 rounds bound any eccentricity the fixture exhibits. */
+  val SweepRounds = 6
+
+  private def diameterOracle: String = {
+    def sweep(name: String, seedCte: String) = {
+      val steps = (1 to SweepRounds).map { k =>
+        s"""${name}r$k AS MATERIALIZED (
+           |  SELECT id, MIN(dist) AS dist FROM (
+           |    SELECT id, dist FROM ${name}r${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, r.dist + 1 AS dist
+           |    FROM edges e JOIN ${name}r${k - 1} r ON r.id = e.src
+           |  ) u GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""${name}r0 AS ($seedCte),
+         |$steps""".stripMargin
+    }
+    s"""WITH ep AS MATERIALIZED (
+       |  SELECT DISTINCT 1000000000000 + o.o_custkey AS c,
+       |    2000000000000 + l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), edges AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst FROM ep
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM ep
+       |),
+       |${sweep("a", "SELECT CAST(2000000000001 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist")},
+       |u_star AS (
+       |  SELECT id, dist FROM ar$SweepRounds
+       |  ORDER BY dist DESC, id LIMIT 1
+       |),
+       |${sweep("b", s"SELECT id, CAST(0 AS BIGINT) AS dist FROM u_star")},
+       |v_star AS (
+       |  SELECT id, dist FROM br$SweepRounds
+       |  ORDER BY dist DESC, id LIMIT 1
+       |)
+       |SELECT CAST(2000000000001 AS BIGINT) AS seed,
+       |  u_star.id AS u_star, u_star.dist AS ecc_seed,
+       |  v_star.id AS v_star, v_star.dist AS diameter_lb,
+       |  CAST((SELECT COUNT(*) FROM ar$SweepRounds) AS BIGINT)
+       |    AS reached
+       |FROM u_star, v_star""".stripMargin
+  }
+
+  /** Diameter lower bound by the double-BFS sweep (the 2-sweep
+    * heuristic behind iFUB/HADI-style diameter estimators, and the
+    * standard answer to "how far apart can two entities be" at graph
+    * scale, where all-pairs BFS is unthinkable): BFS from a fixed seed,
+    * take the FARTHEST vertex u*, BFS again from u* — u*'s
+    * eccentricity is a certified diameter lower bound, usually tight
+    * on real graphs. The second seed is DATA-DEPENDENT and stays a
+    * 1-row FRAME (min-struct argmax, deterministic tiebreak) — no
+    * driver collect anywhere; the sweep loop just starts from it.
+    *
+    * Scale shape: 2 × SweepRounds frontier joins against the cached
+    * edge frame (q85's delta discipline, localCheckpoint per round);
+    * the argmax between sweeps is one partial agg. */
+  val q259DiameterSweep: Q = Q.sql(
+    "q259_diameter_sweep",
+    diameterOracle,
+    "double-BFS sweep: farthest vertex then certified diameter lower bound") {
+    (s, dir) =>
+      val ep = cachedOnce(s, dir, "closeness-edges") {
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") + lit(1000000000000L)).as("c"),
+            (col("l_partkey") + lit(2000000000000L)).as("p"))
+          .distinct()
+      }
+      val edges = ep.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(ep.select(col("p").as("src"), col("c").as("dst")))
+      def sweep(seed: DataFrame): DataFrame = {
+        var dists = seed.localCheckpoint()
+        var frontier = dists
+        for (_ <- 1 to SweepRounds) {
+          val improved = edges
+            .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), (col("dist") + 1L).as("cand"))
+            .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+            .join(dists.withColumnRenamed("dist", "old"), Seq("id"),
+              "left_outer")
+            .filter(col("old").isNull || col("cand") < col("old"))
+            .select(col("id"), col("cand").as("dist"))
+            .localCheckpoint()
+          frontier = improved
+          dists = dists.unionByName(frontier)
+            .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+        }
+        dists
+      }
+      def argmaxFar(dists: DataFrame): DataFrame =
+        dists.agg(min(struct((-col("dist")).as("nd"), col("id"))).as("m"))
+          .select(col("m.id").as("id"), (-col("m.nd")).as("dist"))
+      val seed1 = ep.sparkSession.range(1)
+        .select(lit(2000000000001L).as("id"), lit(0L).as("dist"))
+      val d1 = sweep(seed1)
+      val uStar = argmaxFar(d1)
+      val d2 = sweep(uStar.select(col("id"), lit(0L).as("dist")))
+      val vStar = argmaxFar(d2)
+      val reached = d1.agg(count(lit(1)).cast("long").as("reached"))
+      uStar.select(col("id").as("u_star"), col("dist").as("ecc_seed"))
+        .crossJoin(broadcast(vStar.select(col("id").as("v_star"),
+          col("dist").as("diameter_lb"))))
+        .crossJoin(broadcast(reached))
+        .select(lit(2000000000001L).as("seed"), col("u_star"),
+          col("ecc_seed"), col("v_star"), col("diameter_lb"),
+          col("reached"))
+  }
+
   // ---------------------------------------------------------------- q231
   /** Degree assortativity (Newman '02) of the customer↔part bipartite
     * graph — do high-degree customers buy high-degree (popular) parts?
@@ -907,5 +1021,5 @@ object Graphs {
 
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
     q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff,
-    q186WlRefinement, q209Hits, q231Assortativity, q239HarmonicCloseness)
+    q186WlRefinement, q209Hits, q231Assortativity, q239HarmonicCloseness, q259DiameterSweep)
 }
