@@ -5692,6 +5692,107 @@ object Relational {
             .as("dm_mean"))
   }
 
+  // ---------------------------------------------------------------- q260
+  /** k-anonymization by generalization ladder — the FIX for what q243
+    * measures (the q242-repairs-q218 / q149-repairs-q89 pattern):
+    * release rows at the FINEST quasi-identifier granularity whose
+    * cell holds >= k = 5 rows, walking (daypart, decile, user-bucket)
+    * -> (daypart, decile) -> (daypart) -> (all). The ladder is
+    * SEQUENTIAL-REMAINDER: level-L cells are counted over rows NOT
+    * already released at finer levels, so every released cell's size
+    * is >= 5 BY CONSTRUCTION (a naive per-row ladder leaks here: a
+    * coarse cell can shrink below k after its qualifying sub-cells
+    * leave). The report per level — rows, cells, smallest cell — IS
+    * the release plan and its k-certificate; the final remainder is
+    * the suppression set.
+    *
+    * Scale shape: one corpus pass per ladder level (cell counts are
+    * domain-bounded partial aggs; remainder filtering is an anti-join
+    * against the BROADCAST qualified-cell list) — ladder depth is the
+    * pass count, never the corpus. */
+  val q260AnonLadder: Q = Q.sql(
+    "q260_anon_ladder",
+    """WITH u AS MATERIALIZED (
+      |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 4
+      |      AS f1,
+      |    CASE WHEN value IS NULL THEN -1 ELSE
+      |      CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |        / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT)
+      |        // 100 END AS f2,
+      |    user_id % 10 AS ub
+      |  FROM events
+      |), c0 AS MATERIALIZED (
+      |  SELECT f1, f2, ub, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM u GROUP BY 1, 2, 3
+      |), q0 AS MATERIALIZED (SELECT * FROM c0 WHERE n >= 5),
+      |r1 AS MATERIALIZED (
+      |  SELECT u.* FROM u WHERE NOT EXISTS (SELECT 1 FROM q0
+      |    WHERE q0.f1 = u.f1 AND q0.f2 = u.f2 AND q0.ub = u.ub)
+      |), c1 AS MATERIALIZED (
+      |  SELECT f1, f2, CAST(COUNT(*) AS BIGINT) AS n FROM r1 GROUP BY 1, 2
+      |), q1 AS MATERIALIZED (SELECT * FROM c1 WHERE n >= 5),
+      |r2 AS MATERIALIZED (
+      |  SELECT r1.* FROM r1 WHERE NOT EXISTS (SELECT 1 FROM q1
+      |    WHERE q1.f1 = r1.f1 AND q1.f2 = r1.f2)
+      |), c2 AS MATERIALIZED (
+      |  SELECT f1, CAST(COUNT(*) AS BIGINT) AS n FROM r2 GROUP BY 1
+      |), q2 AS MATERIALIZED (SELECT * FROM c2 WHERE n >= 5),
+      |r3 AS MATERIALIZED (
+      |  SELECT r2.* FROM r2 WHERE NOT EXISTS (SELECT 1 FROM q2
+      |    WHERE q2.f1 = r2.f1)
+      |)
+      |SELECT CAST(0 AS BIGINT) AS level,
+      |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(COALESCE(MIN(n), 0) AS BIGINT) AS min_cell
+      |FROM q0
+      |UNION ALL
+      |SELECT 1, CAST(COALESCE(SUM(n), 0) AS BIGINT),
+      |  CAST(COUNT(*) AS BIGINT), CAST(COALESCE(MIN(n), 0) AS BIGINT)
+      |FROM q1
+      |UNION ALL
+      |SELECT 2, CAST(COALESCE(SUM(n), 0) AS BIGINT),
+      |  CAST(COUNT(*) AS BIGINT), CAST(COALESCE(MIN(n), 0) AS BIGINT)
+      |FROM q2
+      |UNION ALL
+      |SELECT 3, CAST(COUNT(*) AS BIGINT),
+      |  CAST(CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM r3""".stripMargin,
+    "sequential-remainder QI generalization: per level rows/cells/min>=k") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events").select(
+        expr("((unix_micros(ts) div 3600000000) % 24) div 4").as("f1"),
+        when(col("value").isNull, lit(-1L)).otherwise(
+          expr("cast(floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) as bigint)" +
+            " div 100")).as("f2"),
+        (col("user_id") % 10).as("ub"))
+      def cellsOf(rows: DataFrame, keys: Seq[String]): DataFrame =
+        rows.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).cast("long").as("n"))
+      def stats(q: DataFrame, level: Long): DataFrame =
+        q.agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n_rows"),
+            count(lit(1)).cast("long").as("n_cells"),
+            coalesce(min(col("n")), lit(0L)).cast("long").as("min_cell"))
+          .select(lit(level).as("level"), col("n_rows"), col("n_cells"),
+            col("min_cell"))
+      val q0 = cellsOf(u, Seq("f1", "f2", "ub")).where(col("n") >= 5)
+      val r1 = u.join(broadcast(q0.select("f1", "f2", "ub")),
+        Seq("f1", "f2", "ub"), "left_anti")
+      val q1 = cellsOf(r1, Seq("f1", "f2")).where(col("n") >= 5)
+      val r2 = r1.join(broadcast(q1.select("f1", "f2")), Seq("f1", "f2"),
+        "left_anti")
+      val q2 = cellsOf(r2, Seq("f1")).where(col("n") >= 5)
+      val r3 = r2.join(broadcast(q2.select("f1")), Seq("f1"), "left_anti")
+      val l3 = r3.agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(3L).as("level"), col("n_rows"),
+          when(col("n_rows") > 0, 1L).otherwise(0L).as("n_cells"),
+          col("n_rows").as("min_cell"))
+      stats(q0, 0L).unionByName(stats(q1, 1L)).unionByName(stats(q2, 2L))
+        .unionByName(l3)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5712,5 +5813,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder)
 }
