@@ -5793,6 +5793,186 @@ object Relational {
         .unionByName(l3)
   }
 
+  // ---------------------------------------------------------------- q261
+  /** Permutation feature importance (Breiman '01, the model-agnostic
+    * explanation standard) of the q240 Naive Bayes: re-score every
+    * held-out row with one feature replaced by an INDEPENDENT draw
+    * from its training marginal (the distribution-preserving way to
+    * break the feature-label link) and report the accuracy drop. The
+    * "random" draw is the deterministic inverse-CDF trick: a per-row
+    * md5 value lands in the feature's cumulative-count interval —
+    * exact integers, so both engines draw the identical replacement.
+    * Three variants (baseline, f1 permuted, f2 permuted) score in ONE
+    * corpus pass: every conditional table and both CDF threshold
+    * frames are bounded broadcasts, the NB decision stays the exact
+    * DECIMAL(38,0) ≡ HUGEINT cross-product compare, and the roll-up is
+    * one 6-column conditional agg stacked to 3 rows. */
+  val q261PermImportance: Q = Q.sql(
+    "q261_perm_importance",
+    """WITH u AS MATERIALIZED (
+      |  SELECT event_id,
+      |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 4
+      |      AS f1,
+      |    CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |      / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT) // 100
+      |      AS f2,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |    ('0x' || substr(md5('smp|' || CAST(event_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 100 < 20 AS is_test
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), tr AS MATERIALIZED (SELECT * FROM u WHERE NOT is_test),
+      |pri AS (
+      |  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+      |    CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM tr
+      |), c1 AS MATERIALIZED (
+      |  SELECT f1, CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS q,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tr GROUP BY 1
+      |), c2 AS MATERIALIZED (
+      |  SELECT f2, CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS q,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tr GROUP BY 1
+      |), m1 AS MATERIALIZED (
+      |  SELECT f1, SUM(cnt) OVER (ORDER BY f1) - cnt AS lo,
+      |    SUM(cnt) OVER (ORDER BY f1) AS hi
+      |  FROM c1
+      |), m2 AS MATERIALIZED (
+      |  SELECT f2, SUM(cnt) OVER (ORDER BY f2) - cnt AS lo,
+      |    SUM(cnt) OVER (ORDER BY f2) AS hi
+      |  FROM c2
+      |), te AS (
+      |  SELECT u.f1, u.f2, u.y,
+      |    m1.f1 AS f1p, m2.f2 AS f2p
+      |  FROM u
+      |  CROSS JOIN pri
+      |  JOIN m1 ON (('0x' || substr(md5('pf1|' ||
+      |      CAST(u.event_id AS VARCHAR)), 1, 15))::BIGINT % pri.t) >= m1.lo
+      |    AND (('0x' || substr(md5('pf1|' ||
+      |      CAST(u.event_id AS VARCHAR)), 1, 15))::BIGINT % pri.t) < m1.hi
+      |  JOIN m2 ON (('0x' || substr(md5('pf2|' ||
+      |      CAST(u.event_id AS VARCHAR)), 1, 15))::BIGINT % pri.t) >= m2.lo
+      |    AND (('0x' || substr(md5('pf2|' ||
+      |      CAST(u.event_id AS VARCHAR)), 1, 15))::BIGINT % pri.t) < m2.hi
+      |  WHERE u.is_test
+      |), sc AS (
+      |  SELECT te.y,
+      |    CAST(n_pos AS HUGEINT) * (COALESCE(b1.p, 0) + 1)
+      |      * (COALESCE(b2.p, 0) + 1) * (n_neg + 6) * (n_neg + 10) AS lp_b,
+      |    CAST(n_neg AS HUGEINT) * (COALESCE(b1.q, 0) + 1)
+      |      * (COALESCE(b2.q, 0) + 1) * (n_pos + 6) * (n_pos + 10) AS ln_b,
+      |    CAST(n_pos AS HUGEINT) * (COALESCE(p1.p, 0) + 1)
+      |      * (COALESCE(b2.p, 0) + 1) * (n_neg + 6) * (n_neg + 10) AS lp_1,
+      |    CAST(n_neg AS HUGEINT) * (COALESCE(p1.q, 0) + 1)
+      |      * (COALESCE(b2.q, 0) + 1) * (n_pos + 6) * (n_pos + 10) AS ln_1,
+      |    CAST(n_pos AS HUGEINT) * (COALESCE(b1.p, 0) + 1)
+      |      * (COALESCE(p2.p, 0) + 1) * (n_neg + 6) * (n_neg + 10) AS lp_2,
+      |    CAST(n_neg AS HUGEINT) * (COALESCE(b1.q, 0) + 1)
+      |      * (COALESCE(p2.q, 0) + 1) * (n_pos + 6) * (n_pos + 10) AS ln_2
+      |  FROM te
+      |  CROSS JOIN pri
+      |  LEFT JOIN c1 b1 ON b1.f1 = te.f1
+      |  LEFT JOIN c1 p1 ON p1.f1 = te.f1p
+      |  LEFT JOIN c2 b2 ON b2.f2 = te.f2
+      |  LEFT JOIN c2 p2 ON p2.f2 = te.f2p
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN (CASE WHEN lp_b > ln_b THEN 1 ELSE 0 END) = y
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_b,
+      |    CAST(SUM(CASE WHEN (CASE WHEN lp_1 > ln_1 THEN 1 ELSE 0 END) = y
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_1,
+      |    CAST(SUM(CASE WHEN (CASE WHEN lp_2 > ln_2 THEN 1 ELSE 0 END) = y
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_2
+      |  FROM sc
+      |)
+      |SELECT 'baseline' AS variant, n_test, ok_b AS n_correct,
+      |  CAST(ok_b AS DOUBLE) / n_test AS acc FROM agg
+      |UNION ALL
+      |SELECT 'perm_f1', n_test, ok_1, CAST(ok_1 AS DOUBLE) / n_test
+      |FROM agg
+      |UNION ALL
+      |SELECT 'perm_f2', n_test, ok_2, CAST(ok_2 AS DOUBLE) / n_test
+      |FROM agg""".stripMargin,
+    "NB accuracy under marginal-draw feature permutation, per feature") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(col("event_id"),
+          expr("((unix_micros(ts) div 3600000000) % 24) div 4").as("f1"),
+          expr("cast(floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) as bigint)" +
+            " div 100").as("f2"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          (graft.ops.Text.baseHash(
+            concat(lit("smp|"), col("event_id").cast("string"))) % 100 < 20)
+            .as("is_test"))
+      val tr = u.where(!col("is_test"))
+      val pri = tr.agg(sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"),
+        count(lit(1)).cast("long").as("t"))
+      def cond(f: String) = tr.groupBy(col(f))
+        .agg(sum(col("y")).cast("long").as("p"),
+          (count(lit(1)) - sum(col("y"))).cast("long").as("q"),
+          count(lit(1)).cast("long").as("cnt"))
+      val c1 = cond("f1"); val c2 = cond("f2")
+      def cdf(c: DataFrame, f: String) = {
+        val w = Window.orderBy(col(f))
+        c.select(col(f), (sum(col("cnt")).over(w) - col("cnt")).as("lo"),
+          sum(col("cnt")).over(w).as("hi"))
+      }
+      val m1 = cdf(c1, "f1"); val m2 = cdf(c2, "f2")
+      def draw(tag: String): Column =
+        graft.ops.Text.baseHash(
+          concat(lit(tag), col("event_id").cast("string"))) % col("t")
+      val te = u.where(col("is_test"))
+        .crossJoin(broadcast(pri))
+        .join(broadcast(m1.withColumnRenamed("f1", "f1p")),
+          draw("pf1|") >= col("lo") && draw("pf1|") < col("hi"))
+        .drop("lo", "hi")
+        .join(broadcast(m2.withColumnRenamed("f2", "f2p")),
+          draw("pf2|") >= col("lo") && draw("pf2|") < col("hi"))
+        .select(col("f1"), col("f2"), col("y"), col("f1p"), col("f2p"),
+          col("n_pos"), col("n_neg"))
+      def big(c: Column): Column = c.cast("decimal(38,0)")
+      def z(c: Column): Column = coalesce(c, lit(0L))
+      def lp(p1c: Column, p2c: Column): Column =
+        big(col("n_pos")) * big(z(p1c) + 1) * big(z(p2c) + 1) *
+          big(col("n_neg") + 6) * big(col("n_neg") + 10)
+      def ln(q1c: Column, q2c: Column): Column =
+        big(col("n_neg")) * big(z(q1c) + 1) * big(z(q2c) + 1) *
+          big(col("n_pos") + 6) * big(col("n_pos") + 10)
+      val sc = te
+        .join(broadcast(c1.select(col("f1"), col("p").as("b1p"),
+          col("q").as("b1q"))), Seq("f1"), "left")
+        .join(broadcast(c1.select(col("f1").as("f1p"), col("p").as("p1p"),
+          col("q").as("p1q"))), Seq("f1p"), "left")
+        .join(broadcast(c2.select(col("f2"), col("p").as("b2p"),
+          col("q").as("b2q"))), Seq("f2"), "left")
+        .join(broadcast(c2.select(col("f2").as("f2p"), col("p").as("p2p"),
+          col("q").as("p2q"))), Seq("f2p"), "left")
+      def okCol(lpc: Column, lnc: Column): Column =
+        sum(when(when(lpc > lnc, 1L).otherwise(0L) === col("y"), 1L)
+          .otherwise(0L)).cast("long")
+      val agg = sc.agg(count(lit(1)).cast("long").as("n_test"),
+        okCol(lp(col("b1p"), col("b2p")), ln(col("b1q"), col("b2q")))
+          .as("ok_b"),
+        okCol(lp(col("p1p"), col("b2p")), ln(col("p1q"), col("b2q")))
+          .as("ok_1"),
+        okCol(lp(col("b1p"), col("p2p")), ln(col("b1q"), col("p2q")))
+          .as("ok_2"))
+      def rowOf(variant: String, ok: String): DataFrame =
+        agg.select(lit(variant).as("variant"), col("n_test"),
+          col(ok).as("n_correct"),
+          (col(ok).cast("double") / col("n_test")).as("acc"))
+      rowOf("baseline", "ok_b").unionByName(rowOf("perm_f1", "ok_1"))
+        .unionByName(rowOf("perm_f2", "ok_2"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5813,5 +5993,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance)
 }
