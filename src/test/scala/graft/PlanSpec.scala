@@ -846,6 +846,51 @@ class PlanSpec extends AnyFunSuite {
       s"feature window not user-partitioned:\n$p")
   }
 
+  test("q253: kappa is one map-side fold to a single row") {
+    val p = plan("q253_cohen_kappa")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"confusion counts not map-side combined:\n$p")
+  }
+
+  test("q254: lateness running-max windows are source-partitioned") {
+    val p = plan("q254_lateness_audit")
+    val winLines =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("sp#")),
+      s"running max not partitioned by source partition:\n$p")
+  }
+
+  test("q257: allocation broadcasts; stratum rank windows distribute") {
+    val p = plan("q257_neyman_sample")
+    assert(p.contains("BroadcastExchange"),
+      s"allocation frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+  }
+
+  test("q258: IPS collapses user-days in one window-free pass") {
+    val p = plan("q258_ips_offpolicy")
+    assert(!p.contains("windowspecdefinition"),
+      s"first-event pick fell back to a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"user-day collapse not map-side combined:\n$p")
+  }
+
+  test("q260: remainder filters are broadcast anti-joins") {
+    val p = plan("q260_anon_ladder")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"remainder filter not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"ladder join shuffled:\n$p")
+  }
+
+  test("q261: all three variants score in one pass over broadcasts") {
+    val p = plan("q261_perm_importance")
+    assert(p.contains("BroadcastExchange"),
+      s"conditional tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"conditional join fell off the broadcast path:\n$p")
+  }
+
   test("q244: both skew schemes partial-aggregate; no shuffle join") {
     val p = plan("q244_skew_planner")
     assert(p.contains("partial_count"),
