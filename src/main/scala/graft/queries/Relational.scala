@@ -5973,6 +5973,79 @@ object Relational {
         .unionByName(rowOf("perm_f2", "ok_2"))
   }
 
+  // ---------------------------------------------------------------- q262
+  /** EXACT median without a global sort — the two-pass histogram
+    * refinement (the Munro–Paterson / BigQuery-EXACT_QUANTILES idea):
+    * pass 1 partial-aggregates a bounded bucket histogram per group and
+    * a cumsum locates the bucket containing the target rank; pass 2
+    * re-scans ONLY rows in that one bucket (a broadcast semi-filter)
+    * and ranks the survivors. q75's exact quantiles sort whole groups
+    * — fine until one group is a terabyte; q204's sketch is
+    * approximate; this is the exact answer whose sort touches 1/buckets
+    * of the data. Lower median (rank (n+1)//2), all integer.
+    *
+    * The refinement windows partition by event_type and see only the
+    * target bucket's rows — at 100 TB that second pass sorts ~1% of
+    * each group, and a deeper bucket ladder shrinks it geometrically. */
+  val q262ExactMedian: Q = Q.sql(
+    "q262_exact_median",
+    """WITH u AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS vc
+      |  FROM events WHERE value IS NOT NULL
+      |), h AS MATERIALIZED (
+      |  SELECT g, vc // 100 AS b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM u GROUP BY 1, 2
+      |), r AS (
+      |  SELECT g, b, n,
+      |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY b) - n AS BIGINT)
+      |      AS below,
+      |    CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS n_g
+      |  FROM h
+      |), tgt AS MATERIALIZED (
+      |  SELECT g, b, below, n AS n_in_bucket, n_g,
+      |    (n_g + 1) // 2 AS k
+      |  FROM r
+      |  WHERE below < (n_g + 1) // 2 AND below + n >= (n_g + 1) // 2
+      |), fine AS (
+      |  SELECT u.g, u.vc, tgt.k, tgt.below, tgt.b, tgt.n_in_bucket,
+      |    tgt.n_g,
+      |    ROW_NUMBER() OVER (PARTITION BY u.g ORDER BY u.vc) AS rk
+      |  FROM u JOIN tgt ON tgt.g = u.g AND u.vc // 100 = tgt.b
+      |)
+      |SELECT g AS event_type, n_g AS n, CAST(k AS BIGINT) AS k,
+      |  CAST(b AS BIGINT) AS bucket, n_in_bucket,
+      |  vc AS median_cents
+      |FROM fine WHERE rk = k - below""".stripMargin,
+    "exact lower median per group via 2-pass bucket refinement, no full sort") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100).cast("long").as("vc"))
+      val h = u.groupBy(col("g"), expr("vc div 100").as("b"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("b"))
+      val wAll = Window.partitionBy(col("g"))
+      val r = h.select(col("g"), col("b"), col("n"),
+        (sum(col("n")).over(wCum) - col("n")).cast("long").as("below"),
+        sum(col("n")).over(wAll).cast("long").as("n_g"))
+      val tgt = r
+        .select(col("g"), col("b"), col("below"), col("n").as("n_in_bucket"),
+          col("n_g"), expr("(n_g + 1) div 2").as("k"))
+        .where(col("below") < col("k") &&
+          col("below") + col("n_in_bucket") >= col("k"))
+      val wFine = Window.partitionBy(col("g")).orderBy(col("vc"))
+      val tgt2 = tgt.withColumnRenamed("g", "g2")
+      u.join(broadcast(tgt2), col("g") === col("g2") &&
+          expr("vc div 100") === col("b"))
+        .drop("g2")
+        .withColumn("rk", row_number().over(wFine))
+        .where(col("rk") === col("k") - col("below"))
+        .select(col("g").as("event_type"), col("n_g").as("n"),
+          col("k").cast("long").as("k"), col("b").cast("long").as("bucket"),
+          col("n_in_bucket"), col("vc").as("median_cents"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -5993,5 +6066,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian)
 }
