@@ -259,7 +259,8 @@ object StreamingQ {
   private def streamRestart(tag: String, spark: SparkSession, dir: String,
       shufflePartitions: Option[Int] = None,
       extraConfs: Map[String, String] = Map.empty,
-      tearSinkCommit: Boolean = false)(
+      tearSinkCommit: Boolean = false,
+      splitPred: Option[org.apache.spark.sql.Column] = None)(
       build: (SparkSession, String) => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
       import org.apache.spark.sql.expressions.Window
@@ -301,7 +302,8 @@ object StreamingQ {
           .start()
         q.awaitTermination()
       }
-      publish(ranked.filter(col("__rn") <= n / 2).drop("__rn"), "slice1")
+      val firstHalf = splitPred.getOrElse(col("__rn") <= n / 2)
+      publish(ranked.filter(firstHalf).drop("__rn"), "slice1")
       drainOnce() // incarnation 1 drains the front half, then is GONE
       val torn: Option[java.io.File] =
         if (!tearSinkCommit) None
@@ -322,7 +324,7 @@ object StreamingQ {
             require(crc.delete(), s"could not delete $crc")
           Some(latest)
         }
-      publish(ranked.filter(col("__rn") > n / 2).drop("__rn"), "slice2")
+      publish(ranked.filter(!firstHalf).drop("__rn"), "slice2")
       drainOnce() // incarnation 2 resumes state + offsets from the ckpt
       // the torn batch must have been REPLAYED (commit marker rewritten),
       // not skipped — otherwise this gate would be testing nothing
@@ -2161,6 +2163,58 @@ object StreamingQ {
           (sess, watch) => bootstrapStreamFrame(sess, watch)))
   }
 
+  // ---------------------------------------------------------------- q263
+  /** Late-data DROP semantics, finally under the gate: every other
+    * streaming query drains an arrival-ordered feed, so their
+    * watermarks bound state but never actually discard a row — the
+    * drop path was the one untested branch of the watermark contract.
+    * Here the feed is split by USER PARITY (q117's two-incarnation
+    * scaffold with a custom split): even users drain first and push
+    * the watermark to feed-end − 10 min; odd users then arrive almost
+    * entirely LATE, and the engine must drop exactly those whose hour
+    * window has already been finalized (window_end ≤ the incarnation-1
+    * watermark) while still admitting the tail that lands in open
+    * windows. The oracle recomputes that rule closed-form: evens
+    * always count, odds count iff window_end > wm₁, windows emit under
+    * the q80 final-watermark cutoff. A drop-boundary off-by-one, a
+    * watermark not restored from the checkpoint, or an undropped late
+    * row each flips the hash. */
+  val q263LateDropGate: Q = Q.sql(
+    "q263_late_drop_gate",
+    """WITH f AS MATERIALIZED (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tu, user_id
+      |  FROM events
+      |), wm1 AS (
+      |  SELECT ((MAX(tu) // 1000) - 600000) * 1000 AS w
+      |  FROM f WHERE user_id % 2 = 0
+      |), wmf AS (
+      |  SELECT ((MAX(tu) // 1000) - 600000) * 1000 AS w FROM f
+      |), kept AS (
+      |  SELECT (tu // 3600000000) * 3600 AS bucket_start
+      |  FROM f, wm1
+      |  WHERE user_id % 2 = 0
+      |     OR ((tu // 3600000000) * 3600 + 3600) * 1000000 > wm1.w
+      |)
+      |SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM kept, wmf
+      |WHERE (bucket_start + 3600) * 1000000 <= wmf.w
+      |GROUP BY 1""".stripMargin,
+    "per-hour counts after the engine drops genuinely late rows") {
+    (s, dir) =>
+      import org.apache.spark.sql.functions._
+      streamRestart("late-drop", s, dir,
+        splitPred = Some(pmod(col("user_id"), lit(2)) === 0)) {
+        (sess, watch) =>
+          StreamingFeed.eventsStream(sess, watch).toDF()
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(unix_timestamp(col("window.start")).as("bucket_start"),
+              col("n_events").cast("long").as("n_events"))
+      }
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -2172,5 +2226,5 @@ object StreamingQ {
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
-    q255StreamBootstrapRestart)
+    q255StreamBootstrapRestart, q263LateDropGate)
 }
