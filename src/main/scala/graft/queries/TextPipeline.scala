@@ -3569,6 +3569,84 @@ object TextPipeline {
           col("rn").cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------- q265
+  /** Inverted-index size model — delta + varint, the storage planning
+    * question behind every postings layout (Lucene/PISA-style): encode
+    * each term's sorted doc-id postings as first-id + gaps, cost each
+    * gap its LEB128 varint byte count (an exact integer CASE over
+    * power-of-128 thresholds — no log), and roll up per document-
+    * frequency decade: raw 8-byte postings vs delta-varint bytes and
+    * the exact ratio. The df-stratified view shows WHY the encoding
+    * works: hot terms have dense postings → tiny gaps → 1-byte codes,
+    * so compression improves exactly where the index is biggest.
+    *
+    * Scale shape: one token explode → distinct (term, doc) partial
+    * agg; gaps ride ONE term-keyed window exchange (q164's shape);
+    * byte costs are map-side CASEs; the roll-up is a ≤7-row partial
+    * agg. All exact bigints, ratio one division at emission. */
+  val q265PostingsSize: Q = Q.sql(
+    "q265_postings_size",
+    """WITH t AS (
+      |  SELECT DISTINCT w AS term, doc_id
+      |  FROM documents,
+      |    LATERAL UNNEST(string_split_regex(trim(text), '\s+')) u(w)
+      |), g AS (
+      |  SELECT term, doc_id,
+      |    doc_id - LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+      |      AS gap
+      |  FROM t
+      |), b AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(CASE
+      |      WHEN gap IS NULL THEN 8
+      |      WHEN gap < 128 THEN 1
+      |      WHEN gap < 16384 THEN 2
+      |      WHEN gap < 2097152 THEN 3
+      |      WHEN gap < 268435456 THEN 4
+      |      ELSE 5 END) AS BIGINT) AS varint_bytes
+      |  FROM g GROUP BY 1
+      |), d AS (
+      |  SELECT CASE WHEN df < 10 THEN 1 WHEN df < 100 THEN 10
+      |    WHEN df < 1000 THEN 100 ELSE 1000 END AS df_decade,
+      |    df, varint_bytes
+      |  FROM b
+      |)
+      |SELECT CAST(df_decade AS BIGINT) AS df_decade,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(df) AS BIGINT) AS postings,
+      |  CAST(SUM(df) * 8 AS BIGINT) AS raw_bytes,
+      |  CAST(SUM(varint_bytes) AS BIGINT) AS varint_bytes,
+      |  CAST(SUM(varint_bytes) AS DOUBLE) / (SUM(df) * 8) AS ratio
+      |FROM d GROUP BY 1""".stripMargin,
+    "delta+varint postings size vs raw, per document-frequency decade") {
+    (s, dir) =>
+      val t = docs(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .distinct()
+      val wLag = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val g = t.select(col("term"), col("doc_id"),
+        (col("doc_id") - lag(col("doc_id"), 1).over(wLag)).as("gap"))
+      val b = g.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum(when(col("gap").isNull, 8L)
+            .when(col("gap") < 128, 1L)
+            .when(col("gap") < 16384, 2L)
+            .when(col("gap") < 2097152, 3L)
+            .when(col("gap") < 268435456, 4L)
+            .otherwise(5L)).cast("long").as("varint_bytes"))
+      val d = b.select(
+        when(col("df") < 10, 1L).when(col("df") < 100, 10L)
+          .when(col("df") < 1000, 100L).otherwise(1000L).as("df_decade"),
+        col("df"), col("varint_bytes"))
+      d.groupBy(col("df_decade"))
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum(col("df")).cast("long").as("postings"),
+          (sum(col("df")) * 8).cast("long").as("raw_bytes"),
+          sum(col("varint_bytes")).cast("long").as("varint_bytes"),
+          (sum(col("varint_bytes")).cast("double") /
+            (sum(col("df")) * 8)).as("ratio"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3584,5 +3662,5 @@ object TextPipeline {
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
-    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank)
+    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank, q265PostingsSize)
 }
