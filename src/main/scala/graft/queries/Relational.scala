@@ -6133,6 +6133,119 @@ object Relational {
           .cast("long").as("rowsample_join_rows"))
   }
 
+  // ---------------------------------------------------------------- q266
+  /** Pairwise Cramér's V association matrix over the categorical
+    * columns (event_type, daypart, value decile, user bucket) — the
+    * column-redundancy scan a feature pipeline runs before training
+    * (two near-deterministically associated columns waste model
+    * capacity and can hide leakage) and the multivariate extension of
+    * q147's per-column profile. χ² accumulates as exact integer cross
+    * products over each bounded contingency table (q163's discipline,
+    * observed·N vs row·col totals), V = sqrt(χ²/(N·(min(r,c)−1)))
+    * one fixed-parenthesization tree per pair.
+    *
+    * Scale shape: ONE corpus pass builds all six contingency tables
+    * via a stacked (pair, a, b) partial agg (map-side explode of 6
+    * constant pairs per row — bounded width); everything downstream
+    * rides the ≤sum-of-table-sizes frame. */
+  val q266CramersV: Q = Q.sql(
+    "q266_cramers_v",
+    """WITH u AS MATERIALIZED (
+      |  SELECT event_type AS c1,
+      |    CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 4
+      |      AS VARCHAR) AS c2,
+      |    CAST(CASE WHEN value IS NULL THEN -1 ELSE
+      |      CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |        / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT)
+      |        // 100 END AS VARCHAR) AS c3,
+      |    CAST(user_id % 10 AS VARCHAR) AS c4
+      |  FROM events
+      |), p AS (
+      |  SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM (
+      |    SELECT 'type_daypart' AS pair, c1 AS a, c2 AS b FROM u
+      |    UNION ALL SELECT 'type_decile', c1, c3 FROM u
+      |    UNION ALL SELECT 'type_bucket', c1, c4 FROM u
+      |    UNION ALL SELECT 'daypart_decile', c2, c3 FROM u
+      |    UNION ALL SELECT 'daypart_bucket', c2, c4 FROM u
+      |    UNION ALL SELECT 'decile_bucket', c3, c4 FROM u)
+      |  GROUP BY 1, 2, 3
+      |), lev AS (
+      |  SELECT pair, CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS nc
+      |  FROM p GROUP BY 1
+      |), m AS (
+      |  SELECT pair, a, b, o,
+      |    CAST(SUM(o) OVER (PARTITION BY pair, a) AS BIGINT) AS ra,
+      |    CAST(SUM(o) OVER (PARTITION BY pair, b) AS BIGINT) AS cb,
+      |    CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
+      |  FROM p
+      |), x AS (
+      |  SELECT pair, n,
+      |    list_reduce(
+      |      list((CAST(o AS DOUBLE) * n - CAST(ra AS DOUBLE) * cb)
+      |        * (CAST(o AS DOUBLE) * n - CAST(ra AS DOUBLE) * cb)
+      |        / (CAST(ra AS DOUBLE) * cb * n) ORDER BY a, b),
+      |      (x, y) -> x + y) AS chisq
+      |  FROM m GROUP BY 1, 2
+      |)
+      |SELECT x.pair, n, nr AS r_levels, nc AS c_levels, chisq,
+      |  sqrt(chisq / (CAST(n AS DOUBLE)
+      |    * (CASE WHEN nr < nc THEN nr ELSE nc END - 1))) AS cramers_v
+      |FROM x JOIN lev ON lev.pair = x.pair""".stripMargin,
+    "pairwise Cramér's V over four categorical columns, one corpus pass") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events").select(
+        col("event_type").as("c1"),
+        expr("cast(((unix_micros(ts) div 3600000000) % 24) div 4" +
+          " as string)").as("c2"),
+        when(col("value").isNull, lit("-1")).otherwise(
+          expr("cast(cast(floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) as bigint)" +
+            " div 100 as string)")).as("c3"),
+        (col("user_id") % 10).cast("string").as("c4"))
+      val pairs = Seq(("type_daypart", "c1", "c2"),
+        ("type_decile", "c1", "c3"), ("type_bucket", "c1", "c4"),
+        ("daypart_decile", "c2", "c3"), ("daypart_bucket", "c2", "c4"),
+        ("decile_bucket", "c3", "c4"))
+      val stacked = u.select(explode(array(pairs.map { case (nm, x, y) =>
+        struct(lit(nm).as("pair"), col(x).as("a"), col(y).as("b"))
+      }: _*)).as("s")).select(col("s.pair").as("pair"), col("s.a").as("a"),
+        col("s.b").as("b"))
+      val p = stacked.groupBy(col("pair"), col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      val lev = p.groupBy(col("pair"))
+        .agg(countDistinct(col("a")).cast("long").as("nr"),
+          countDistinct(col("b")).cast("long").as("nc"))
+      val wa = Window.partitionBy(col("pair"), col("a"))
+      val wb = Window.partitionBy(col("pair"), col("b"))
+      val wp = Window.partitionBy(col("pair"))
+      val m = p.select(col("pair"), col("a"), col("b"), col("o"),
+        sum(col("o")).over(wa).cast("long").as("ra"),
+        sum(col("o")).over(wb).cast("long").as("cb"),
+        sum(col("o")).over(wp).cast("long").as("n"))
+      val dev = col("o").cast("double") * col("n") -
+        col("ra").cast("double") * col("cb")
+      // chi-square terms fold LEFT-ASSOCIATED in (a, b) order — a plain
+      // double SUM is aggregation-order-dependent and flips ulps between
+      // engines (observed before this spelling; q236's fold discipline)
+      val x = m.select(col("pair"), col("n"),
+          struct(col("a"), col("b"),
+            (dev * dev / (col("ra").cast("double") * col("cb") *
+              col("n"))).as("term")).as("cell"))
+        .groupBy(col("pair"), col("n"))
+        .agg(aggregate(
+          transform(sort_array(collect_list(col("cell"))),
+            c => c.getField("term")),
+          lit(0.0), (acc, t) => acc + t).as("chisq"))
+      x.join(lev, Seq("pair"))
+        .select(col("pair"), col("n"), col("nr").as("r_levels"),
+          col("nc").as("c_levels"), col("chisq"),
+          sqrt(col("chisq") / (col("n").cast("double") *
+            (when(col("nr") < col("nc"), col("nr")).otherwise(col("nc"))
+              - 1))).as("cramers_v"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6153,5 +6266,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV)
 }
