@@ -6246,6 +6246,95 @@ object Relational {
               - 1))).as("cramers_v"))
   }
 
+  // ---------------------------------------------------------------- q267
+  /** Linear-interpolation gap fill (pandas `interpolate('linear')`) —
+    * the fill method q130's LOCF can't provide when the series feeds
+    * arithmetic (LOCF biases sums low on rising series and invents
+    * plateaus): every missing (type, hour) cell gets
+    * v_prev + (v_next − v_prev)·(h − h_prev)/(h_next − h_prev), with
+    * the available side held at the edges. All inputs are exact
+    * integers (hourly counts, hour indexes); the interpolation is ONE
+    * fixed-parenthesization double expression, so both engines emit
+    * identical bits (no iterative smoothing, no accumulated float
+    * state).
+    *
+    * Scale shape: the hourly series is a partial agg; the grid is
+    * span-bounded per type; prev/next observations come from two
+    * IGNORE NULLS windows riding the SAME type-keyed exchange. */
+  val q267LinearInterp: Q = Q.sql(
+    "q267_linear_interp",
+    """WITH hourly AS (
+      |  SELECT event_type AS g,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
+      |), span AS (
+      |  SELECT g, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+      |), grid AS (
+      |  SELECT g, unnest(range(h0, h1 + 1)) AS h FROM span
+      |), j AS (
+      |  SELECT grid.g, grid.h, hourly.v
+      |  FROM grid LEFT JOIN hourly
+      |    ON hourly.g = grid.g AND hourly.h = grid.h
+      |), w AS (
+      |  SELECT g, h, v,
+      |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER (PARTITION BY g ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER (PARTITION BY g ORDER BY h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+      |  FROM j
+      |)
+      |SELECT g AS event_type, CAST(h AS BIGINT) AS hour_index,
+      |  v IS NOT NULL AS observed, v AS raw,
+      |  CASE
+      |    WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+      |    WHEN vp IS NULL THEN CAST(vn AS DOUBLE)
+      |    WHEN vn IS NULL THEN CAST(vp AS DOUBLE)
+      |    ELSE CAST(vp AS DOUBLE)
+      |      + (CAST(vn - vp AS DOUBLE) * (h - hp)) / (hn - hp)
+      |  END AS filled
+      |FROM w""".stripMargin,
+    "dense hourly grid with linear interpolation between observations") {
+    (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .where(col("user_id") % 7 === 0)
+        .groupBy(col("event_type").as("g"),
+          floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("h"))
+        .agg(count(lit(1)).cast("long").as("v"))
+      val grid = hourly.groupBy(col("g"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("g"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+      val wPrev = Window.partitionBy(col("g")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("g")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val j = grid.join(hourly, Seq("g", "h"), "left")
+      val w = j.select(col("g"), col("h"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("vp"),
+        last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+          .over(wPrev).as("hp"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("vn"),
+        first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+          .over(wNext).as("hn"))
+      w.select(col("g").as("event_type"),
+        col("h").cast("long").as("hour_index"),
+        col("v").isNotNull.as("observed"), col("v").as("raw"),
+        when(col("v").isNotNull, col("v").cast("double"))
+          .when(col("vp").isNull, col("vn").cast("double"))
+          .when(col("vn").isNull, col("vp").cast("double"))
+          .otherwise(col("vp").cast("double") +
+            ((col("vn") - col("vp")).cast("double") *
+              (col("h") - col("hp"))) / (col("hn") - col("hp")))
+          .as("filled"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6266,5 +6355,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp)
 }
