@@ -6335,6 +6335,96 @@ object Relational {
           .as("filled"))
   }
 
+  // ---------------------------------------------------------------- q268
+  /** Precision-recall curve + exact average precision (sklearn
+    * `average_precision_score`) — the eval metric that matters when
+    * positives are rare, where q216's ROC-AUC stays optimistically
+    * flat: every distinct score threshold (descending) gets exact
+    * integer TP/FP off cumulative sums over the bounded distinct-score
+    * frame, precision and recall are single divisions, and AP = Σ ΔR·P
+    * folds LEFT-ASSOCIATED over descending thresholds (the q236/q266
+    * fold discipline — a plain double SUM is aggregation-order-
+    * dependent), carried as a running column whose last row is the
+    * final AP.
+    *
+    * Scale shape: ONE conditional partial agg collapses the corpus to
+    * the ≤1000-row distinct-score histogram; every window and the fold
+    * ride that bounded frame (q216's shape, pointed at PR space). */
+  val q268PrCurve: Q = Q.sql(
+    "q268_pr_curve",
+    """WITH u AS (
+      |  SELECT CAST(floor(1000 * CAST(floor(value * 100) AS BIGINT)
+      |      / (CAST(floor(value * 100) AS BIGINT) + 5000)) AS BIGINT)
+      |      AS sc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      |), h AS (
+      |  SELECT sc, CAST(SUM(y) AS BIGINT) AS pos,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      |  FROM u GROUP BY 1
+      |), c AS (
+      |  SELECT sc, pos, neg,
+      |    CAST(SUM(pos) OVER (ORDER BY sc DESC) AS BIGINT) AS tp,
+      |    CAST(SUM(neg) OVER (ORDER BY sc DESC) AS BIGINT) AS fp,
+      |    CAST(SUM(pos) OVER () AS BIGINT) AS pos_tot,
+      |    CAST(COUNT(*) OVER (ORDER BY sc DESC) AS BIGINT) AS k
+      |  FROM h
+      |), f AS MATERIALIZED (
+      |  SELECT sc, pos, tp, fp, pos_tot, k,
+      |    CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+      |    CAST(tp AS DOUBLE) / pos_tot AS recall,
+      |    (CAST(pos AS DOUBLE) / pos_tot)
+      |      * (CAST(tp AS DOUBLE) / (tp + fp)) AS ap_term
+      |  FROM c
+      |), al AS (
+      |  SELECT list(ap_term ORDER BY sc DESC) AS ts FROM f
+      |)
+      |SELECT sc AS threshold, tp, fp, precision, recall,
+      |  list_reduce(ts[:k], (a, b) -> a + b) AS ap_so_far
+      |FROM f, al""".stripMargin,
+    "PR curve over distinct thresholds with running exact average precision") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(
+          expr("cast(floor(1000 * cast(floor(value * 100) as bigint)" +
+            " / (cast(floor(value * 100) as bigint) + 5000)) as bigint)")
+            .as("sc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val h = u.groupBy(col("sc"))
+        .agg(sum(col("y")).cast("long").as("pos"),
+          (count(lit(1)) - sum(col("y"))).cast("long").as("neg"))
+      val wDesc = Window.orderBy(col("sc").desc)
+      val wCum = wDesc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy()
+      val c = h.select(col("sc"), col("pos"), col("neg"),
+        sum(col("pos")).over(wCum).cast("long").as("tp"),
+        sum(col("neg")).over(wCum).cast("long").as("fp"),
+        sum(col("pos")).over(wAll).cast("long").as("pos_tot"),
+        count(lit(1)).over(wCum).cast("long").as("k"))
+      val f = c.select(col("sc"), col("pos"), col("tp"), col("fp"),
+        col("pos_tot"), col("k"),
+        (col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        (col("tp").cast("double") / col("pos_tot")).as("recall"),
+        ((col("pos").cast("double") / col("pos_tot")) *
+          (col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("ap_term"))
+      // ordered term list as one bounded row, broadcast back (q236)
+      val al = f.agg(transform(
+        sort_array(collect_list(struct((-col("sc")).as("nsc"),
+          col("ap_term").as("t")))),
+        x => x.getField("t")).as("ts"))
+      f.crossJoin(broadcast(al))
+        .select(col("sc").as("threshold"), col("tp"), col("fp"),
+          col("precision"), col("recall"),
+          aggregate(slice(col("ts"), lit(1), col("k").cast("int")),
+            lit(0.0), (acc, x) => acc + x).as("ap_so_far"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6355,5 +6445,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp, q268PrCurve)
 }
