@@ -2215,6 +2215,54 @@ object StreamingQ {
       }
   }
 
+  // ---------------------------------------------------------------- q269
+  /** Streaming token-bucket rate limiting (see
+    * [[graft.streaming.StreamingTokenBucket]]) — per-user admission
+    * control whose transition depends on the inter-arrival GAP: a
+    * genuine sequential state machine no batch window can spell, run
+    * on buffered-fold state with TWO LONGS of permanent state per key.
+    * The entire recurrence is integer min/add/subtract in micro-token
+    * units (one token = 12h of refill = 4.32e10 units), so the oracle's
+    * recursive-CTE replay matches bit-for-bit with no float anywhere —
+    * the q188 discipline with even stronger exactness. */
+  val q269TokenBucket: Q = Q.sql(
+    "q269_token_bucket",
+    """WITH RECURSIVE o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_id, ts_us, rn, TRUE AS allowed,
+      |    CAST(86400000000 - 43200000000 AS BIGINT) AS tokens
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.event_id, o.ts_us, o.rn,
+      |    LEAST(CAST(86400000000 AS BIGINT),
+      |      r.tokens + (o.ts_us - r.ts_us)) >= 43200000000 AS allowed,
+      |    CASE WHEN LEAST(CAST(86400000000 AS BIGINT),
+      |        r.tokens + (o.ts_us - r.ts_us)) >= 43200000000
+      |      THEN LEAST(CAST(86400000000 AS BIGINT),
+      |        r.tokens + (o.ts_us - r.ts_us)) - 43200000000
+      |      ELSE LEAST(CAST(86400000000 AS BIGINT),
+      |        r.tokens + (o.ts_us - r.ts_us)) END AS tokens
+      |  FROM o JOIN r ON r.user_id = o.user_id AND o.rn = r.rn + 1
+      |)
+      |SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn, allowed,
+      |  tokens AS tokens_after
+      |FROM r
+      |WHERE ts_us // 1000 <
+      |      (SELECT (MAX(epoch_us(ts)) // 1000) - 600000 FROM events)"""
+      .stripMargin,
+    "per-user token-bucket admission decisions on exact integer state") {
+    (s, dir) =>
+      streamOnce("stream-token-bucket", s, dir) { _ =>
+        graft.streaming.StreamingTokenBucket(
+          StreamingFeed.eventsStream(s, dir, glob = "events.parquet")).toDF()
+      }.select(col("user_id"), col("event_id"), col("rn"), col("allowed"),
+        col("tokens_after"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -2226,5 +2274,5 @@ object StreamingQ {
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
-    q255StreamBootstrapRestart, q263LateDropGate)
+    q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket)
 }
