@@ -6425,6 +6425,84 @@ object Relational {
             lit(0.0), (acc, x) => acc + x).as("ap_so_far"))
   }
 
+  // ---------------------------------------------------------------- q271
+  /** Heterogeneous treatment effects (per-segment uplift) — the
+    * question AFTER q174/q225/q230 establish THAT the treatment works:
+    * WHERE does it work? Users are segmented into engagement quintiles
+    * (NTILE over event counts, deterministic tiebreak — q230's
+    * pre-period discipline) and each segment reports its own treated
+    * vs control conversion rates and uplift, ranked by uplift with
+    * full tiebreaks — the targeting readout (roll out to the segments
+    * that respond; q234's gains logic applied to a treatment).
+    *
+    * Counts exact bigints off ONE user partial agg; rates and uplift
+    * fixed-parenthesization divisions; NTILE sorts only the user
+    * dimension. */
+  val q271UpliftSegments: Q = Q.sql(
+    "q271_uplift_segments",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ev
+      |  FROM events GROUP BY 1, 2
+      |), q AS (
+      |  SELECT user_id, arm, conv,
+      |    CAST(NTILE(5) OVER (ORDER BY n_ev, user_id) AS BIGINT) AS seg
+      |  FROM u
+      |), c AS (
+      |  SELECT seg,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_t,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_t,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_c,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_c
+      |  FROM q GROUP BY 1
+      |), d AS (
+      |  SELECT seg, n_t, conv_t, n_c, conv_c,
+      |    CAST(conv_t AS DOUBLE) / n_t AS rate_t,
+      |    CAST(conv_c AS DOUBLE) / n_c AS rate_c,
+      |    CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c
+      |      AS uplift
+      |  FROM c
+      |)
+      |SELECT seg, n_t, conv_t, n_c, conv_c, rate_t, rate_c, uplift,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY uplift DESC, seg) AS BIGINT)
+      |    AS rnk
+      |FROM d""".stripMargin,
+    "per-engagement-quintile treated vs control conversion uplift, ranked") {
+    (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"), count(lit(1)).cast("long").as("n_ev"))
+      val q = u.select(col("user_id"), col("arm"), col("conv"),
+        ntile(5).over(Window.orderBy(col("n_ev"), col("user_id")))
+          .cast("long").as("seg"))
+      val c = q.groupBy(col("seg"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_t"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+            .cast("long").as("conv_t"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+            .as("n_c"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+            .cast("long").as("conv_c"))
+      val d = c.select(col("seg"), col("n_t"), col("conv_t"), col("n_c"),
+        col("conv_c"),
+        (col("conv_t").cast("double") / col("n_t")).as("rate_t"),
+        (col("conv_c").cast("double") / col("n_c")).as("rate_c"),
+        (col("conv_t").cast("double") / col("n_t") -
+          col("conv_c").cast("double") / col("n_c")).as("uplift"))
+      d.select(col("seg"), col("n_t"), col("conv_t"), col("n_c"),
+        col("conv_c"), col("rate_t"), col("rate_c"), col("uplift"),
+        row_number().over(Window.orderBy(col("uplift").desc, col("seg")))
+          .cast("long").as("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6445,5 +6523,5 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp, q268PrCurve)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp, q268PrCurve, q271UpliftSegments)
 }

@@ -2263,6 +2263,29 @@ object StreamingQ {
         col("tokens_after"))
   }
 
+  // ---------------------------------------------------------------- q270
+  /** Checkpoint restart of the token-bucket state — the TENTH state
+    * shape under the restart matrix, and the one with the longest
+    * causal memory: q269's per-key (count, prev_ts, tokens) pair plus
+    * the ordered open buffer. A recovery error here doesn't just shift
+    * one output row — a lost or replayed event changes the bucket
+    * level and flips admission decisions ARBITRARILY FAR downstream
+    * (every later decision depends on every earlier gap), so the
+    * bit-exact recursive-CTE oracle fails at the first divergence and
+    * the gate cannot pass by luck. Cut mid-feed by q117's scaffold,
+    * q269's oracle verbatim. */
+  val q270TokenBucketRestart: Q = Q.sql(
+    "q270_token_bucket_restart",
+    q269TokenBucket.oracle.get,
+    "checkpoint restart mid-feed of the token-bucket admission state") {
+    (s, dir) =>
+      streamRestart("token-bucket-restart", s, dir) { (sess, watch) =>
+        graft.streaming.StreamingTokenBucket(
+          StreamingFeed.eventsStream(sess, watch)).toDF()
+      }.select(col("user_id"), col("event_id"), col("rn"), col("allowed"),
+        col("tokens_after"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -2274,5 +2297,5 @@ object StreamingQ {
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
-    q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket)
+    q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket, q270TokenBucketRestart)
 }
