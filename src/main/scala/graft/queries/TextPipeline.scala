@@ -3647,6 +3647,87 @@ object TextPipeline {
             (sum(col("df")) * 8)).as("ratio"))
   }
 
+  // ---------------------------------------------------------------- q272
+  /** Kneser-Ney smoothing statistics — the counting half of the
+    * standard n-gram LM smoother (Chen–Goodman '98), which is ALL a
+    * distributed engine needs to compute (the probability assembly is
+    * per-query arithmetic downstream): per language, the bigram
+    * count-of-count statistics n1/n2 and the absolute discount
+    * D = n1/(n1 + 2·n2), plus the top-10 words by CONTINUATION count —
+    * the number of distinct LEFT contexts a word follows, KN's key
+    * insight ("Francisco" is frequent but follows only "San", so its
+    * unigram back-off weight should be tiny; raw frequency q221-style
+    * gets this wrong, continuation counts get it right).
+    *
+    * Everything is exact integer counting: bigram types are one
+    * partial-agg distinct, continuation counts a second partial agg
+    * over the TYPE frame, n1/n2 a third; D is the single emitted
+    * division. The rank window sees only the vocabulary. */
+  val q272KneserNey: Q = Q.sql(
+    "q272_kneser_ney",
+    """WITH t AS (
+      |  SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT lang,
+      |    list_extract(toks, CAST(i AS INT)) AS w1,
+      |    list_extract(toks, CAST(i AS INT) + 1) AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+      |  WHERE len(toks) >= 2
+      |), bc AS MATERIALIZED (
+      |  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM g GROUP BY 1, 2, 3
+      |), nn AS (
+      |  SELECT lang,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM bc GROUP BY 1
+      |), cont AS (
+      |  SELECT lang, w2 AS word, CAST(COUNT(*) AS BIGINT) AS cont_count
+      |  FROM bc GROUP BY 1, 2
+      |), top AS (
+      |  SELECT lang, word, cont_count,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY cont_count DESC, word) AS rn
+      |  FROM cont
+      |)
+      |SELECT top.lang, word, cont_count, CAST(rn AS BIGINT) AS rnk,
+      |  n1, n2,
+      |  CAST(n1 AS DOUBLE) / (n1 + 2 * n2) AS discount
+      |FROM top JOIN nn ON nn.lang = top.lang
+      |WHERE rn <= 10""".stripMargin,
+    "KN discount stats and top continuation-count words per language") {
+    (s, dir) =>
+      val t = docs(s, dir).select(col("lang"),
+        Text.tokens(col("text")).as("toks"))
+      val pairsCol = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val g = t.select(col("lang"), explode(pairsCol).as("p"))
+        .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bc = g.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint()
+      val nn = bc.groupBy(col("lang"))
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long")
+            .as("n2"))
+      val cont = bc.groupBy(col("lang"), col("w2").as("word"))
+        .agg(count(lit(1)).cast("long").as("cont_count"))
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("cont_count").desc, col("word"))
+      cont.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .join(nn, Seq("lang"))
+        .select(col("lang"), col("word"), col("cont_count"),
+          col("rn").cast("long").as("rnk"), col("n1"), col("n2"),
+          (col("n1").cast("double") / (col("n1") + lit(2) * col("n2")))
+            .as("discount"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3662,5 +3743,5 @@ object TextPipeline {
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
-    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank, q265PostingsSize)
+    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank, q265PostingsSize, q272KneserNey)
 }
