@@ -891,6 +891,43 @@ class PlanSpec extends AnyFunSuite {
       s"conditional join fell off the broadcast path:\n$p")
   }
 
+  test("q262: refinement pass joins only the broadcast target bucket") {
+    val p = plan("q262_exact_median")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket filter not a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"second pass shuffled:\n$p")
+  }
+
+  test("q264: sampling predicates are map-side; one keyed join") {
+    val p = plan("q264_universe_sample")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert(p.contains("partial_sum"), s"estimates not map-side combined:\n$p")
+  }
+
+  test("q265: postings gaps ride one term-keyed exchange") {
+    val p = plan("q265_postings_size")
+    val winLines =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("term#")),
+      s"gap window not term-partitioned:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("q268: PR curve rides the bounded score histogram") {
+    val p = plan("q268_pr_curve")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"score histogram not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"term-list broadcast fell off:\n$p")
+  }
+
+  test("q272: KN statistics are partial aggs; rank window per lang") {
+    val p = plan("q272_kneser_ney")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-10 not pushed into the window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+  }
+
   test("q244: both skew schemes partial-aggregate; no shuffle join") {
     val p = plan("q244_skew_planner")
     assert(p.contains("partial_count"),
