@@ -1019,7 +1019,145 @@ object Graphs {
           .as("assortativity"))
   }
 
+  // ---------------------------------------------------------------- q277
+  /** Grid-bucketed DBSCAN — density-based clustering, the classic
+    * unsupervised family (outlier-robust, shape-free) the centroid
+    * methods (k-means q95b, SemDeDup cells q111) can't give: points
+    * with ≥ minPts neighbors within L∞ radius r are CORES, cores
+    * within r of each other share a cluster (connected components),
+    * non-cores within r of a core are BORDERS (joining their
+    * minimum-labeled core neighbor — the deterministic tiebreak the
+    * textbook algorithm leaves unspecified), everything else is NOISE.
+    *
+    * Distributed shape: neighbor pairs come from q180's 3×3 grid-cell
+    * equi-join (cell size = r, constant 9× fan-out — never an
+    * all-pairs theta join); neighbor counts are one partial agg over
+    * those pairs; the core-core component runs on GraphX (label = min
+    * core id, exactly the min-fixpoint the oracle's recursive CTE
+    * computes); border assignment is one more partial-agg MIN. At
+    * 100 TB the only density-sensitive stage is the pair join itself,
+    * whose output is the neighbor graph — inherent to fixed-eps DBSCAN
+    * (production runs shrink r with density; the plan shape is
+    * unchanged).
+    *
+    * The oracle replays the whole construction brute-force (theta
+    * neighbor join + recursive reach-min), so the gate proves the grid
+    * decomposition AND the component labels, not just row counts. */
+  val q277GridDbscan: Q = {
+    val r = 50000L
+    val minPts = 4L
+    Q.sql(
+      "q277_grid_dbscan",
+      s"""WITH RECURSIVE u AS (
+         |  SELECT DISTINCT user_id FROM events
+         |), pts AS (
+         |  SELECT user_id,
+         |    ('0x' || substr(md5('x' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000000 AS x,
+         |    ('0x' || substr(md5('y' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000000 AS y
+         |  FROM u
+         |), nb AS (
+         |  SELECT a.user_id AS ua, b.user_id AS ub
+         |  FROM pts a JOIN pts b
+         |    ON a.user_id <> b.user_id
+         |   AND abs(a.x - b.x) <= $r AND abs(a.y - b.y) <= $r
+         |), nc AS (
+         |  SELECT p.user_id, 1 + COALESCE(c.n, 0) AS n
+         |  FROM pts p LEFT JOIN
+         |    (SELECT ua, COUNT(*) AS n FROM nb GROUP BY 1) c
+         |    ON c.ua = p.user_id
+         |), core AS (
+         |  SELECT user_id FROM nc WHERE n >= $minPts
+         |), ce AS (
+         |  SELECT ua, ub FROM nb
+         |  WHERE ua IN (SELECT user_id FROM core)
+         |    AND ub IN (SELECT user_id FROM core)
+         |), rch(a, b) AS (
+         |  SELECT ua, ub FROM ce
+         |  UNION
+         |  SELECT rch.a, e.ub FROM rch JOIN ce e ON rch.b = e.ua
+         |), lab AS (
+         |  SELECT c.user_id,
+         |    least(c.user_id, coalesce(
+         |      (SELECT MIN(b) FROM rch WHERE a = c.user_id), c.user_id))
+         |      AS cluster
+         |  FROM core c
+         |), bord AS (
+         |  SELECT nb.ua AS user_id, MIN(lab.cluster) AS cluster
+         |  FROM nb JOIN lab ON lab.user_id = nb.ub
+         |  WHERE nb.ua NOT IN (SELECT user_id FROM core)
+         |  GROUP BY 1
+         |)
+         |SELECT p.user_id, lab.user_id IS NOT NULL AS is_core,
+         |  CAST(COALESCE(lab.cluster, bord.cluster) AS BIGINT) AS cluster
+         |FROM pts p
+         |LEFT JOIN lab ON lab.user_id = p.user_id
+         |LEFT JOIN bord ON bord.user_id = p.user_id""".stripMargin,
+      "grid-bucketed DBSCAN: cores, min-label border assignment, noise") {
+      (s, dir) =>
+        val spark = s
+        import spark.implicits._
+        val pts = Tables(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id"),
+            (graft.ops.Text.baseHash(
+              concat(lit("x"), col("user_id").cast("string")))
+              % 1000000L).as("x"),
+            (graft.ops.Text.baseHash(
+              concat(lit("y"), col("user_id").cast("string")))
+              % 1000000L).as("y"))
+        // q180's grid plan, directed (a ≠ b): left side fans out to its
+        // 3×3 cell neighborhood, right side sits in its home cell
+        val offsets = explode(array((-1 to 1).flatMap(i =>
+          (-1 to 1).map(j => struct(lit(i.toLong).as("oi"),
+            lit(j.toLong).as("oj")))): _*)).as("o")
+        val left = pts.select(col("user_id").as("ua"),
+            col("x").as("ax"), col("y").as("ay"), offsets)
+          .select(col("ua"), col("ax"), col("ay"),
+            (expr(s"ax div $r") + col("o.oi")).as("cx"),
+            (expr(s"ay div $r") + col("o.oj")).as("cy"))
+        val right = pts.select(col("user_id").as("ub"),
+          col("x").as("bx"), col("y").as("by"),
+          expr(s"bx div $r").as("cx"), expr(s"by div $r").as("cy"))
+        val nb = left.join(right, Seq("cx", "cy"))
+          .filter(col("ua") =!= col("ub") &&
+            abs(col("ax") - col("bx")) <= r &&
+            abs(col("ay") - col("by")) <= r)
+          .select(col("ua"), col("ub"))
+          .localCheckpoint() // three consumers (counts, edges, borders)
+        val nc = nb.groupBy(col("ua")).agg(count(lit(1)).as("nn"))
+        val core = pts.join(nc, col("user_id") === col("ua"), "left")
+          .select(col("user_id"),
+            (coalesce(col("nn"), lit(0L)) + 1L >= minPts).as("is_core"))
+        val coreIds = core.filter(col("is_core")).select(col("user_id"))
+        val coreEdges = nb
+          .join(coreIds.select(col("user_id").as("ua")), Seq("ua"))
+          .join(coreIds.select(col("user_id").as("ub")), Seq("ub"))
+          .filter(col("ua") < col("ub"))
+        val vertsRdd = coreIds.rdd.map(r0 => (r0.getLong(0), 0))
+        val edgesRdd = coreEdges.select(col("ua"), col("ub")).rdd
+          .map(r0 => Edge(r0.getLong(0), r0.getLong(1), 0))
+        val lab = Graph(vertsRdd, edgesRdd).connectedComponents()
+          .vertices.toDF("core_id", "cluster")
+        val bord = nb
+          .join(lab.select(col("core_id").as("ub"), col("cluster")),
+            Seq("ub"))
+          .join(coreIds.select(col("user_id").as("ua")), Seq("ua"),
+            "left_anti")
+          .groupBy(col("ua")).agg(min(col("cluster")).as("b_cluster"))
+        core
+          .join(lab.select(col("core_id").as("user_id"),
+            col("cluster").as("c_cluster")), Seq("user_id"), "left")
+          .join(bord.select(col("ua").as("user_id"), col("b_cluster")),
+            Seq("user_id"), "left")
+          .select(col("user_id"), col("is_core"),
+            coalesce(col("c_cluster"), col("b_cluster")).cast("long")
+              .as("cluster"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q50GraphDegree, q51GraphComponents, q78PageRank,
     q84Triangles, q85ShortestPath, q114KCore, q138ClusteringCoeff,
-    q186WlRefinement, q209Hits, q231Assortativity, q239HarmonicCloseness, q259DiameterSweep)
+    q186WlRefinement, q209Hits, q231Assortativity, q239HarmonicCloseness, q259DiameterSweep,
+    q277GridDbscan)
 }

@@ -6503,6 +6503,118 @@ object Relational {
           .cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------- q278
+  /** Krippendorff's alpha (nominal) — the agreement coefficient q253's
+    * Cohen kappa cannot be: kappa handles exactly TWO raters with
+    * complete data; alpha handles any rater count AND missing ratings,
+    * which is what real annotation projects produce. Three weak
+    * labelers rate every document into four nominal buckets (labeler 1
+    * from `lang`, labeler 2 from `source`, labeler 3 from length —
+    * three independent views of "what kind of doc is this"), and
+    * labeler 3 abstains on a deterministic 1/5 of docs, exercising the
+    * m_u=2 vs m_u=3 weighting that distinguishes alpha from kappa.
+    *
+    * Exactness: the coincidence matrix is kept in DOUBLED integer
+    * units — each unit u contributes 2·r_uc·(r_uk − δ_ck)/(m_u − 1) to
+    * O_ck, integral because m_u−1 ∈ {1,2} and the c=k numerator is
+    * even — so Do, De and every marginal are exact bigints;
+    * alpha = 1 − (ΣN−2)·ΣoffO / ((ΣN)² − ΣN_c²) is the single double
+    * division at emission (derivation: Do/De = 2(n−1)·Σoff o/Σ_{c≠k}
+    * n_c·n_k with o = O/2, n_c = N_c/2, 2(n−1) = ΣN−2 — the doubled
+    * units fold the usual 1/n and 1/(n(n−1)) normalizers away;
+    * checked against a rater-loop reference implementation).
+    *
+    * Scale: ratings are map-side projections; per-unit category counts
+    * one partial agg; the per-unit pair expansion fans out ≤ 9 rows per
+    * doc (3 raters ⇒ ≤ 3 distinct categories); everything lands in a
+    * ≤ 16-row matrix crossed with one broadcast scalar row. */
+  val q278KrippendorffAlpha: Q = Q.sql(
+    "q278_krippendorff_alpha",
+    """WITH ratings AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('k1|' || lang), 1, 15))::BIGINT % 4 AS cat
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('k2|' || source), 1, 15))::BIGINT % 4
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, LEAST(3, n_chars // 100)
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5('k3|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |    % 5 <> 0
+      |), rc AS (
+      |  SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM ratings GROUP BY 1, 2
+      |), m AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM ratings GROUP BY 1
+      |), o AS (
+      |  SELECT a.cat AS c, b.cat AS k,
+      |    CAST(SUM((2 * a.r * (b.r - CASE WHEN a.cat = b.cat THEN 1 ELSE 0 END))
+      |      // (m.m - 1)) AS BIGINT) AS o2
+      |  FROM rc a JOIN rc b ON b.doc_id = a.doc_id
+      |  JOIN m ON m.doc_id = a.doc_id
+      |  GROUP BY 1, 2
+      |), marg AS (
+      |  SELECT c, CAST(SUM(o2) AS BIGINT) AS nc FROM o GROUP BY 1
+      |), sc AS (
+      |  SELECT CAST(SUM(nc) AS BIGINT) AS sn,
+      |    CAST(SUM(nc * nc) AS BIGINT) AS sn2
+      |  FROM marg
+      |), off AS (
+      |  SELECT CAST(SUM(CASE WHEN c <> k THEN o2 ELSE 0 END) AS BIGINT)
+      |    AS do_off
+      |  FROM o
+      |), un AS (
+      |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units FROM ratings
+      |)
+      |SELECT c, k, o2, n_units, sn // 2 AS n_ratings,
+      |  1.0 - CAST((sn - 2) * do_off AS DOUBLE) / (sn * sn - sn2)
+      |    AS alpha
+      |FROM o, sc, off, un""".stripMargin,
+    "Krippendorff nominal alpha over 3 weak labelers with missing ratings") {
+    (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val h = (p: String, c: Column) =>
+        graft.ops.Text.baseHash(concat(lit(p), c))
+      val ratings = d.select(col("doc_id"), (h("k1|", col("lang")) % 4).as("cat"))
+        .unionAll(d.select(col("doc_id"), (h("k2|", col("source")) % 4).as("cat")))
+        .unionAll(d
+          .filter(h("k3|", col("doc_id").cast("string")) % 5 =!= 0)
+          .select(col("doc_id"),
+            least(lit(3L), expr("n_chars div 100")).as("cat")))
+        .localCheckpoint() // four consumers below
+      val rc = ratings.groupBy(col("doc_id"), col("cat"))
+        .agg(count(lit(1)).cast("long").as("r"))
+      // grouping keeps the source attribute id, so m's doc_id would be
+      // ambiguous against the rc self-join's a/b sides — rename it
+      val m = ratings.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("m"))
+        .select(col("doc_id").as("m_doc"), col("m"))
+      val o = rc.as("a")
+        .join(rc.as("b"), col("a.doc_id") === col("b.doc_id"))
+        .join(m, col("a.doc_id") === col("m_doc"))
+        .select(col("a.cat").as("c"), col("b.cat").as("k"),
+          expr("(2 * a.r * (b.r - if(a.cat = b.cat, 1, 0))) div (m - 1)")
+            .as("contrib"))
+        .groupBy(col("c"), col("k"))
+        .agg(sum(col("contrib")).cast("long").as("o2"))
+        .localCheckpoint() // matrix rows reused by marginals + off-diag
+      val marg = o.groupBy(col("c")).agg(sum(col("o2")).cast("long").as("nc"))
+      val scal = marg.agg(sum(col("nc")).cast("long").as("sn"),
+        sum(col("nc") * col("nc")).cast("long").as("sn2"))
+        .crossJoin(o.agg(sum(when(col("c") =!= col("k"), col("o2"))
+          .otherwise(0L)).cast("long").as("do_off")))
+        .crossJoin(ratings.agg(countDistinct(col("doc_id")).cast("long")
+          .as("n_units")))
+      o.crossJoin(broadcast(scal))
+        .select(col("c"), col("k"), col("o2"), col("n_units"),
+          expr("sn div 2").as("n_ratings"),
+          (lit(1.0) - ((col("sn") - 2L) * col("do_off"))
+            .cast("double") / (col("sn") * col("sn") - col("sn2")))
+            .as("alpha"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6523,5 +6635,6 @@ object Relational {
     q210JoinEstimate, q212DelayQuantiles, q214IvmRetract, q215KsDrift,
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
-    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp, q268PrCurve, q271UpliftSegments)
+    q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp, q268PrCurve, q271UpliftSegments,
+    q278KrippendorffAlpha)
 }

@@ -2286,6 +2286,67 @@ object StreamingQ {
         col("tokens_after"))
   }
 
+  // ---------------------------------------------------------------- q279
+  /** Watermarked stream-stream LEFT SEMI interval join — the EXISTENCE
+    * member completing the streaming join family (inner q90, left
+    * outer q99, full outer q100, capped q201): "purchases that HAD a
+    * click in the trailing 2h band", each emitted at most ONCE no
+    * matter how many clicks match. Semi is the semantics ingestion
+    * dedup-gates and routing decisions want — multiplicity-free, so
+    * state can drop a left row the moment its first match arrives
+    * instead of buffering for potential further matches.
+    *
+    * Unlike q99/q100 there is NO eviction-time output: an unmatched
+    * purchase simply never emits, so the closed-form oracle is the
+    * clean batch EXISTS with no watermark-horizon asymmetry — the one
+    * streaming join whose batch twin needs no eviction reasoning
+    * (that property is itself under test: any duplicate emission per
+    * extra click, or any eviction-time row, breaks the hash). */
+  private def semiJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    streamOnce("stream-semi-join", spark, dir, shufflePartitions = Some(8)) { sess =>
+      val purchases = StreamingFeed
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("value").as("p_value"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = StreamingFeed
+        .eventsStream(sess, dir, glob = "events.parquet").toDF()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+          col("c_ts") <= col("p_ts"),
+        "leftSemi")
+        .select(col("user_id"), col("p_event_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"))
+    }
+  }
+
+  val q279StreamSemiJoin: Q = Q.sql(
+    "q279_stream_semi_join",
+    """SELECT CAST(p.user_id AS BIGINT) AS user_id,
+      |  CAST(p.event_id AS BIGINT) AS p_event_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+      |  p.value AS p_value
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (SELECT 1 FROM events c
+      |    WHERE c.event_type = 'click'
+      |      AND c.user_id = p.user_id
+      |      AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |      AND epoch_us(c.ts) <= epoch_us(p.ts))""".stripMargin,
+    "watermarked stream-stream LEFT SEMI interval join (exists-once)") {
+    (s, dir) =>
+      semiJoinStream(s, dir).select(col("user_id"), col("p_event_id"),
+        col("p_ts_us"), col("p_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q73StreamIngest, q80StreamWindow, q81StreamDedup, q83StreamEnrich,
     q86StreamSessions, q90StreamJoin, q96StreamKmv, q99StreamOuterJoin,
@@ -2297,5 +2358,6 @@ object StreamingQ {
     q191StreamEwmaRestart, q200StreamPitEnrich, q201CappedStreamJoin,
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
-    q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket, q270TokenBucketRestart)
+    q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket, q270TokenBucketRestart,
+    q279StreamSemiJoin)
 }

@@ -3728,6 +3728,402 @@ object TextPipeline {
             .as("discount"))
   }
 
+  // ---------------------------------------------------------------- q273
+  /** Bag-of-words canonical dedup — the order-insensitive axis the
+    * exact family (q22) misses: two docs with the same token MULTISET
+    * in a different order (shuffled boilerplate, re-ordered lists,
+    * template rotations) are duplicates under the bag key
+    * `md5(sort(tokens))` but not under `md5(text)`. Emits the
+    * per-source dedup ledger for BOTH keys plus `extra_caught` — docs
+    * an exact pass keeps that the bag pass drops, the measured value
+    * of canonicalizing before hashing (Dolma/CCNet normalize-first
+    * discipline).
+    *
+    * Scale: one map-side sort of each doc's own token array (bounded
+    * by doc length, never a corpus sort), then one hash-partitioned
+    * exchange per key for the two min-over-key windows; output is
+    * |sources| rows. The 60-bit [[Text.baseHash]] key means both
+    * shuffles carry longs, not text. */
+  val q273BagDedup: Q = Q.sql(
+    "q273_bag_dedup",
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(array_to_string(
+      |      list_sort(string_split_regex(trim(text), '\s+')), ' ')),
+      |      1, 15))::BIGINT AS bag_h,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS txt_h
+      |  FROM documents
+      |), k AS (
+      |  SELECT source,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY bag_h) AS bag_keep,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY txt_h) AS txt_keep
+      |  FROM c
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN bag_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bag_kept,
+      |  CAST(SUM(CASE WHEN txt_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS exact_kept,
+      |  CAST(SUM(CASE WHEN txt_keep AND NOT bag_keep THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS extra_caught
+      |FROM k GROUP BY 1""".stripMargin,
+    "order-insensitive bag-of-words dedup ledger vs the exact-text key") {
+    (s, dir) =>
+      val c = docs(s, dir).select(col("doc_id"), col("source"),
+        Text.baseHash(array_join(array_sort(Text.tokens(col("text"))), " "))
+          .as("bag_h"),
+        Text.baseHash(col("text")).as("txt_h"))
+      val wBag = Window.partitionBy(col("bag_h"))
+      val wTxt = Window.partitionBy(col("txt_h"))
+      c.select(col("source"),
+        (col("doc_id") === min(col("doc_id")).over(wBag)).as("bag_keep"),
+        (col("doc_id") === min(col("doc_id")).over(wTxt)).as("txt_keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("bag_keep"), 1L).otherwise(0L)).cast("long")
+            .as("bag_kept"),
+          sum(when(col("txt_keep"), 1L).otherwise(0L)).cast("long")
+            .as("exact_kept"),
+          sum(when(col("txt_keep") && !col("bag_keep"), 1L).otherwise(0L))
+            .cast("long").as("extra_caught"))
+  }
+
+  // ---------------------------------------------------------------- q274
+  /** Per-document contamination FRACTION — the GPT-3/PaLM appendix
+    * metric the boolean families don't give: for every held-out test
+    * doc, what fraction of its distinct char-8-grams also occurs in
+    * the train split? q89 emits overlapping PAIRS and q106 a Bloom
+    * yes/no; evaluation protocols instead threshold on per-doc overlap
+    * percentage ("dirty if >70% of 8-grams seen in train"), which
+    * needs this exact numerator/denominator per doc.
+    *
+    * Scale shape: the test split is megabytes while train is the
+    * 100 TB corpus, so the train side is never aggregated globally —
+    * train grams are LEFT SEMI joined against the broadcast test-gram
+    * set FIRST (output bounded by |test grams|), and only that bounded
+    * set is distinct-ed and broadcast back for the per-doc indicator
+    * join. Reuses the session-cached [[charGramIndex]] (one explode +
+    * md5 pass shared with q89/q106). */
+  val q274ContaminationFrac: Q = Q.sql(
+    "q274_contamination_frac",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 < 5 AS is_test
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([substr(text, i, 8)
+      |      for i in range(1, length(text) - 6)])) AS gram
+      |  FROM documents WHERE length(text) >= 8
+      |), sh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+      |  FROM sh0
+      |), te AS (
+      |  SELECT sh.doc_id AS test_doc, g
+      |  FROM sh JOIN h USING (doc_id) WHERE is_test
+      |), m AS (
+      |  SELECT DISTINCT g FROM sh JOIN h USING (doc_id)
+      |  WHERE NOT is_test AND g IN (SELECT g FROM te)
+      |)
+      |SELECT test_doc, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN m.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hit,
+      |  CAST(SUM(CASE WHEN m.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS frac
+      |FROM te LEFT JOIN m ON m.g = te.g
+      |GROUP BY 1""".stripMargin,
+    "per-test-doc fraction of char-8-grams present in the train split") {
+    (s, dir) =>
+      val sh = charGramIndex(s, dir)
+      val te = sh.filter(col("is_test"))
+        .select(col("doc_id").as("test_doc"), col("g"))
+      val teg = te.select(col("g")).distinct()
+      val matched = sh.filter(!col("is_test"))
+        .join(broadcast(teg), Seq("g"), "left_semi")
+        .select(col("g")).distinct()
+        .withColumn("hit", lit(1L))
+      te.join(broadcast(matched), Seq("g"), "left")
+        .groupBy(col("test_doc"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+        .select(col("test_doc"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams")).as("frac"))
+  }
+
+  // ---------------------------------------------------------------- q275
+  /** Quality-classifier INFERENCE at corpus scale — the fasttext-style
+    * filter every production pipeline (CCNet, GPT-3 WebText classifier,
+    * FineWeb-Edu) runs over 100 TB: a linear model on hashed unigram
+    * features, trained on a labeled split and applied map-side. Train
+    * pass: token occurrences from the 80% hash-split train docs fold
+    * into 256 hashed buckets (q220's vocabulary-free trick) with
+    * per-bucket (label=en) counts; the bucket weight is the CENTERED
+    * SMOOTHED PRECISION in exact micro-units,
+    * `w = (1e6·(pos+1)) div (pos+neg+2) − 5e5` — integer arithmetic
+    * end to end, so train AND inference never touch a float (q240's
+    * discipline applied to a linear scorer). Inference: each held-out
+    * doc's score is the bigint sum of its tokens' bucket weights
+    * (unseen buckets weigh 0 = the uninformative prior), predicted
+    * positive when > 0. Emits the per-(lang, pred) confusion ledger.
+    *
+    * Scale: one partial-agg over train tokens (256-row output),
+    * broadcast onto the eval scan, one per-doc partial agg, one
+    * 8-row final agg. Nothing shuffles the corpus; the weight table
+    * is bounded forever by construction. */
+  val q275QualityClassifier: Q = Q.sql(
+    "q275_quality_classifier",
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('qf|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 < 80 AS is_train,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), t AS (
+      |  SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM d WHERE is_train
+      |), wt AS (
+      |  SELECT b,
+      |    (1000000 * (SUM(y) + 1)) // (COUNT(*) + 2) - 500000 AS wgt
+      |  FROM t GROUP BY 1
+      |), sc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(COALESCE(wgt, 0)) AS BIGINT) AS score
+      |  FROM d LEFT JOIN wt
+      |    ON wt.b = ('0x' || substr(md5(d.w), 1, 15))::BIGINT % 256
+      |  WHERE NOT is_train
+      |  GROUP BY 1, 2
+      |)
+      |SELECT lang, score > 0 AS pred,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(score) AS BIGINT) AS tot_score
+      |FROM sc GROUP BY 1, 2""".stripMargin,
+    "hashed-feature linear quality filter: integer train + map-side apply") {
+    (s, dir) =>
+      val isTrain =
+        Text.baseHash(concat(lit("qf|"), col("doc_id").cast("string"))) %
+          100 < 80
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        isTrain.as("is_train"),
+        explode(Text.tokens(col("text"))).as("w"))
+        .withColumn("b", Text.baseHash(col("w")) % 256)
+      // `div` = integral division on both engines (all operands positive,
+      // so Spark's truncation and DuckDB's floor `//` agree)
+      val wt = d.filter(col("is_train"))
+        .groupBy(col("b"))
+        .agg(expr("cast((1000000 * (sum(case when lang = 'en' then 1 else 0" +
+          " end) + 1)) div (count(1) + 2) - 500000 as bigint)").as("wgt"))
+      val sc = d.filter(!col("is_train"))
+        .join(broadcast(wt), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(coalesce(col("wgt"), lit(0L))).cast("long").as("score"))
+      sc.groupBy(col("lang"), (col("score") > 0).as("pred"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("score")).cast("long").as("tot_score"))
+  }
+
+  // ---------------------------------------------------------------- q276
+  /** Corpus novelty-decay curve — the "is more data still new data"
+    * measurement behind dedup ROI and scaling-law data budgets: walk
+    * the corpus in ingest order (doc_id), split into ten deciles, and
+    * for each decile count how many of its word-8-gram occurrences are
+    * the FIRST occurrence of that gram anywhere (novel) vs repeats of
+    * grams an earlier decile already contributed. A healthy fresh
+    * crawl holds novelty flat; a recrawl-heavy feed decays toward
+    * zero — this one curve is the go/no-go for ingesting the next
+    * 10 TB of a source.
+    *
+    * Exact and one-pass: gram first-sightings are `min(doc_id)` per
+    * 60-bit gram hash (a single map-side-combined partial agg — the
+    * same shuffle any dedup pass already pays), decile totals a second
+    * tiny agg, and the cumulative column a window over ten rows. */
+  val q276NoveltyCurve: Q = Q.sql(
+    "q276_novelty_curve",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS g
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) u
+      |  WHERE len(toks) >= 8
+      |), mx AS (
+      |  SELECT MAX(doc_id) + 1 AS n FROM documents
+      |), post AS (
+      |  SELECT (doc_id * 10) // n AS decile, CAST(COUNT(*) AS BIGINT) AS n_postings
+      |  FROM g, mx GROUP BY 1
+      |), nov AS (
+      |  SELECT (MIN(doc_id) * 10) // (SELECT n FROM mx) AS decile
+      |  FROM g GROUP BY g.g
+      |), novc AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_novel
+      |  FROM nov GROUP BY 1
+      |)
+      |SELECT post.decile, n_postings,
+      |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST(SUM(COALESCE(n_novel, 0)) OVER (ORDER BY post.decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_novel,
+      |  CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_postings AS novelty_rate
+      |FROM post LEFT JOIN novc ON novc.decile = post.decile""".stripMargin,
+    "per-decile novel word-8-gram counts: the data-freshness decay curve") {
+    (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"),
+        Text.tokens(col("text")).as("toks"))
+      val g = t.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 7),
+          i => concat_ws(" ",
+            (0 until 8).map(o => element_at(col("toks"), i + lit(o))): _*)))
+          .as("gram"))
+        .select(col("doc_id"), Text.baseHash(col("gram")).as("g"))
+      val mx = docs(s, dir).agg((max(col("doc_id")) + 1L).as("n"))
+      val post = g.crossJoin(broadcast(mx))
+        .select(expr("cast((doc_id * 10) div n as bigint)").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("n_postings"))
+      val nov = g.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .select(expr("cast((first_doc * 10) div n as bigint)").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("n_novel"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      post.join(nov, Seq("decile"), "left")
+        .select(col("decile"), col("n_postings"),
+          coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"))
+        .withColumn("cum_novel", sum(col("n_novel")).over(wCum).cast("long"))
+        .select(col("decile"), col("n_postings"), col("n_novel"),
+          col("cum_novel"),
+          (col("n_novel").cast("double") / col("n_postings"))
+            .as("novelty_rate"))
+  }
+
+  // ---------------------------------------------------------------- q280
+  /** Per-language quantile quality cut — the CCNet selection rule:
+    * every language keeps only its docs at or above its OWN p75 of a
+    * quality signal (here `n_chars`), so low-resource languages are
+    * never starved by a global threshold. The threshold is the EXACT
+    * order statistic (value at rank ⌈0.75·n⌉ ascending), computed from
+    * the per-(lang, value) histogram + one cumulative window over the
+    * BOUNDED value domain — the corpus itself is never sorted
+    * (q182/q176's histogram discipline), and the cut is applied
+    * map-side against the broadcast per-lang threshold row.
+    *
+    * Emits the per-language curation ledger: threshold, totals, kept
+    * counts, kept fraction — |langs| rows. */
+  val q280QuantileCut: Q = Q.sql(
+    "q280_quantile_cut",
+    """WITH h AS (
+      |  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT lang, v, c,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+      |    SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM h
+      |), thr AS (
+      |  SELECT lang, MIN(v) AS thr, MIN(n) AS n_docs
+      |  FROM cum WHERE cumc >= (3 * n + 3) // 4
+      |  GROUP BY 1
+      |)
+      |SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+      |  CAST(t.thr AS BIGINT) AS thr,
+      |  CAST(SUM(CASE WHEN d.n_chars >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN d.n_chars >= t.thr THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / t.n_docs AS kept_frac
+      |FROM documents d JOIN thr t ON t.lang = d.lang
+      |GROUP BY t.lang, t.n_docs, t.thr""".stripMargin,
+    "per-language exact-p75 quality cut from bounded histograms") {
+    (s, dir) =>
+      val h = docs(s, dir).groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+      val thr = h
+        .withColumn("cumc", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .filter(col("cumc") >= expr("(3 * n + 3) div 4"))
+        .groupBy(col("lang"))
+        .agg(min(col("v")).as("thr"), min(col("n")).as("n_docs"))
+      docs(s, dir).join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"), col("n_docs"), col("thr"))
+        .agg(sum(when(col("n_chars") >= col("thr"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"))
+        .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+          col("thr").cast("long").as("thr"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs")).as("kept_frac"))
+  }
+
+  // ---------------------------------------------------------------- q281
+  /** Shingle CONTAINMENT pairs — Broder's second similarity measure,
+    * the one resemblance (Jaccard, q23) structurally misses: when doc A
+    * is quoted inside a much larger doc B, |A∩B|/|A| ≈ 1 while Jaccard
+    * ≈ |A|/|B| ≈ 0, so subset-duplicates sail through every
+    * resemblance threshold. Candidates come from the SAME df-cut
+    * shingle inverted index as q23 (shared session cache, same skew
+    * guard), but WITHOUT q23's 2× size-band prune — that prune is
+    * exactly what containment must not do, since asymmetric sizes are
+    * the signal. Emits both directed containments per candidate pair
+    * (≥ 0.5 in either direction), with the intersection and both set
+    * sizes so downstream policy can pick its own threshold.
+    *
+    * Scale: identical join shape to q23 — candidate fan-out bounded by
+    * the df≤100 cut, one partial-agg count per pair, sizes broadcast
+    * back through the same bounded frames. */
+  val q281ContainmentPairs: Q = Q.sql(
+    "q281_containment_pairs",
+    s"""WITH sh AS (
+      |  $shingleHashSql
+      |), shf AS (
+      |  SELECT sh.doc_id, sh.h FROM sh
+      |  JOIN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 100) f USING (h)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM shf a JOIN shf b ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS i,
+      |  CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb,
+      |  CAST(i AS DOUBLE) / sa.sz AS cont_a,
+      |  CAST(i AS DOUBLE) / sb.sz AS cont_b
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / sa.sz >= 0.5
+      |   OR CAST(i AS DOUBLE) / sb.sz >= 0.5""".stripMargin,
+    "directed shingle containment pairs: the subset-duplicate catcher") {
+    (s, dir) =>
+      val idx = shingleIndex(s, dir)
+      val heavy = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select(col("h"))
+      val cut = idx.join(heavy, Seq("h"), "left_anti")
+      val sizes = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cut.as("a")
+        .join(cut.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val contA = col("i").cast("double") / col("sza")
+      val contB = col("i").cast("double") / col("szb")
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          Seq("doc_b"))
+        .filter(contA >= 0.5 || contB >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("i").cast("long").as("i"),
+          col("sza").cast("long").as("sza"), col("szb").cast("long").as("szb"),
+          contA.as("cont_a"), contB.as("cont_b"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -3743,5 +4139,7 @@ object TextPipeline {
     q164PostingsIndex, q166HllDistinct, q183BpeApply, q185ShardedPostings,
     q195SortedNeighborhood, q197PrefixJaccard, q205DupSpans,
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
-    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank, q265PostingsSize, q272KneserNey)
+    q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank, q265PostingsSize, q272KneserNey,
+    q273BagDedup, q274ContaminationFrac, q275QualityClassifier,
+    q276NoveltyCurve, q280QuantileCut, q281ContainmentPairs)
 }

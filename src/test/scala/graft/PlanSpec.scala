@@ -935,4 +935,74 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"total frame fell off the broadcast path:\n$p")
   }
+
+  test("q273: bag dedup is join-free; ledger partial-aggregates") {
+    val p = plan("q273_bag_dedup")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"ledger not map-side combined:\n$p")
+  }
+
+  test("q274: test-gram set broadcasts against the train side") {
+    val p = plan("q274_contamination_frac")
+    assert(p.contains("BroadcastHashJoin"),
+      s"test grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"train side shuffled on grams:\n$p")
+  }
+
+  test("q275: weight table broadcasts onto the eval scan") {
+    val p = plan("q275_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for weights:\n$p")
+    assert(p.contains("partial_sum"), s"train counts not map-side:\n$p")
+  }
+
+  test("q276: novelty curve is two partial aggs, no corpus sort") {
+    val p = plan("q276_novelty_curve")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"first-sighting agg not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // the only window is the 10-row decile cumsum — never gram-keyed
+    val winLines =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.forall(l => !l.contains("g#")),
+      s"window over the gram domain:\n$p")
+  }
+
+  test("q277: DBSCAN candidates come from the cell equi-join") {
+    val p = plan("q277_grid_dbscan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor pairs fell back to a product:\n$p")
+  }
+
+  test("q278: the alpha matrix folds through partial aggs") {
+    val p = plan("q278_krippendorff_alpha")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-unit counts not map-side combined:\n$p")
+    // the scalar row rides the broadcast-1-row pattern, never a
+    // shuffled join or an unbroadcast product
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scalar stats joined by shuffle:\n$p")
+  }
+
+  test("q280: threshold applies via broadcast; histogram windows per lang") {
+    val p = plan("q280_quantile_cut")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang thresholds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the cut:\n$p")
+    val winLines =
+      p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("lang#")),
+      s"cumulative window not lang-partitioned:\n$p")
+  }
+
+  test("q281: containment pairs ride the shingle equi-join") {
+    val p = plan("q281_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation went all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"intersection counts not map-side combined:\n$p")
+  }
 }
