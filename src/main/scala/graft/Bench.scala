@@ -94,6 +94,42 @@ object Bench {
     (iters / 1e6) / dt + (x & 1) * 1e-9
   }
 
+  /** ALL-CORES calibration: the same xorshift yardstick run on 32
+    * threads at once, reported as summed M ops/s. The round-8 morning
+    * showed why the single-thread probe is not enough: two same-surface
+    * runs read 1.45-1.52× the healthy reference while single-thread
+    * calibration was FASTER than in the healthy window (514-520 vs
+    * 471-478 Mops) and io was borderline-fine — i.e. the host had lost
+    * parallel throughput (SMT neighbors / core allocation), which no
+    * per-thread or /proc/stat field shows. This probe measures exactly
+    * that axis. Record-only for now: it enters the health envelope once
+    * a healthy-window baseline value is committed alongside it. */
+  def cpuCalibrationParMops(threads: Int = 32,
+      iters: Long = 100000000L): Double = {
+    val mops = new java.util.concurrent.atomic.DoubleAdder
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var w = 0L
+        while (w < 10000000L) { // per-thread JIT warm-up, untimed
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          w += 1
+        }
+        var i = 0L
+        val t0 = System.nanoTime()
+        while (i < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        mops.add((iters / 1e6) / dt + (x & 1) * 1e-9)
+      })
+    }
+    pool.foreach(_.start())
+    pool.foreach(_.join())
+    mops.sum()
+  }
+
   /** (steal, total) jiffies from the aggregate /proc/stat cpu line; the
     * delta across the run exposes host CPU contention — the round-5
     * observation that a throttle window can ALSO steal cycles, smearing
@@ -112,6 +148,7 @@ object Bench {
     // calibrate the host volume BEFORE staging reads warm the page cache
     val ioMbps = ioCalibrationMbps(sys.props("java.io.tmpdir"))
     val cpuMops = cpuCalibrationMops()
+    val cpuParMops = cpuCalibrationParMops()
     val cpu0 = cpuStatTicks()
     val sfDir = stageInput(sfDirRaw)
     System.err.println(
@@ -207,10 +244,11 @@ object Bench {
     Thread.sleep(2000)
     val ioEnd = ioCalibrationMbps(sys.props("java.io.tmpdir"))
     val cpuMopsEnd = cpuCalibrationMops()
+    val cpuParMopsEnd = cpuCalibrationParMops()
     val stealPct = (for ((s0, t0) <- cpu0; (s1, t1) <- cpuStatTicks()
       if t1 > t0) yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     val ioField = f"$ioMbps%.1f"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"cpu_calibration_par_mops":${f"$cpuParMops%.0f"},"cpu_calibration_par_end_mops":${f"$cpuParMopsEnd%.0f"},"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
     println(json)
     // Healthy-window guard (round-7 lesson: a degraded host window — io
     // writeback throttled to 88 MB/s, cpu calibration 445 Mops — produced
