@@ -1031,14 +1031,20 @@ object Graphs {
     *
     * Distributed shape: neighbor pairs come from q180's 3×3 grid-cell
     * equi-join (cell size = r, constant 9× fan-out — never an
-    * all-pairs theta join); neighbor counts are one partial agg over
-    * those pairs; the core-core component runs on GraphX (label = min
-    * core id, exactly the min-fixpoint the oracle's recursive CTE
-    * computes); border assignment is one more partial-agg MIN. At
-    * 100 TB the only density-sensitive stage is the pair join itself,
-    * whose output is the neighbor graph — inherent to fixed-eps DBSCAN
-    * (production runs shrink r with density; the plan shape is
-    * unchanged).
+    * all-pairs theta join), and the pair stream is consumed ONLY by
+    * map-side-combined partial aggs — never materialized, never fed to
+    * GraphX. The CC input is the CELL-CONTRACTED graph (cell size = r
+    * makes same-cell cores a clique, so a star to the per-cell min
+    * core plus one edge per (core, neighboring cell with a within-r
+    * core neighbor) preserves components exactly): O(9·cores) edges
+    * where the naive spelling's O(n·density) neighbor graph did not
+    * even complete at the 100× blow-up (killed past 25 min; the
+    * contracted form measures 462 s). Border labels come from cell
+    * reps for the same clique reason. The remaining density-sensitive
+    * cost is the pair-scan arithmetic itself — inherent to fixed-eps
+    * DBSCAN under the fixture's fixed-domain (densifying) blow-up;
+    * a real corpus grows its domain at ~constant density, where the
+    * per-point candidate count — and so the whole plan — is linear.
     *
     * The oracle replays the whole construction brute-force (theta
     * neighbor join + recursive reach-min), so the gate proves the grid
@@ -1119,31 +1125,59 @@ object Graphs {
         val right = pts.select(col("user_id").as("ub"),
           col("x").as("bx"), col("y").as("by"),
           expr(s"bx div $r").as("cx"), expr(s"by div $r").as("cy"))
-        val nb = left.join(right, Seq("cx", "cy"))
+        // CELL CONTRACTION (the 100× finding): cell size = r means every
+        // same-cell core pair is within L∞ r automatically — same-cell
+        // cores form a CLIQUE, i.e. one component piece. So the CC input
+        // never needs the O(density²) neighbor graph: per (point, target
+        // cell) aggregates replace per-pair edges — a core connects by a
+        // star edge to its cell's min core, plus ONE edge per neighboring
+        // cell holding a within-r core neighbor (connectivity identical:
+        // any real core-core edge (a,b) is simulated by a→rep(cell(b))→b
+        // through cell(b)'s clique). The candidate stream is scanned
+        // twice as pure partial-agg pipelines (map-side combined to ≤9
+        // rows per point) and is never materialized or fed to GraphX.
+        // The unchanged brute-force oracle proves the contraction exact.
+        def cand = left.join(right, Seq("cx", "cy"))
           .filter(col("ua") =!= col("ub") &&
             abs(col("ax") - col("bx")) <= r &&
             abs(col("ay") - col("by")) <= r)
-          .select(col("ua"), col("ub"))
-          .localCheckpoint() // three consumers (counts, edges, borders)
-        val nc = nb.groupBy(col("ua")).agg(count(lit(1)).as("nn"))
+        // scan 1: neighbor counts — per (point, cell) then per point
+        val nc = cand.groupBy(col("ua")).agg(count(lit(1)).as("nn"))
         val core = pts.join(nc, col("user_id") === col("ua"), "left")
           .select(col("user_id"),
             (coalesce(col("nn"), lit(0L)) + 1L >= minPts).as("is_core"))
+          .localCheckpoint() // small (one row per point); many consumers
         val coreIds = core.filter(col("is_core")).select(col("user_id"))
-        val coreEdges = nb
+        // cell representative = min core id per cell
+        val cellRep = pts
+          .join(coreIds.select(col("user_id").as("cid")),
+            col("user_id") === col("cid"))
+          .select(col("cid"), expr(s"x div $r").as("cx"),
+            expr(s"y div $r").as("cy"))
+          .groupBy(col("cx"), col("cy")).agg(min(col("cid")).as("rep"))
+        // scan 2: distinct (point, cell-holding-a-core-neighbor) pairs
+        val touched = cand
+          .join(broadcast(coreIds.select(col("user_id").as("ub"))),
+            Seq("ub"))
+          .select(col("ua"), col("cx"), col("cy")).distinct()
+          .join(broadcast(cellRep), Seq("cx", "cy"))
+          .select(col("ua"), col("rep"))
+          .localCheckpoint() // ≤9 rows per point; edges + borders read it
+        val coreTouch = touched
           .join(coreIds.select(col("user_id").as("ua")), Seq("ua"))
-          .join(coreIds.select(col("user_id").as("ub")), Seq("ub"))
-          .filter(col("ua") < col("ub"))
         val vertsRdd = coreIds.rdd.map(r0 => (r0.getLong(0), 0))
-        val edgesRdd = coreEdges.select(col("ua"), col("ub")).rdd
+        val edgesRdd = coreTouch.select(col("ua"), col("rep")).rdd
           .map(r0 => Edge(r0.getLong(0), r0.getLong(1), 0))
         val lab = Graph(vertsRdd, edgesRdd).connectedComponents()
           .vertices.toDF("core_id", "cluster")
-        val bord = nb
-          .join(lab.select(col("core_id").as("ub"), col("cluster")),
-            Seq("ub"))
+        // border label = min component label over touched cells: cores
+        // within one cell share a component, so the cell rep's label IS
+        // every same-cell neighbor's label
+        val bord = touched
           .join(coreIds.select(col("user_id").as("ua")), Seq("ua"),
             "left_anti")
+          .join(lab.select(col("core_id").as("rep"), col("cluster")),
+            Seq("rep"))
           .groupBy(col("ua")).agg(min(col("cluster")).as("b_cluster"))
         core
           .join(lab.select(col("core_id").as("user_id"),

@@ -2286,6 +2286,140 @@ object StreamingQ {
         col("tokens_after"))
   }
 
+  /** foreachBatch invocation ledger for [[q282MergeSinkRestart]] — the
+    * gate must prove the torn batch was actually REPLAYED (invocation
+    * ids [0, 0, 1]), otherwise it would pass vacuously on a run where
+    * the tear never happened. Driver-side only (foreachBatch bodies run
+    * on the driver); keyed by table dir so bench/verify re-runs in one
+    * JVM don't cross-contaminate. */
+  private val mergeSinkInvocations =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+
+  /** The idempotent MERGE-sink pattern (Delta/Iceberg `foreachBatch`
+    * upsert, spelled on plain parquet): an update-mode keyed aggregate
+    * whose every micro-batch is written by DETERMINISTIC OVERWRITE to
+    * `table/batch=<id>/`, read back latest-wins per key. Exactly-once
+    * comes from idempotence, not atomicity: a replayed batch rewrites
+    * the same partition byte-for-byte. Incarnation 1 CRASHES INSIDE THE
+    * COMMIT WINDOW — after the sink write for its batch, before the
+    * offset commit — so incarnation 2 must replay that batch (ledger
+    * asserts ids [0, 0, 1]) and then drain the back half as batch 1.
+    * Read = argmax-batch per key with a deterministic tiebreak. */
+  private def mergeSinkTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#merge-sink") {
+      import java.nio.file.{Files, Path, Paths}
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", "8")
+      val tmpPath = graft.Scratch.tempDir("graft-merge-sink-")
+      val tmp = tmpPath.toString
+      sys.addShutdownHook {
+        import java.util.Comparator
+        if (Files.exists(tmpPath))
+          Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val watch = s"$tmp/watch"
+      val tableDir = s"$tmp/table"
+      Files.createDirectories(Paths.get(watch))
+      val inv = mergeSinkInvocations.computeIfAbsent(tableDir,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+      val ev = graft.Tables(spark, dir, "events")
+      val n = ev.count()
+      val ranked = ev.withColumn("__rn",
+        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      def publish(df: DataFrame, name: String): Unit = {
+        val staged = s"$tmp/stage/$name"
+        df.coalesce(1).write.parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, Paths.get(s"$watch/$name.parquet"))
+      }
+      def drain(tearAfterSinkWrite: Boolean): Unit = {
+        @volatile var torn = false
+        val agg = StreamingFeed.eventsStream(sess, watch).toDF()
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_purchases"),
+            sum(floor(col("value") * 100).cast("long")).cast("long")
+              .as("cents"))
+        val q = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            inv.add(batchId)
+            // deterministic layout: one file, rows carry their own key
+            // order via the read-side tiebreak — byte-stable on replay
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(s"$tableDir/batch=$batchId")
+            if (tearAfterSinkWrite && !torn) {
+              torn = true
+              // crash INSIDE the commit window: sink write done, offset
+              // commit for this batch never happens
+              throw new RuntimeException("graft: torn after sink write")
+            }
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // incarnation 1 is EXPECTED to die on the injected tear; any
+        // unrelated failure still surfaces — the invocation-ledger
+        // require below rejects every sequence but [0, 0, 1]
+        try q.awaitTermination()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException
+            if tearAfterSinkWrite =>
+        }
+      }
+      publish(ranked.filter(col("__rn") <= n / 2).drop("__rn"), "slice1")
+      drain(tearAfterSinkWrite = true) // incarnation 1 dies mid-commit
+      publish(ranked.filter(col("__rn") > n / 2).drop("__rn"), "slice2")
+      drain(tearAfterSinkWrite = false) // incarnation 2 replays + drains
+      val ids = {
+        val it = inv.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      require(ids == Seq(0L, 0L, 1L),
+        s"merge-sink gate needs a replayed batch [0,0,1], saw $ids")
+      tableDir
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("batch").desc, col("n_purchases").desc, col("cents").desc)
+    spark.read.parquet(path)
+      .withColumn("__pick", row_number().over(w))
+      .filter(col("__pick") === 1)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("n_purchases"), col("cents"))
+  }
+
+  // ---------------------------------------------------------------- q282
+  /** Exactly-once-by-idempotence MERGE sink under a mid-commit crash —
+    * the upsert-sink sibling of q203's file-sink manifest gate and the
+    * streaming close of q161's batch CDC MERGE. q203 proves Spark's OWN
+    * sink manifest dedupes a torn file commit; q282 proves the pattern
+    * every lakehouse `foreachBatch` upsert relies on: batch-id-keyed
+    * deterministic overwrite makes the replay invisible, and the
+    * latest-wins read surfaces per-key state that must equal the plain
+    * batch aggregate over the whole feed. A replay that appended
+    * instead of overwriting, a lost update, a double fold in recovered
+    * state, or a skipped (not replayed) torn batch each move the hash;
+    * the invocation ledger separately proves the crash-and-replay
+    * actually happened ([0, 0, 1]). */
+  val q282MergeSinkRestart: Q = Q.sql(
+    "q282_merge_sink_restart",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin,
+    "idempotent foreachBatch MERGE sink: torn commit, replay, latest-wins") {
+    (s, dir) =>
+      mergeSinkTable(s, dir)
+        .select(col("user_id"), col("n_purchases"), col("cents"))
+  }
+
   // ---------------------------------------------------------------- q279
   /** Watermarked stream-stream LEFT SEMI interval join — the EXISTENCE
     * member completing the streaming join family (inner q90, left
@@ -2359,5 +2493,5 @@ object StreamingQ {
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
     q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket, q270TokenBucketRestart,
-    q279StreamSemiJoin)
+    q279StreamSemiJoin, q282MergeSinkRestart)
 }

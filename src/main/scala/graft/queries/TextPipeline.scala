@@ -4124,6 +4124,344 @@ object TextPipeline {
           contA.as("cont_a"), contB.as("cont_b"))
   }
 
+  // ---------------------------------------------------------------- q283
+  /** LSH banding S-curve, MEASURED — the tuning readout behind every
+    * MinHash deployment (q24/q25/q29/q101/q149/q151 all ride b=4, r=3):
+    * over the bounded universe of shingle-sharing pairs (the only pairs
+    * with nonzero df-cut Jaccard), bucket exact Jaccard into deciles
+    * and report each decile's EMPIRICAL band-collision rate next to the
+    * textbook probability 1 − (1 − s^3)^4 at the decile midpoint. The
+    * gap between the columns is the finite-signature / correlated-hash
+    * truth the formula idealizes away — the number you actually consult
+    * before changing (b, r) on 100 TB.
+    *
+    * Universe and collisions are both equi-join shaped (shingle index
+    * with the df≤100 cut; band frame joined on band_key), every
+    * aggregate partial; the output is ≤ 10 rows. The theory column is
+    * explicit multiplication (s·s·s, t·t·t·t) — no pow(), bit-identical
+    * on both engines. */
+  val q283LshScurve: Q = Q.sql(
+    "q283_lsh_scurve",
+    s"""WITH sh AS (
+      |  $shingleHashSql
+      |), shf AS (
+      |  SELECT sh.doc_id, sh.h FROM sh
+      |  JOIN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 100) f USING (h)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM shf a JOIN shf b ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pj AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |), bands AS (
+      |  $minhashBandsSql
+      |), coll AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b USING (band_key)
+      |  WHERE a.doc_id < b.doc_id
+      |), bk AS (
+      |  SELECT LEAST(CAST(floor(pj.jaccard * 10) AS BIGINT), 9) AS bucket,
+      |    CASE WHEN coll.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM pj LEFT JOIN coll
+      |    ON coll.doc_a = pj.doc_a AND coll.doc_b = pj.doc_b
+      |)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(hit) AS BIGINT) AS n_collide,
+      |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS collide_rate,
+      |  1.0 - (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |               * ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |               * ((CAST(bucket AS DOUBLE) + 0.5) / 10))
+      |      * (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |              * ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |              * ((CAST(bucket AS DOUBLE) + 0.5) / 10))
+      |      * (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |              * ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |              * ((CAST(bucket AS DOUBLE) + 0.5) / 10))
+      |      * (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |              * ((CAST(bucket AS DOUBLE) + 0.5) / 10)
+      |              * ((CAST(bucket AS DOUBLE) + 0.5) / 10)) AS theory
+      |FROM bk GROUP BY 1""".stripMargin,
+    "measured LSH banding S-curve vs the 1-(1-s^r)^b textbook curve") {
+    (s, dir) =>
+      val idx = shingleIndex(s, dir)
+      val heavy = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select(col("h"))
+      val cut = idx.join(heavy, Seq("h"), "left_anti")
+      val sizes = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // NO size-band prune here: q23's 2x prefilter is lossless only
+      // under its >= 0.5 threshold; the S-curve needs the whole universe
+      val inter = cut.as("a")
+        .join(cut.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val pj = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+            .as("jaccard"))
+      val bands = minhashBandRowsFrom(idx)
+      val coll = bands.as("a")
+        .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      val s10 = (col("bucket").cast("double") + 0.5) / 10
+      val s3 = s10 * s10 * s10
+      val miss = lit(1.0) - s3
+      pj.join(coll, Seq("doc_a", "doc_b"), "left")
+        .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+          .as("bucket"), coalesce(col("hit"), lit(0L)).as("hit"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("hit")).cast("long").as("n_collide"))
+        .select(col("bucket"), col("n_pairs"), col("n_collide"),
+          (col("n_collide").cast("double") / col("n_pairs"))
+            .as("collide_rate"),
+          (lit(1.0) - miss * miss * miss * miss).as("theory"))
+  }
+
+  // ---------------------------------------------------------------- q284
+  /** Dedup ROI sweep — the policy question BEFORE running the dedup
+    * pass: at thresholds 0.5-0.9, how many docs become droppable and
+    * how many tokens does each threshold actually save? "Droppable"
+    * follows the family's keep-min rule pairwise: a doc drops iff it
+    * has a ≥t-similar partner with a smaller id — computed from ONE
+    * per-doc aggregate (max Jaccard over smaller-id partners, off the
+    * same df-cut pair universe as q283) crossed with the 5-row
+    * threshold frame. Monotone by construction; the exact
+    * tokens-saved column is what turns a similarity threshold into a
+    * storage/compute budget decision.
+    *
+    * Output: 5 rows; everything after the pair partial-agg rides
+    * per-doc and constant frames. */
+  val q284DedupRoi: Q = Q.sql(
+    "q284_dedup_roi",
+    s"""WITH sh AS (
+      |  $shingleHashSql
+      |), shf AS (
+      |  SELECT sh.doc_id, sh.h FROM sh
+      |  JOIN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 100) f USING (h)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM shf a JOIN shf b ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pj AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |), mj AS (
+      |  SELECT doc_b AS doc_id, MAX(jaccard) AS maxj
+      |  FROM pj GROUP BY 1
+      |), tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM tok
+      |)
+      |SELECT CAST(t.t AS BIGINT) AS threshold_pct,
+      |  CAST(SUM(CASE WHEN mj.maxj >= t.t / 100.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_droppable,
+      |  CAST(SUM(CASE WHEN mj.maxj >= t.t / 100.0 THEN tok.n_tokens
+      |    ELSE 0 END) AS BIGINT) AS tokens_saved,
+      |  CAST(SUM(CASE WHEN mj.maxj >= t.t / 100.0 THEN tok.n_tokens
+      |    ELSE 0 END) AS DOUBLE) / tot.n_tokens AS token_share
+      |FROM mj JOIN tok USING (doc_id), tot,
+      |  (SELECT unnest([50, 60, 70, 80, 90]) AS t) t
+      |GROUP BY t.t, tot.n_tokens""".stripMargin,
+    "dedup ROI: droppable docs and exact token savings per threshold") {
+    (s, dir) =>
+      val idx = shingleIndex(s, dir)
+      val heavy = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select(col("h"))
+      val cut = idx.join(heavy, Seq("h"), "left_anti")
+      val sizes = cut.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cut.as("a")
+        .join(cut.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val pj = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          Seq("doc_b"))
+        .select(col("doc_b").as("doc_id"),
+          (col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+            .as("jaccard"))
+      val mj = pj.groupBy(col("doc_id")).agg(max(col("jaccard")).as("maxj"))
+      val tok = docs(s, dir).select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      val tot = tok.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_tot"))
+      val thr = (50 to 90 by 10).map(lit(_)).toArray
+      mj.join(tok, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .select(col("maxj"), col("n_tokens"), col("n_tokens_tot"),
+          explode(array(thr: _*)).as("t"))
+        .groupBy(col("t"), col("n_tokens_tot"))
+        .agg(sum(when(col("maxj") >= col("t") / 100.0, 1L).otherwise(0L))
+          .cast("long").as("n_droppable"),
+          sum(when(col("maxj") >= col("t") / 100.0, col("n_tokens"))
+            .otherwise(0L)).cast("long").as("tokens_saved"))
+        .select(col("t").cast("long").as("threshold_pct"),
+          col("n_droppable"), col("tokens_saved"),
+          (col("tokens_saved").cast("double") / col("n_tokens_tot"))
+            .as("token_share"))
+  }
+
+  // ---------------------------------------------------------------- q285
+  /** Vocabulary coverage curve — the tokenizer-budget planner beside
+    * q140's fixed-vocab OOV rate and q113's BPE step: for candidate
+    * vocabulary sizes 2⁸..2¹⁴, what share of all token OCCURRENCES do
+    * the top-v types (by exact count, token-lexicographic tiebreak)
+    * cover? The curve's knee is where a bigger vocab stops paying —
+    * the number a tokenizer budget is chosen from.
+    *
+    * One partial agg collapses the corpus to the type histogram; the
+    * rank window and cumulative sum ride the vocab-bounded frame — a
+    * single spillable sort of TYPES, never of the corpus (q94's
+    * single-reducer caveat applies if a vocabulary ever outgrows one
+    * reducer; q94b's two-pass threshold draw is the respelling); 7
+    * rows out. */
+  val q285VocabCoverage: Q = Q.sql(
+    "q285_vocab_coverage",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), h AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1
+      |), r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk,
+      |    SUM(c) OVER (ORDER BY c DESC, w
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER () AS tot,
+      |    COUNT(*) OVER () AS n_types
+      |  FROM h
+      |)
+      |SELECT CAST(v.v AS BIGINT) AS vocab_size,
+      |  CAST(MAX(CASE WHEN rnk <= v.v THEN cum ELSE 0 END) AS BIGINT)
+      |    AS covered,
+      |  CAST(MIN(tot) AS BIGINT) AS total,
+      |  CAST(MAX(CASE WHEN rnk <= v.v THEN cum ELSE 0 END) AS DOUBLE)
+      |    / MIN(tot) AS coverage,
+      |  CAST(MIN(n_types) AS BIGINT) AS n_types
+      |FROM r, (SELECT unnest([256, 512, 1024, 2048, 4096, 8192, 16384])
+      |         AS v) v
+      |GROUP BY v.v""".stripMargin,
+    "token-occurrence coverage of top-v vocabularies, v in 2^8..2^14") {
+    (s, dir) =>
+      val h = docs(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      val wRank = Window.orderBy(col("c").desc, col("w"))
+      val wCum = wRank.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy()
+      val r = h.select(col("c"),
+        row_number().over(wRank).as("rnk"),
+        sum(col("c")).over(wCum).as("cum"),
+        sum(col("c")).over(wAll).as("tot"),
+        count(lit(1)).over(wAll).as("n_types"))
+      val vs = Seq(256, 512, 1024, 2048, 4096, 8192, 16384)
+      r.select(col("rnk"), col("cum"), col("tot"), col("n_types"),
+        explode(array(vs.map(lit(_)): _*)).as("v"))
+        .groupBy(col("v"))
+        .agg(max(when(col("rnk") <= col("v"), col("cum")).otherwise(0L))
+          .cast("long").as("covered"),
+          min(col("tot")).cast("long").as("total"),
+          min(col("n_types")).cast("long").as("n_types"))
+        .select(col("v").cast("long").as("vocab_size"), col("covered"),
+          col("total"),
+          (col("covered").cast("double") / col("total")).as("coverage"),
+          col("n_types"))
+  }
+
+  // ---------------------------------------------------------------- q286
+  /** Serving-index build manifest — the retrieval-side sibling of
+    * q116's training-corpus manifest: per hash shard (md5(doc_id) % 16,
+    * q93's placement), the sizes a search cluster provisions from —
+    * docs, overlapping 32/16-token chunks (q97's chunking), total
+    * tokens, distinct index terms, and df-cut postings (q164's ≤100
+    * discipline). One corpus pass per statistic family, partial aggs
+    * throughout, 16 rows out; at 100 TB each shard builds
+    * independently — the manifest is the shard-placement contract. */
+  val q286IndexManifest: Q = Q.sql(
+    "q286_index_manifest",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 16 AS shard,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), base AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN len(toks) <= 32 THEN 1
+      |      ELSE 1 + (len(toks) - 32 + 15) // 16 END) AS BIGINT)
+      |      AS n_chunks
+      |  FROM d GROUP BY 1
+      |), post0 AS (
+      |  SELECT shard, doc_id, unnest(list_distinct(toks)) AS term FROM d
+      |), dfc AS (
+      |  SELECT term FROM post0 GROUP BY term HAVING COUNT(*) <= 100
+      |), post AS (
+      |  SELECT shard, term FROM post0 JOIN dfc USING (term)
+      |), idx AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_postings,
+      |    CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+      |  FROM post GROUP BY 1
+      |)
+      |SELECT base.shard, n_docs, n_tokens, n_chunks,
+      |  CAST(COALESCE(n_terms, 0) AS BIGINT) AS n_terms,
+      |  CAST(COALESCE(n_postings, 0) AS BIGINT) AS n_postings
+      |FROM base LEFT JOIN idx ON idx.shard = base.shard""".stripMargin,
+    "per-shard serving-index manifest: docs, chunks, terms, postings") {
+    (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (Text.baseHash(col("doc_id").cast("string")) % 16).as("shard"),
+        Text.tokens(col("text")).as("toks"))
+      val nt = size(col("toks")).cast("long")
+      val base = d.groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(nt).cast("long").as("n_tokens"),
+          sum(when(nt <= 32L, 1L)
+            .otherwise(lit(1L) + expr(
+              "(size(toks) - 32 + 15) div 16"))).cast("long")
+            .as("n_chunks"))
+      val post0 = d.select(col("shard"), col("doc_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+      val dfc = post0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select(col("term"))
+      val post = post0.join(dfc, Seq("term"))
+      val idx = post.groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_postings"),
+          countDistinct(col("term")).cast("long").as("n_terms"))
+      base.join(idx, Seq("shard"), "left")
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_chunks"),
+          coalesce(col("n_terms"), lit(0L)).cast("long").as("n_terms"),
+          coalesce(col("n_postings"), lit(0L)).cast("long")
+            .as("n_postings"))
+  }
+
   val all: Seq[Q] = Seq(
     q20DocStats, q21LangId, q22ExactDedup, q23NgramJaccard, q24MinhashBands,
     q25MinhashDedup, q26Simhash, q27SimhashPairs, q28Fingerprint,
@@ -4141,5 +4479,6 @@ object TextPipeline {
     q206MixtureResample, q219Chi2Features, q220FeatureHashing,
     q221BigramLmEval, q224RendezvousShards, q228GoodTuring, q246TextRank, q265PostingsSize, q272KneserNey,
     q273BagDedup, q274ContaminationFrac, q275QualityClassifier,
-    q276NoveltyCurve, q280QuantileCut, q281ContainmentPairs)
+    q276NoveltyCurve, q280QuantileCut, q281ContainmentPairs,
+    q283LshScurve, q284DedupRoi, q285VocabCoverage, q286IndexManifest)
 }

@@ -1005,4 +1005,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"intersection counts not map-side combined:\n$p")
   }
+
+  test("q283: S-curve universe and collisions are equi-joins") {
+    val p = plan("q283_lsh_scurve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation went all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket stats not map-side combined:\n$p")
+  }
+
+  test("q284: ROI sweep folds through per-doc partial aggs") {
+    val p = plan("q284_dedup_roi")
+    assert(!p.contains("CartesianProduct"),
+      s"threshold frame fell off the broadcast path:\n$p")
+    assert(p.contains("partial_max"),
+      s"per-doc max-jaccard not map-side combined:\n$p")
+  }
+
+  test("q285: coverage curve is join-free over the type histogram") {
+    val p = plan("q285_vocab_coverage")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count"),
+      s"type histogram not map-side combined:\n$p")
+  }
+
+  test("q286: manifest is partial aggs; no product") {
+    val p = plan("q286_index_manifest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"shard roll-up went non-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"shard stats not map-side combined:\n$p")
+  }
 }

@@ -149,6 +149,58 @@ class Round8dSpec extends AnyFunSuite {
     }
   }
 
+  test("q283: S-curve rates are probabilities; collisions never exceed pairs") {
+    val r = TextPipeline.q283LshScurve.run(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_collide") <= row.getAs[Long]("n_pairs"))
+      val rate = row.getAs[Double]("collide_rate")
+      val th = row.getAs[Double]("theory")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(th > 0.0 && th < 1.0)
+    }
+  }
+
+  test("q284: ROI sweep is monotone in the threshold") {
+    val roi = TextPipeline.q284DedupRoi.run(spark, dir)
+      .orderBy(col("threshold_pct")).collect()
+    assert(roi.length == 5)
+    val drops = roi.map(_.getAs[Long]("n_droppable"))
+    val toks = roi.map(_.getAs[Long]("tokens_saved"))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      "raising the threshold must never drop MORE docs")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    roi.foreach { row =>
+      val share = row.getAs[Double]("token_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("q285: coverage is monotone and exact at full vocabulary") {
+    val r = TextPipeline.q285VocabCoverage.run(spark, dir)
+      .orderBy(col("vocab_size")).collect()
+    assert(r.length == 7)
+    val cov = r.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    r.foreach { row =>
+      assert(row.getAs[Long]("covered") <= row.getAs[Long]("total"))
+      if (row.getAs[Long]("vocab_size") >= row.getAs[Long]("n_types"))
+        assert(row.getAs[Long]("covered") == row.getAs[Long]("total"),
+          "a vocab covering every type must cover every occurrence")
+    }
+  }
+
+  test("q286: manifest reconciles with the corpus") {
+    val m = TextPipeline.q286IndexManifest.run(spark, dir).collect()
+    assert(m.nonEmpty)
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    m.foreach { row =>
+      assert(row.getAs[Long]("n_chunks") >= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("n_terms") <= row.getAs[Long]("n_postings"))
+    }
+  }
+
   test("q281: containment dominates Jaccard; q23 pairs are a subset") {
     val cont = TextPipeline.q281ContainmentPairs.run(spark, dir).collect()
     assert(cont.nonEmpty)
