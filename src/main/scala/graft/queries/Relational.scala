@@ -6615,6 +6615,87 @@ object Relational {
             .as("alpha"))
   }
 
+  // ---------------------------------------------------------------- q287
+  /** Difference-in-differences — the experiment family's PANEL axis:
+    * q174/q225/q230/q271 all compare arms at one point in time; DiD is
+    * what you run when treatment was NOT randomized (a staged rollout,
+    * a policy change) and the arms differ at baseline — the pre-period
+    * gap is subtracted out, so the estimate is the treated arm's
+    * EXCESS change: (r_T,post − r_T,pre) − (r_C,post − r_C,pre), valid
+    * under parallel trends. Arms by q271's user-parity convention;
+    * periods split at the feed's exact midpoint microsecond (an
+    * integer scalar both engines derive identically); the unit is the
+    * (user, period) conversion flag, so a user active in both periods
+    * contributes to both — the repeated-cross-section DiD form.
+    *
+    * Scale: one conditional partial agg to (user, period) cells, one
+    * to the 4-cell frame; rates single divisions, the DiD one
+    * fixed-parenthesization double tree broadcast back onto the
+    * 4-row output. */
+  val q287DiffInDiff: Q = Q.sql(
+    "q287_diff_in_diff",
+    """WITH cut AS (
+      |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS c
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CASE WHEN epoch_us(ts) >= (SELECT c FROM cut)
+      |      THEN 1 ELSE 0 END AS period,
+      |    user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2, 3
+      |), cells AS (
+      |  SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(conv) AS BIGINT) AS n_conv
+      |  FROM u GROUP BY 1, 2
+      |), w AS (
+      |  SELECT
+      |    MAX(CASE WHEN arm = 1 AND period = 1
+      |      THEN CAST(n_conv AS DOUBLE) / n_users END) AS rt1,
+      |    MAX(CASE WHEN arm = 1 AND period = 0
+      |      THEN CAST(n_conv AS DOUBLE) / n_users END) AS rt0,
+      |    MAX(CASE WHEN arm = 0 AND period = 1
+      |      THEN CAST(n_conv AS DOUBLE) / n_users END) AS rc1,
+      |    MAX(CASE WHEN arm = 0 AND period = 0
+      |      THEN CAST(n_conv AS DOUBLE) / n_users END) AS rc0
+      |  FROM cells
+      |)
+      |SELECT CAST(arm AS BIGINT) AS arm, CAST(period AS BIGINT) AS period,
+      |  n_users, n_conv, CAST(n_conv AS DOUBLE) / n_users AS rate,
+      |  (rt1 - rt0) - (rc1 - rc0) AS did
+      |FROM cells, w""".stripMargin,
+    "difference-in-differences conversion readout over the midpoint split") {
+    (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val cut = ev.agg(expr(
+        "cast((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 as bigint)")
+        .as("c"))
+      val u = ev.crossJoin(broadcast(cut))
+        .select((col("user_id") % 2).as("arm"),
+          when(unix_micros(col("ts")) >= col("c"), 1L).otherwise(0L)
+            .as("period"),
+          col("user_id"), col("event_type"))
+        .groupBy(col("arm"), col("period"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val cells = u.groupBy(col("arm"), col("period"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("conv")).cast("long").as("n_conv"))
+        .localCheckpoint() // consumed by the 4-cell frame AND the scalar
+      val rate = (a: Int, p: Int) => max(when(
+        col("arm") === a && col("period") === p,
+        col("n_conv").cast("double") / col("n_users")))
+      val w = cells.agg(rate(1, 1).as("rt1"), rate(1, 0).as("rt0"),
+        rate(0, 1).as("rc1"), rate(0, 0).as("rc0"))
+      cells.crossJoin(broadcast(w))
+        .select(col("arm").cast("long").as("arm"),
+          col("period").cast("long").as("period"),
+          col("n_users"), col("n_conv"),
+          (col("n_conv").cast("double") / col("n_users")).as("rate"),
+          ((col("rt1") - col("rt0")) - (col("rc1") - col("rc0")))
+            .as("did"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterProject, q03RegionRevenue, q04AsOfAttribution,
     q05Sessionize, q06NextChain, q07RunningTotals, q08TopKPerGroup,
@@ -6636,5 +6717,5 @@ object Relational {
     q216AucRanking, q218Calibration, q225Cuped, q226RfmSegments,
     q227DwellTime, q229SliceAudit, q230PostStratified,
     q233GrowthAccounting, q234GainsChart, q235SplitFinding, q236KaplanMeier, q237ZoneMapAudit, q240NaiveBayes, q241BootstrapCi, q242IsotonicPav, q243KAnonymity, q244SkewPlanner, q248AprioriTriples, q249SeqPatterns, q250ItemItemCf, q251PitExamples, q253CohenKappa, q254LatenessAudit, q257NeymanSample, q258IpsOffPolicy, q260AnonLadder, q261PermImportance, q262ExactMedian, q264UniverseSample, q266CramersV, q267LinearInterp, q268PrCurve, q271UpliftSegments,
-    q278KrippendorffAlpha)
+    q278KrippendorffAlpha, q287DiffInDiff)
 }

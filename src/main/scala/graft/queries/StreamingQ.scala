@@ -2435,7 +2435,14 @@ object StreamingQ {
     * clean batch EXISTS with no watermark-horizon asymmetry — the one
     * streaming join whose batch twin needs no eviction reasoning
     * (that property is itself under test: any duplicate emission per
-    * extra click, or any eviction-time row, breaks the hash). */
+    * extra click, or any eviction-time row, breaks the hash).
+    *
+    * Skew caveat (measured, BASELINE.md): semi semantics bound the
+    * OUTPUT on a hot key (one row per purchase) but not the probe —
+    * each arriving hot-key row value-scans that key's buffered
+    * opposite-side state, so the zipf overlay measures ~223× over
+    * uniform at 10× despite linear output. On skewed corpora the
+    * q201 per-(user, hour) cap applies to the semi spelling too. */
   private def semiJoinStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     streamOnce("stream-semi-join", spark, dir, shufflePartitions = Some(8)) { sess =>

@@ -1029,6 +1029,14 @@ class PlanSpec extends AnyFunSuite {
       s"type histogram not map-side combined:\n$p")
   }
 
+  test("q287: DiD folds through two partial aggs; scalars broadcast") {
+    val p = plan("q287_diff_in_diff")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"cell folds not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scalar frames fell off the broadcast path:\n$p")
+  }
+
   test("q286: manifest is partial aggs; no product") {
     val p = plan("q286_index_manifest")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -201,6 +201,23 @@ class Round8dSpec extends AnyFunSuite {
     }
   }
 
+  test("q287: DiD reconciles with its own four cells") {
+    val r = Relational.q287DiffInDiff.run(spark, dir).collect()
+    assert(r.length == 4, "all four (arm, period) cells must be present")
+    val did = r.head.getAs[Double]("did")
+    assert(r.forall(_.getAs[Double]("did") == did))
+    def rate(arm: Long, period: Long): Double = r.find(row =>
+      row.getAs[Long]("arm") == arm && row.getAs[Long]("period") == period)
+      .get.getAs[Double]("rate")
+    assert(did == (rate(1, 1) - rate(1, 0)) - (rate(0, 1) - rate(0, 0)),
+      "did must equal the cell-rate double difference")
+    r.foreach { row =>
+      val rt = row.getAs[Double]("rate")
+      assert(rt >= 0.0 && rt <= 1.0)
+      assert(row.getAs[Long]("n_conv") <= row.getAs[Long]("n_users"))
+    }
+  }
+
   test("q281: containment dominates Jaccard; q23 pairs are a subset") {
     val cont = TextPipeline.q281ContainmentPairs.run(spark, dir).collect()
     assert(cont.nonEmpty)
