@@ -2420,6 +2420,48 @@ object StreamingQ {
         .select(col("user_id"), col("n_purchases"), col("cents"))
   }
 
+  // ---------------------------------------------------------------- q288
+  /** The skew-safe EXACT interval semi join
+    * ([[graft.streaming.StreamingSemiBuckets]]): q279's semantics
+    * re-spelled on per-(user, hour-bucket) click (min, max) envelopes —
+    * existence in a 2 h band is exactly decidable from bucket
+    * envelopes because the band always spans ≥ 2 buckets, so the hot
+    * key's probe cost drops from a full state scan per row to
+    * O(buckets), with NO cap and NO approximation (the fix for the
+    * measured ~223× zipf blow-up of the built-in semi, BASELINE.md).
+    * Emission is watermark-decided (a purchase closes once no click
+    * `≤ p_ts` can still arrive), so unlike q279 the oracle carries the
+    * single-feed watermark cutoff explicitly — the trailing 10 min of
+    * purchases are honestly undecided when the stream ends. */
+  private def semiBucketStream(spark: SparkSession, dir: String): DataFrame =
+    streamOnce("stream-semi-buckets", spark, dir) { sess =>
+      graft.streaming.StreamingSemiBuckets(
+        StreamingFeed.eventsStream(sess, dir, glob = "events.parquet"))
+        .toDF()
+    }
+
+  val q288SemiBuckets: Q = Q.sql(
+    "q288_semi_buckets",
+    """SELECT CAST(p.user_id AS BIGINT) AS user_id,
+      |  CAST(p.event_id AS BIGINT) AS p_event_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+      |  p.value AS p_value
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (SELECT 1 FROM events c
+      |    WHERE c.event_type = 'click'
+      |      AND c.user_id = p.user_id
+      |      AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |      AND epoch_us(c.ts) <= epoch_us(p.ts))
+      |  AND (epoch_us(p.ts) // 1000) <
+      |      (SELECT (MAX(epoch_us(ts)) // 1000) - 600000
+      |       FROM events WHERE event_type IN ('purchase', 'click'))""".stripMargin,
+    "exact interval semi join on bucket envelopes: skew-safe by state shape") {
+    (s, dir) =>
+      semiBucketStream(s, dir).select(col("user_id"), col("p_event_id"),
+        col("p_ts_us"), col("p_value"))
+  }
+
   // ---------------------------------------------------------------- q279
   /** Watermarked stream-stream LEFT SEMI interval join — the EXISTENCE
     * member completing the streaming join family (inner q90, left
@@ -2500,5 +2542,5 @@ object StreamingQ {
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
     q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket, q270TokenBucketRestart,
-    q279StreamSemiJoin, q282MergeSinkRestart)
+    q279StreamSemiJoin, q282MergeSinkRestart, q288SemiBuckets)
 }
