@@ -2462,6 +2462,45 @@ object StreamingQ {
         col("p_ts_us"), col("p_value"))
   }
 
+  // ---------------------------------------------------------------- q289
+  /** Checkpoint restart of the bucket-envelope semi join — the TWELFTH
+    * restart state shape, and the first whose recovered state is a
+    * variable-length map of interval ENVELOPES plus an event-time
+    * buffer: a lost bucket flips a later purchase's existence decision
+    * to false, a double-folded click can only widen an envelope (and
+    * flip a decision to true), and a replayed purchase duplicates an
+    * output row — each fails the hash against q288's UNCHANGED oracle.
+    * q117's two-incarnation scaffold: the feed is cut at its ranked
+    * midpoint, incarnation 1 drains the front half and dies,
+    * incarnation 2 resumes envelopes + buffer from the checkpoint. */
+  private def semiBucketsRestart(spark: SparkSession, dir: String): DataFrame =
+    streamRestart("semi-buckets-restart", spark, dir) { (sess, watch) =>
+      graft.streaming.StreamingSemiBuckets(
+        StreamingFeed.eventsStream(sess, watch)).toDF()
+    }
+
+  val q289SemiRestart: Q = Q.sql(
+    "q289_semi_restart",
+    """SELECT CAST(p.user_id AS BIGINT) AS user_id,
+      |  CAST(p.event_id AS BIGINT) AS p_event_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+      |  p.value AS p_value
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (SELECT 1 FROM events c
+      |    WHERE c.event_type = 'click'
+      |      AND c.user_id = p.user_id
+      |      AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+      |      AND epoch_us(c.ts) <= epoch_us(p.ts))
+      |  AND (epoch_us(p.ts) // 1000) <
+      |      (SELECT (MAX(epoch_us(ts)) // 1000) - 600000
+      |       FROM events WHERE event_type IN ('purchase', 'click'))""".stripMargin,
+    "checkpoint restart mid-feed of the bucket-envelope semi join state") {
+    (s, dir) =>
+      semiBucketsRestart(s, dir).select(col("user_id"), col("p_event_id"),
+        col("p_ts_us"), col("p_value"))
+  }
+
   // ---------------------------------------------------------------- q279
   /** Watermarked stream-stream LEFT SEMI interval join — the EXISTENCE
     * member completing the streaming join family (inner q90, left
@@ -2542,5 +2581,6 @@ object StreamingQ {
     q203SinkExactlyOnce, q208StreamQuantiles, q213CappedJoinRestart,
     q232StreamCalibration, q245StreamBootstrap, q252StreamDrift,
     q255StreamBootstrapRestart, q263LateDropGate, q269TokenBucket, q270TokenBucketRestart,
-    q279StreamSemiJoin, q282MergeSinkRestart, q288SemiBuckets)
+    q279StreamSemiJoin, q282MergeSinkRestart, q288SemiBuckets,
+    q289SemiRestart)
 }
