@@ -102,9 +102,16 @@ object Bench {
     * 471-478 Mops) and io was borderline-fine — i.e. the host had lost
     * parallel throughput (SMT neighbors / core allocation), which no
     * per-thread or /proc/stat field shows. This probe measures exactly
-    * that axis. Record-only for now: it enters the health envelope once
-    * a healthy-window baseline value is committed alongside it. */
-  def cpuCalibrationParMops(threads: Int = 32,
+    * that axis. Promoted into the health envelope in round 9: the
+    * round-8 healthy-window baseline is 16,719/14,762 summed Mops at 32
+    * threads, and runs outside ±25% of that band quarantine (BASELINE.md
+    * contract §4). The band only means anything at the baseline's thread
+    * count, so the default derives from the live host and the envelope
+    * check applies the band only when the host shape matches — on any
+    * other shape the field reverts to record-only until a baseline for
+    * that shape is committed. */
+  val parCalibrationThreads: Int = Runtime.getRuntime.availableProcessors
+  def cpuCalibrationParMops(threads: Int = parCalibrationThreads,
       iters: Long = 100000000L): Double = {
     val mops = new java.util.concurrent.atomic.DoubleAdder
     val pool = (0 until threads).map { t =>
@@ -248,7 +255,7 @@ object Bench {
     val stealPct = (for ((s0, t0) <- cpu0; (s1, t1) <- cpuStatTicks()
       if t1 > t0) yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     val ioField = f"$ioMbps%.1f"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"cpu_calibration_par_mops":${f"$cpuParMops%.0f"},"cpu_calibration_par_end_mops":${f"$cpuParMopsEnd%.0f"},"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"cpu_calibration_par_mops":${f"$cpuParMops%.0f"},"cpu_calibration_par_end_mops":${f"$cpuParMopsEnd%.0f"},"cpu_calibration_par_threads":$parCalibrationThreads,"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
     println(json)
     // Healthy-window guard (round-7 lesson: a degraded host window — io
     // writeback throttled to 88 MB/s, cpu calibration 445 Mops — produced
@@ -256,12 +263,23 @@ object Bench {
     // discounted it). A run whose OWN calibration says the window was
     // degraded must never silently become the committed per-query
     // reference, so it lands in bench_unhealthy.json instead. Envelope
-    // per BASELINE.md: io >= 300 MB/s and cpu >= 470 Mops at BOTH ends.
+    // per BASELINE.md: io >= 300 MB/s and cpu >= 470 Mops at BOTH ends,
+    // AND (round 9 — the axis round 8 proved discriminating: 1.45-1.52×
+    // same-code swings while single-thread cpu read HEALTHY) parallel
+    // throughput within ±25% of the committed 32-thread baseline
+    // 16,719/14,762 summed Mops, i.e. [11000, 21000] at both ends. The
+    // par band is host-shape-specific, so it gates only when the probe
+    // ran at the baseline's 32 threads; other shapes keep it record-only.
+    val parBandOk =
+      parCalibrationThreads != 32 ||
+        Seq(cpuParMops, cpuParMopsEnd).forall(m => m >= 11000 && m <= 21000)
     val healthy = ioMbps >= 300 && ioEnd >= 300 &&
-      cpuMops >= 470 && cpuMopsEnd >= 470
+      cpuMops >= 470 && cpuMopsEnd >= 470 && parBandOk
     if (!healthy) System.err.println(
       f"[graft.Bench] UNHEALTHY window (io $ioMbps%.0f/$ioEnd%.0f MB/s, " +
-        f"cpu $cpuMops%.0f/$cpuMopsEnd%.0f Mops) — writing bench_unhealthy.json")
+        f"cpu $cpuMops%.0f/$cpuMopsEnd%.0f Mops, " +
+        f"par $cpuParMops%.0f/$cpuParMopsEnd%.0f@$parCalibrationThreads) " +
+        "— writing bench_unhealthy.json")
     // sidecar: the driver's stdout capture truncates long lines (BENCH_r05
     // lost q01-q29), so round-over-round per-query diffs need the full map
     // durable on disk too

@@ -121,9 +121,24 @@ object StreamingSemiBuckets {
                 e.event_type == "purchase", e.value)))
           val wm = state.getCurrentWatermarkMs()
           val (emitted, st2) = closeEligible(key, st1, wm)
-          state.update(st2)
-          if (st2.open.nonEmpty)
-            state.setTimeoutTimestamp(st2.open.map(_.tsUs / 1000).min)
+          if (st2.open.isEmpty && st2.buckets.isEmpty) {
+            // quiescent key: nothing buffered and no reachable bucket —
+            // drop the map entry, or distinct-key count bounds state
+            // growth forever on an unbounded stream
+            state.remove()
+          } else {
+            state.update(st2)
+            if (st2.open.nonEmpty)
+              state.setTimeoutTimestamp(st2.open.map(_.tsUs / 1000).min)
+            else {
+              // only envelopes left: wake when the LAST bucket exits its
+              // reachable horizon ((b+1)·1h + band), so closeEligible
+              // evicts it and the branch above reaps the key. Strictly
+              // above the current watermark by the keep condition.
+              state.setTimeoutTimestamp(st2.buckets.map(e =>
+                ((e.bucket + 1) * HourUs + BandUs) / 1000).max)
+            }
+          }
           emitted.iterator
       }
   }

@@ -79,4 +79,55 @@ class SemiBucketsSpec extends AnyFunSuite {
         s"slicing changed the semi result: got $emitted want $expected")
     }
   }
+
+  test("bucket eviction horizon: state drains to empty exactly at " +
+      "(bucket+1)·1h + band") {
+    val click = OpenRow(5L * HourUs + 123000L, 1L, isPurchase = false, 0.0)
+    val bucket = Math.floorDiv(click.tsUs, HourUs)
+    val horizonMs = ((bucket + 1) * HourUs + BandUs) / 1000
+    // fold the click in (it's below any of the probed watermarks)
+    val (_, st) = closeEligible(1L, SemiState(Nil, Seq(click)), horizonMs - 1)
+    assert(st.open.isEmpty && st.buckets.nonEmpty,
+      "one ms before the horizon the bucket must still be reachable")
+    val (_, st2) = closeEligible(1L, st, horizonMs)
+    assert(st2.open.isEmpty && st2.buckets.isEmpty,
+      "at the horizon the bucket must evict — the operator's reap " +
+        "timeout fires here and drops the key's state entry")
+  }
+
+  test("quiescent keys are reaped from the state store (no per-key leak)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val in = MemoryStream[StreamingFeed.RawEvent]
+    val q = StreamingSemiBuckets(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("semi_reap_out")
+      .start()
+    try {
+      // key 1: an in-band (click, purchase) pair, then nothing ever again
+      in.addData(StreamingFeed.RawEvent(1L, 10L, "click", 0.0, ts(1)),
+        StreamingFeed.RawEvent(1L, 11L, "purchase", 5.0, ts(2)))
+      q.processAllAvailable()
+      // key 2 far in the future: the watermark sails past key 1's last
+      // reachable bucket horizon; a second batch lets key 1's registered
+      // event-time timeout fire under the advanced watermark
+      in.addData(StreamingFeed.RawEvent(2L, 20L, "click", 0.0, ts(20)))
+      q.processAllAvailable()
+      in.addData(StreamingFeed.RawEvent(2L, 21L, "click", 0.0, ts(21)))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(stateRows.contains(1L),
+        s"state must hold ONLY the live key after the reap: $stateRows")
+      // the reap must not have raced the emission: key 1's purchase is out
+      val got = spark.table("semi_reap_out")
+        .collect().map(_.getAs[Long]("p_event_id")).toSet
+      assert(got.contains(11L), s"purchase must emit before the reap: $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS semi_reap_out")
+    }
+  }
 }
