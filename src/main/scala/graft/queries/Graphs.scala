@@ -1102,91 +1102,12 @@ object Graphs {
          |LEFT JOIN bord ON bord.user_id = p.user_id""".stripMargin,
       "grid-bucketed DBSCAN: cores, min-label border assignment, noise") {
       (s, dir) =>
-        val spark = s
-        import spark.implicits._
-        val pts = Tables(s, dir, "events").select(col("user_id")).distinct()
-          .select(col("user_id"),
-            (graft.ops.Text.baseHash(
-              concat(lit("x"), col("user_id").cast("string")))
-              % 1000000L).as("x"),
-            (graft.ops.Text.baseHash(
-              concat(lit("y"), col("user_id").cast("string")))
-              % 1000000L).as("y"))
-        // q180's grid plan, directed (a ≠ b): left side fans out to its
-        // 3×3 cell neighborhood, right side sits in its home cell
-        val offsets = explode(array((-1 to 1).flatMap(i =>
-          (-1 to 1).map(j => struct(lit(i.toLong).as("oi"),
-            lit(j.toLong).as("oj")))): _*)).as("o")
-        val left = pts.select(col("user_id").as("ua"),
-            col("x").as("ax"), col("y").as("ay"), offsets)
-          .select(col("ua"), col("ax"), col("ay"),
-            (expr(s"ax div $r") + col("o.oi")).as("cx"),
-            (expr(s"ay div $r") + col("o.oj")).as("cy"))
-        val right = pts.select(col("user_id").as("ub"),
-          col("x").as("bx"), col("y").as("by"),
-          expr(s"bx div $r").as("cx"), expr(s"by div $r").as("cy"))
-        // CELL CONTRACTION (the 100× finding): cell size = r means every
-        // same-cell core pair is within L∞ r automatically — same-cell
-        // cores form a CLIQUE, i.e. one component piece. So the CC input
-        // never needs the O(density²) neighbor graph: per (point, target
-        // cell) aggregates replace per-pair edges — a core connects by a
-        // star edge to its cell's min core, plus ONE edge per neighboring
-        // cell holding a within-r core neighbor (connectivity identical:
-        // any real core-core edge (a,b) is simulated by a→rep(cell(b))→b
-        // through cell(b)'s clique). The candidate stream is scanned
-        // twice as pure partial-agg pipelines (map-side combined to ≤9
-        // rows per point) and is never materialized or fed to GraphX.
-        // The unchanged brute-force oracle proves the contraction exact.
-        def cand = left.join(right, Seq("cx", "cy"))
-          .filter(col("ua") =!= col("ub") &&
-            abs(col("ax") - col("bx")) <= r &&
-            abs(col("ay") - col("by")) <= r)
-        // scan 1: neighbor counts — per (point, cell) then per point
-        val nc = cand.groupBy(col("ua")).agg(count(lit(1)).as("nn"))
-        val core = pts.join(nc, col("user_id") === col("ua"), "left")
-          .select(col("user_id"),
-            (coalesce(col("nn"), lit(0L)) + 1L >= minPts).as("is_core"))
-          .localCheckpoint() // small (one row per point); many consumers
-        val coreIds = core.filter(col("is_core")).select(col("user_id"))
-        // cell representative = min core id per cell
-        val cellRep = pts
-          .join(coreIds.select(col("user_id").as("cid")),
-            col("user_id") === col("cid"))
-          .select(col("cid"), expr(s"x div $r").as("cx"),
-            expr(s"y div $r").as("cy"))
-          .groupBy(col("cx"), col("cy")).agg(min(col("cid")).as("rep"))
-        // scan 2: distinct (point, cell-holding-a-core-neighbor) pairs
-        val touched = cand
-          .join(broadcast(coreIds.select(col("user_id").as("ub"))),
-            Seq("ub"))
-          .select(col("ua"), col("cx"), col("cy")).distinct()
-          .join(broadcast(cellRep), Seq("cx", "cy"))
-          .select(col("ua"), col("rep"))
-          .localCheckpoint() // ≤9 rows per point; edges + borders read it
-        val coreTouch = touched
-          .join(coreIds.select(col("user_id").as("ua")), Seq("ua"))
-        val vertsRdd = coreIds.rdd.map(r0 => (r0.getLong(0), 0))
-        val edgesRdd = coreTouch.select(col("ua"), col("rep")).rdd
-          .map(r0 => Edge(r0.getLong(0), r0.getLong(1), 0))
-        val lab = Graph(vertsRdd, edgesRdd).connectedComponents()
-          .vertices.toDF("core_id", "cluster")
-        // border label = min component label over touched cells: cores
-        // within one cell share a component, so the cell rep's label IS
-        // every same-cell neighbor's label
-        val bord = touched
-          .join(coreIds.select(col("user_id").as("ua")), Seq("ua"),
-            "left_anti")
-          .join(lab.select(col("core_id").as("rep"), col("cluster")),
-            Seq("rep"))
-          .groupBy(col("ua")).agg(min(col("cluster")).as("b_cluster"))
-        core
-          .join(lab.select(col("core_id").as("user_id"),
-            col("cluster").as("c_cluster")), Seq("user_id"), "left")
-          .join(bord.select(col("ua").as("user_id"), col("b_cluster")),
-            Seq("user_id"), "left")
-          .select(col("user_id"), col("is_core"),
-            coalesce(col("c_cluster"), col("b_cluster")).cast("long")
-              .as("cluster"))
+        // shared grid kernel (graft.ops.Spatial; domain pinned to the
+        // oracle's 10⁶ — the density measurement twin scales it)
+        val pts = graft.ops.Spatial.points(
+          Tables(s, dir, "events").select(col("user_id")).distinct(),
+          "user_id", 1000000L)
+        graft.ops.Spatial.gridDbscan(pts, r, minPts)
     }
   }
 

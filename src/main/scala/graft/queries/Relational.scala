@@ -2451,12 +2451,27 @@ object Relational {
       // price by construction, so bd_above >= d is certain dominance
       val survivors = pts.join(broadcast(bands), Seq("bkt"))
         .filter(col("bd_above").isNull || col("bd_above") < col("d"))
-      // phase 3: exact skyline over the pruned residue (bounded-input
+      // phase 3a: per-BAND exact skyline first (PARTITIONED windows — the
+      // round-9 growth gate measured the band-pruned residue still ~9×
+      // per corpus decade because the TOP band is never pruned; dominance
+      // is transitive, so dropping in-band-dominated points loses no
+      // frontier point and shrinks the global pass to O(bands · log n)
+      // expected survivors)
+      val wsb = Window.partitionBy(col("bkt")).orderBy(col("pc").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wpb = Window.partitionBy(col("bkt"), col("pc"))
+      val bandSky = survivors
+        .withColumn("md_strict_b", max(col("d")).over(wsb))
+        .withColumn("md_peer_b", max(col("d")).over(wpb))
+        .filter((col("md_strict_b").isNull || col("md_strict_b") < col("d"))
+          && col("d") === col("md_peer_b"))
+        .drop("md_strict_b", "md_peer_b")
+      // phase 3b: exact skyline over the per-band skylines (bounded-input
       // global window, q113 discipline)
       val ws = Window.orderBy(col("pc").desc)
         .rangeBetween(Window.unboundedPreceding, -1)
       val wp = Window.partitionBy(col("pc"))
-      survivors
+      bandSky
         .withColumn("md_strict", max(col("d")).over(ws))
         .withColumn("md_peer", max(col("d")).over(wp))
         .filter((col("md_strict").isNull || col("md_strict") < col("d")) &&
@@ -2584,29 +2599,14 @@ object Relational {
          |  AND abs(a.x - b.x) <= $r AND abs(a.y - b.y) <= $r""".stripMargin,
       "all point pairs within L-inf radius via a 3x3 grid-cell equi-join") {
       (s, dir) =>
-        val pts = Tables(s, dir, "events").select(col("user_id")).distinct()
-          .select(col("user_id"),
-            (graft.ops.Text.baseHash(concat(lit("x"), col("user_id").cast("string")))
-              % 1000000L).as("x"),
-            (graft.ops.Text.baseHash(concat(lit("y"), col("user_id").cast("string")))
-              % 1000000L).as("y"))
-        // left side fans out to the 3×3 neighborhood of its home cell
-        val offsets = explode(array((-1 to 1).flatMap(i =>
-          (-1 to 1).map(j => struct(lit(i.toLong).as("oi"),
-            lit(j.toLong).as("oj")))): _*)).as("o")
-        val left = pts.select(col("user_id").as("user_a"),
-            col("x").as("ax"), col("y").as("ay"), offsets)
-          .select(col("user_a"), col("ax"), col("ay"),
-            (expr(s"ax div $r") + col("o.oi")).as("cx"),
-            (expr(s"ay div $r") + col("o.oj")).as("cy"))
-        val right = pts.select(col("user_id").as("user_b"),
-          col("x").as("bx"), col("y").as("by"),
-          expr(s"bx div $r").as("cx"), expr(s"by div $r").as("cy"))
-        left.join(right, Seq("cx", "cy"))
-          .filter(col("user_b") > col("user_a") &&
-            abs(col("ax") - col("bx")) <= r &&
-            abs(col("ay") - col("by")) <= r)
-          .select(col("user_a"), col("user_b"),
+        // shared grid kernel (graft.ops.Spatial; domain pinned to the
+        // oracle's 10⁶ — the density measurement twin scales it)
+        val pts = graft.ops.Spatial.points(
+          Tables(s, dir, "events").select(col("user_id")).distinct(),
+          "user_id", 1000000L)
+        graft.ops.Spatial.gridNeighbors(pts, r)
+          .filter(col("ub") > col("ua"))
+          .select(col("ua").as("user_a"), col("ub").as("user_b"),
             (col("ax") - col("bx")).as("dx"),
             (col("ay") - col("by")).as("dy"),
             ((col("ax") - col("bx")) * (col("ax") - col("bx"))
@@ -3655,10 +3655,14 @@ object Relational {
       val g = u.groupBy(col("score"))
         .agg(sum(col("pos")).cast("long").as("cpos"),
           sum(lit(1) - col("pos")).cast("long").as("cneg"))
-      val wBelow = Window.orderBy(col("score"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val r = g.withColumn("below",
-        coalesce(sum(col("cpos") + col("cneg")).over(wBelow), lit(0L)))
+      // two-level exact prefix sum (graft.ops.Ranks): the distinct-score
+      // frame grows with the corpus (bounded-frame lint measured ~8× per
+      // decade), so the cumsum buckets by the score's integer band —
+      // bounded by the VALUE DOMAIN — and only the O(bands) frame sees a
+      // global window; the residue rides a band-partitioned window
+      val r = graft.ops.Ranks.withGlobalPrefixSum(g, "below",
+        col("cpos") + col("cneg"), floor(col("score")).cast("long"),
+        Seq(col("score")))
       r.agg(
         sum(col("cpos")).cast("long").as("n_pos"),
         sum(col("cneg")).cast("long").as("n_neg"),
@@ -3889,10 +3893,26 @@ object Relational {
           count(lit(1)).cast("long").as("freq"),
           sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
             .as("monet"))
-      val q = c.select(col("monet"),
-        ntile(5).over(Window.orderBy(col("last_us"), col("custkey"))).as("r_q"),
-        ntile(5).over(Window.orderBy(col("freq"), col("custkey"))).as("f_q"),
-        ntile(5).over(Window.orderBy(col("monet"), col("custkey"))).as("m_q"))
+      // NTILE without the single-reducer sort of the customer dimension
+      // (graft.ops.Ranks): exact global row_number via domain-bounded
+      // bucket prefixes (epoch-day / order-count / centi-unit band) +
+      // the ANSI tile closed form from (rank, n). Row-identical to the
+      // ntile window — the unchanged oracle is the proof.
+      val cn = c.crossJoin(broadcast(
+        c.agg(count(lit(1)).cast("long").as("__n"))))
+      val ranked = Seq[(String, Column, Seq[Column])](
+        ("__rn_r", col("last_us") - pmod(col("last_us"), lit(86400000000L)),
+          Seq(col("last_us"), col("custkey"))),
+        ("__rn_f", col("freq"), Seq(col("freq"), col("custkey"))),
+        ("__rn_m", floor(col("monet") / lit(1000000L)).cast("long"),
+          Seq(col("monet"), col("custkey"))))
+        .foldLeft(cn) { case (df, (rn, bkt, ord)) =>
+          graft.ops.Ranks.withGlobalRowNumber(df, rn, bkt, ord)
+        }
+      val q = ranked.select(col("monet"),
+        graft.ops.Ranks.ntileFromRank(col("__rn_r"), col("__n"), 5).as("r_q"),
+        graft.ops.Ranks.ntileFromRank(col("__rn_f"), col("__n"), 5).as("f_q"),
+        graft.ops.Ranks.ntileFromRank(col("__rn_m"), col("__n"), 5).as("m_q"))
       q.groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).cast("long").as("n_customers"),
           sum(col("monet")).cast("long").as("total_monet_centi"))
@@ -4087,8 +4107,16 @@ object Relational {
             .as("x"),
             sum(when(col("ts") >= cutTs, centi).otherwise(0L)).cast("long")
               .as("y"))
-        val q = u.select(col("arm"), col("y"),
-          ntile(5).over(Window.orderBy(col("x"), col("user_id")))
+        // quintile strata without the single-reducer user-dimension sort
+        // (graft.ops.Ranks, q226's respelling): bucket = pre-period
+        // centi-spend band, exact rank + closed-form tile
+        val un = u.crossJoin(broadcast(
+          u.agg(count(lit(1)).cast("long").as("__n"))))
+        val ranked = graft.ops.Ranks.withGlobalRowNumber(un, "__rn",
+          floor(col("x") / lit(10000L)).cast("long"),
+          Seq(col("x"), col("user_id")))
+        val q = ranked.select(col("arm"), col("y"),
+          graft.ops.Ranks.ntileFromRank(col("__rn"), col("__n"), 5)
             .as("stratum"))
         val st = q.groupBy(col("stratum"))
           .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
@@ -6479,8 +6507,15 @@ object Relational {
         .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
         .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("conv"), count(lit(1)).cast("long").as("n_ev"))
-      val q = u.select(col("user_id"), col("arm"), col("conv"),
-        ntile(5).over(Window.orderBy(col("n_ev"), col("user_id")))
+      // engagement quintiles without the single-reducer user-dimension
+      // sort (graft.ops.Ranks, q226's respelling): bucket = the event
+      // count itself (small-int domain), exact rank + closed-form tile
+      val un = u.crossJoin(broadcast(
+        u.agg(count(lit(1)).cast("long").as("__n"))))
+      val ranked = graft.ops.Ranks.withGlobalRowNumber(un, "__rn",
+        col("n_ev"), Seq(col("n_ev"), col("user_id")))
+      val q = ranked.select(col("user_id"), col("arm"), col("conv"),
+        graft.ops.Ranks.ntileFromRank(col("__rn"), col("__n"), 5)
           .cast("long").as("seg"))
       val c = q.groupBy(col("seg"))
         .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")

@@ -14,6 +14,15 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4). Used by the bounded-frame lint to
+    * execute a Window node's input subtree in isolation and measure its
+    * cardinality across scale factors. */
+  def dataset(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
   /** For a cached Dataset held behind a [[java.lang.ref.SoftReference]]
     * (see [[graft.SessionCache]]): a cleanup that evicts the dataset's
     * `InMemoryRelation` from the session `CacheManager` AFTER the soft
