@@ -57,15 +57,37 @@ object ScaleUp {
           floor(log2(pmod(col("event_id"), lit(1024)) + 1))).cast("long"))
         .otherwise(col("user_id")))
 
+  /** `GRAFT_SCALE_SKEW=zipftext`: overlay a deterministic hot-SHINGLE
+    * skew on `documents` — the text-join analog of the events overlay
+    * (round-9 item: the df-cut is the CLAIMED skew guard for the
+    * pair-universe joins q23/q281/q283/q284, argued but unmeasured; the
+    * streaming analog of exactly this gap is where q279's 223× hid).
+    * Even doc_ids get a 12-token phrase appended whose rank follows the
+    * same halving-mass scheme as [[zipfUser]]: rank 1's phrase sits in
+    * 25% of ALL documents at every factor, rank 2 12.5%, … — so every
+    * word-shingle inside a hot phrase is shared by a constant FRACTION
+    * of the corpus (the uniform fixture's replica-prefixed tokens are
+    * lexically disjoint by construction and can never produce one).
+    * Applied AFTER replica prefixing, so hot shingles are global. */
+  private def zipfText(df: DataFrame): DataFrame = {
+    val rank = (lit(10) -
+      floor(log2(pmod(col("doc_id"), lit(1024)) + 1))).cast("long")
+    val phrase = concat_ws(" ", (0 until 12).map(i =>
+      concat(lit("zzh"), rank, lit("w" + i))): _*)
+    df.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat_ws(" ", col("text"), phrase)).otherwise(col("text")))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
-    val skew = sys.env.get("GRAFT_SCALE_SKEW") // "zipf" | unset
+    val skew = sys.env.get("GRAFT_SCALE_SKEW") // "zipf" | "zipftext" | unset
     // HotBase clears replica-shifted user_ids (max ≈ factor·10⁷) only
     // while factor < 500 — beyond that a hot key would silently alias a
     // real shifted user and corrupt the overlay's closed-form oracle
-    require(skew.isEmpty || factor < 500,
-      s"GRAFT_SCALE_SKEW requires factor < 500 (got $factor): " +
+    require(!skew.contains("zipf") || factor < 500,
+      s"GRAFT_SCALE_SKEW=zipf requires factor < 500 (got $factor): " +
         s"hot-key base $HotBase must stay above every shifted user_id")
     val dst = args.headOption
       .getOrElse(s"${graft.Scratch.root}/graft-sf-x$factor" +
@@ -111,13 +133,15 @@ object ScaleUp {
     val eventsScaled = reps(t("events"))(bump("event_id", "user_id"))
     w(if (skew.contains("zipf")) zipfUser(eventsScaled) else eventsScaled,
       "events")
-    w(reps(t("documents")) { (d, o) =>
+    val docsScaled = reps(t("documents")) { (d, o) =>
       val shifted = bump("doc_id")(d, o)
       if (o == 0L) shifted
       else shifted.withColumn("text",
         concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
           tok => concat(lit("r" + (o / Off)), tok))))
-    }, "documents")
+    }
+    w(if (skew.contains("zipftext")) zipfText(docsScaled) else docsScaled,
+      "documents")
     w(reps(t("embeddings"))(bump("vec_id")), "embeddings")
 
     val rows = graft.Tables.names
@@ -130,6 +154,16 @@ object ScaleUp {
         .groupBy(col("user_id")).count().orderBy(col("user_id"))
         .collect().map(r => s"${r.getLong(0) - HotBase}:${r.getLong(1)}")
       println(s"[scale-up] zipf hot-key counts  ${hot.mkString(" ")}")
+    }
+    if (skew.contains("zipftext")) {
+      // overlay audit: docs carrying each hot phrase (halving by rank)
+      val hot = spark.read.parquet(s"$dst/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy((lit(10) - floor(log2(pmod(col("doc_id"), lit(1024)) + 1)))
+          .cast("long").as("rank"))
+        .count().orderBy(col("rank"))
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}")
+      println(s"[scale-up] zipftext hot-phrase doc counts  ${hot.mkString(" ")}")
     }
     spark.stop()
   }
