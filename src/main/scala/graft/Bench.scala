@@ -206,8 +206,9 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val g0 = gcMillis()
-      // a failed query must be visible as a failure, never as a timing
-      val err = try { fn(spark, sfDir).count(); None }
+      // a failed query must be visible as a failure, never as a timing;
+      // Force (not .count()) so column pruning can't delete timed work
+      val err = try { Force(fn(spark, sfDir)); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }

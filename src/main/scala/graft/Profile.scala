@@ -48,7 +48,7 @@ object Profile {
           q => names.contains(q.name) }
         else q => q.name >= "q60"
       Registry.all.filter(sel).sortBy(_.name).foreach { q =>
-        time(q.name)(q.run(spark, sfDir).count())
+        time(q.name)(Force(q.run(spark, sfDir)))
       }
       spark.stop()
       return

@@ -91,16 +91,18 @@ object DensityProfile {
     def pts = graft.ops.Spatial.points(
       graft.Tables(spark, dir, "events").select(col("user_id")).distinct(),
       "user_id", domain)
-    time("q180_density_pairs")(
+    // graft.Force, not .count(): the count-pruning audit caught this
+    // tool's own q274 line at 3.2 s vs 549.6 s honest (see Force's doc)
+    time("q180_density_pairs")(graft.Force(
       graft.ops.Spatial.gridNeighbors(pts, r)
-        .filter(col("ub") > col("ua")).count())
-    time("q277_density_dbscan")(
-      graft.ops.Spatial.gridDbscan(pts, r, minPts = 4L).count())
-    time("q274_fixed_test")(contaminationFixedTest(spark, dir).count())
+        .filter(col("ub") > col("ua"))))
+    time("q277_density_dbscan")(graft.Force(
+      graft.ops.Spatial.gridDbscan(pts, r, minPts = 4L)))
+    time("q274_fixed_test")(graft.Force(contaminationFixedTest(spark, dir)))
     // controls: registered queries, fixture already domain-growing
     Seq("q109_cosine_pairs", "q281_containment_pairs").foreach { name =>
       graft.Registry.all.find(_.name == name).foreach(q =>
-        time(name)(q.run(spark, dir).count()))
+        time(name)(graft.Force(q.run(spark, dir))))
     }
     spark.stop()
   }
