@@ -1072,6 +1072,60 @@ object Domain {
          |  FROM mem),
          |$steps""".stripMargin
 
+  /** The shared LPA state, built once per (session, sf dir) and reused
+    * by q202 (reads the partition) and q256 (scores it):
+    *
+    *  - `co` — weighted co-occurrence edges, cached AND hash-partitioned
+    *    on `src` before the cache fill: every one of the `LpaIters`
+    *    vote joins keys on `src`, so materializing the frame already in
+    *    the join's partitioning means the O(E) side never re-shuffles —
+    *    only the O(V) label frame moves each round (edges ≫ vertices at
+    *    every scale; this is the partitioning-reuse discipline the 100 TB
+    *    stance wants, same idea as bucketing the big side of a repeated
+    *    join).
+    *  - `labels` — the FOLDED 4-round fixed point, cached. Without this
+    *    the label chain is an unmaterialized 4-join DAG that the final
+    *    expressions re-derive per reference: q202 referenced it twice
+    *    (sz + join) and q256 three times (ls/ld/sz), so one bench
+    *    execution re-ran the whole fold 2–3× (measured: the two queries
+    *    were the bench head at 22/31 s). Folding once into a cached
+    *    O(V) frame makes every downstream use a scan. */
+  private def lpaState(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
+      pipeline(s, dir).lineupStints
+        .select(col("stint_id"), explode(col("player_ids")).as("person_id"))
+    }
+    val co = graft.SessionCache.once(s, s"domain#$dir#lpa-co") {
+      val a = mem.select(col("stint_id"), col("person_id").as("src"))
+      val b = mem.select(col("stint_id"), col("person_id").as("dst"))
+      a.join(b, Seq("stint_id"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .repartition(col("src"))
+        .cache()
+    }
+    val labels = graft.SessionCache.once(s, s"domain#$dir#lpa-labels") {
+      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
+      var l = verts.select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to LpaIters) {
+        val votes = co
+          .join(l.select(col("id").as("src"), col("lbl")), Seq("src"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(sum(col("w")).as("votes"))
+        val picked = votes
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
+          .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
+        l = l.join(picked, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      }
+      l.cache()
+    }
+    (co, labels)
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007) over the player co-occurrence graph — the one classic
     * GraphX analytics family (degrees/CC/BFS/PageRank/triangles/k-core/
@@ -1090,39 +1144,14 @@ object Domain {
     * one partial-aggregated (dst, lbl) vote sum + one per-dst arg-min —
     * the canonical distributed LPA step; the `min(struct(-votes, lbl))`
     * pick partial-aggregates map-side where a rank window would sort.
-    * Edges and vertices are cached across the unrolled rounds. */
+    * Edges are cached pre-partitioned on the join key and the folded
+    * labels are cached, both shared with q256 ([[lpaState]]). */
   val q202LabelPropagation: Q = Q.sql(
     "q202_label_propagation",
     lpaOracle,
     "LPA communities over the player co-occurrence graph (4 sync rounds)") {
     (s, dir) =>
-      val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
-        pipeline(s, dir).lineupStints
-          .select(col("stint_id"), explode(col("player_ids")).as("person_id"))
-      }
-      val co = graft.SessionCache.once(s, s"domain#$dir#lpa-co") {
-        val a = mem.select(col("stint_id"), col("person_id").as("src"))
-        val b = mem.select(col("stint_id"), col("person_id").as("dst"))
-        a.join(b, Seq("stint_id"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("w"))
-          .cache()
-      }
-      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
-      var labels = verts.select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to LpaIters) {
-        val votes = co
-          .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
-          .groupBy(col("dst"), col("lbl"))
-          .agg(sum(col("w")).as("votes"))
-        val picked = votes
-          .groupBy(col("dst"))
-          .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
-          .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
-        labels = labels.join(picked, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-      }
+      val (_, labels) = lpaState(s, dir)
       val sz = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
       labels.join(sz, Seq("lbl"))
         .select(col("id").as("person_id"), col("lbl").as("community"),
@@ -1181,41 +1210,16 @@ object Domain {
     * q256 grades (the same measure LPA's own stopping heuristics and
     * Louvain's objective use).
     *
-    * Scale shape: labels re-fold via the cached q202 loop (session-
-    * shared edges); scoring is two keyed joins of the edge frame
-    * against the O(V) label frame + bounded partial aggs. */
+    * Scale shape: labels come pre-folded and cached from the shared
+    * [[lpaState]] (one fold per session, not one per reference);
+    * scoring is two keyed joins of the cached edge frame against the
+    * O(V) label frame + bounded partial aggs. */
   val q256Modularity: Q = Q.sql(
     "q256_modularity",
     modularityOracle,
     "per-community Newman modularity contributions of the LPA partition") {
     (s, dir) =>
-      val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
-        pipeline(s, dir).lineupStints
-          .select(col("stint_id"), explode(col("player_ids")).as("person_id"))
-      }
-      val co = graft.SessionCache.once(s, s"domain#$dir#lpa-co") {
-        val a = mem.select(col("stint_id"), col("person_id").as("src"))
-        val b = mem.select(col("stint_id"), col("person_id").as("dst"))
-        a.join(b, Seq("stint_id"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("w"))
-          .cache()
-      }
-      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
-      var labels = verts.select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to LpaIters) {
-        val votes = co
-          .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
-          .groupBy(col("dst"), col("lbl"))
-          .agg(sum(col("w")).as("votes"))
-        val picked = votes
-          .groupBy(col("dst"))
-          .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
-          .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
-        labels = labels.join(picked, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-      }
+      val (co, labels) = lpaState(s, dir)
       val mm = co.agg(sum(col("w")).cast("long").as("m2"))
       val ls = labels.select(col("id").as("src"), col("lbl"))
       val ld = labels.select(col("id").as("dst"), col("lbl").as("lbl_d"))
