@@ -1083,13 +1083,25 @@ object Domain {
     *    every scale; this is the partitioning-reuse discipline the 100 TB
     *    stance wants, same idea as bucketing the big side of a repeated
     *    join).
-    *  - `labels` — the FOLDED 4-round fixed point, cached. Without this
-    *    the label chain is an unmaterialized 4-join DAG that the final
-    *    expressions re-derive per reference: q202 referenced it twice
-    *    (sz + join) and q256 three times (ls/ld/sz), so one bench
+    *  - `labels` — the FOLDED 4-round fixed point, materialized. Without
+    *    this the label chain is an unmaterialized 4-join DAG that the
+    *    final expressions re-derive per reference: q202 referenced it
+    *    twice (sz + join) and q256 three times (ls/ld/sz), so one bench
     *    execution re-ran the whole fold 2–3× (measured: the two queries
-    *    were the bench head at 22/31 s). Folding once into a cached
-    *    O(V) frame makes every downstream use a scan. */
+    *    were the bench head at 22/31 s). Folding once into an O(V) frame
+    *    makes every downstream use a scan.
+    *
+    * Both frames are `localCheckpoint`ed, not merely `cache`d (q239's
+    * lineage-truncation discipline): the fold's ANALYZED tree inlines
+    * its whole upstream lineage (pipeline → stints → explode → edges)
+    * once per round and once per downstream reference, so round k's
+    * plan embeds rounds 1..k−1 and q256's three references walked a
+    * tree of thousands of nodes per execution — measurable driver-side
+    * analysis cost on every run. A LogicalRDD leaf is O(1) deep,
+    * preserves the materialized partitioning (so the `src` hash layout
+    * survives), and pins only O(E)+O(V) blocks. Single-JVM truncated
+    * lineage is safe (no executor loss locally); a cluster deployment
+    * would use reliable checkpoint storage for the same plan shape. */
   private def lpaState(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
@@ -1108,22 +1120,32 @@ object Domain {
     }
     val labels = graft.SessionCache.once(s, s"domain#$dir#lpa-labels") {
       val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
-      var l = verts.select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to LpaIters) {
-        val votes = co
-          .join(l.select(col("id").as("src"), col("lbl")), Seq("src"))
-          .groupBy(col("dst"), col("lbl"))
-          .agg(sum(col("w")).as("votes"))
-        val picked = votes
-          .groupBy(col("dst"))
-          .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
-          .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
-        l = l.join(picked, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-      }
-      l.cache()
+      lpaFold(co, verts).localCheckpoint()
     }
     (co, labels)
+  }
+
+  /** The synchronous LPA recurrence as a pure plan: `LpaIters` rounds of
+    * one edges⋈labels equi-join + one partial-aggregated (dst, lbl) vote
+    * sum + one per-dst `min(struct(−votes, lbl))` arg-min. Factored out
+    * of [[lpaState]] so PlanSpec can pin the fold's physical shape
+    * directly (the materialized LogicalRDD that q202/q256 consume is
+    * opaque to explain). */
+  private[graft] def lpaFold(co: DataFrame, verts: DataFrame): DataFrame = {
+    var l = verts.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      val votes = co
+        .join(l.select(col("id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(sum(col("w")).as("votes"))
+      val picked = votes
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
+        .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
+      l = l.join(picked, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    l
   }
 
   /** Community detection by synchronous label propagation (Raghavan et

@@ -644,18 +644,30 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q202: LPA rounds are equi-joins; votes and pick both partial-agg") {
-    val p = plan("q202_label_propagation")
+    // the composed q202 plan consumes the fold through a materialized
+    // LogicalRDD (lineage-truncated, opaque to explain), so the round
+    // shape is pinned on the fold plan itself over a synthetic graph
+    import spark.implicits._
+    val co = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val p = queries.Domain.lpaFold(co, verts)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     // every co-occurrence pair and every vote rides an equi-key shuffle;
     // the per-dst argmin is min(struct(-votes, lbl)) so it map-side
     // combines — a rank window here would sort each round instead
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"LPA fell off the equi-join path:\n$p")
-    // the struct-min spelling of the pick is the proof no per-round rank
-    // window snuck in (the upstream game pipeline owns the Windows that
-    // DO appear in this composed plan)
     assert(p.contains("partial_sum") && p.contains("partial_min(struct"),
       s"vote sum / label pick not partial-aggregated:\n$p")
+    assert(!p.contains("Window"), s"rank window snuck into the fold:\n$p")
+    // and the composed query stays off the non-equi paths end to end
+    val pq = plan("q202_label_propagation")
+    assert(!pq.contains("CartesianProduct") &&
+      !pq.contains("BroadcastNestedLoopJoin"),
+      s"composed q202 fell off the equi-join path:\n$pq")
   }
 
   test("q207: PPR rounds are equi-joins with partial-agg message sums; seeds broadcast") {
