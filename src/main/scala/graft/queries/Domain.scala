@@ -1091,17 +1091,23 @@ object Domain {
     *    were the bench head at 22/31 s). Folding once into an O(V) frame
     *    makes every downstream use a scan.
     *
-    * Both frames are `localCheckpoint`ed, not merely `cache`d (q239's
+    * The two frames are materialized differently, each for its own
+    * reason. `co` (O(E)) is `repartition(src).cache()`d: a cached plan
+    * replays from blocks already laid out on `src`, so every LPA round's
+    * edges⋈labels join reuses that hash layout shuffle-free. `labels`
+    * (O(V)) is `localCheckpoint`ed, not merely cached (q239's
     * lineage-truncation discipline): the fold's ANALYZED tree inlines
     * its whole upstream lineage (pipeline → stints → explode → edges)
     * once per round and once per downstream reference, so round k's
     * plan embeds rounds 1..k−1 and q256's three references walked a
     * tree of thousands of nodes per execution — measurable driver-side
-    * analysis cost on every run. A LogicalRDD leaf is O(1) deep,
-    * preserves the materialized partitioning (so the `src` hash layout
-    * survives), and pins only O(E)+O(V) blocks. Single-JVM truncated
-    * lineage is safe (no executor loss locally); a cluster deployment
-    * would use reliable checkpoint storage for the same plan shape. */
+    * analysis cost on every run. The checkpoint's LogicalRDD leaf is
+    * O(1) deep and pins only O(V) blocks; its partitioning is whatever
+    * the fold's last exchange produced (the `src`-layout reuse claim
+    * belongs to `co`, not to the checkpointed frame). Single-JVM
+    * truncated lineage is safe (no executor loss locally); a cluster
+    * deployment would use reliable checkpoint storage for the same
+    * plan shape. */
   private def lpaState(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val mem = graft.SessionCache.once(s, s"domain#$dir#lpa-mem") {
