@@ -12,9 +12,22 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle fan-out must scale with the DATA, not the thread count:
+    // the round-10 q116 1000× attempt OOM'd 81 min in (8 GiB heap, 32
+    // partitions) because per-partition shuffle volume grows 10× per
+    // decade when the partition count is pinned — the spill-merge
+    // working set (read-ahead buffers × spill-file count) outgrew the
+    // heap exactly as it would on a real cluster with too-few shuffle
+    // partitions. A cluster deployment provisions
+    // spark.sql.shuffle.partitions ∝ input size and lets AQE coalesce
+    // the small stages back down; SPARK_GRAFT_SHUFFLE_PARTITIONS is
+    // that knob for the scaling harness (default: thread count, the
+    // bench-session shape).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // measurement toggle ONLY (never set in Bench/Verify): quantify how
