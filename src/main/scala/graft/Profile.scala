@@ -25,9 +25,19 @@ object Profile {
     // bench-session shape).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // The refined (per-stage) form of the same knob: leave
+    // shuffle.partitions alone and raise AQE's pre-coalesce partition
+    // count instead, so every exchange right-sizes BY BYTES — corpus-
+    // scale shuffles keep a high fan-out while iteration-scale ones
+    // (the GraphX CC feeders that crawled at a blanket 512) coalesce
+    // back to a handful of tasks. Unset = Spark default (= the final
+    // shuffle.partitions value), i.e. behavior unchanged.
+    val initialPartitions = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+    val spark = initialPartitions.fold(spark0)(n => spark0
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // measurement toggle ONLY (never set in Bench/Verify): quantify how
