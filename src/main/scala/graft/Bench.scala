@@ -150,32 +150,80 @@ object Bench {
       } finally f.close()
     }.toOption
 
-  /** The three-axis health envelope, shared by the pre-flight gate and
-    * the end-of-run promotion decision (BASELINE.md contract §4): tmpfs
-    * writeback ≥ 300 MB/s, single-thread cpu ≥ 470 Mops, and — only when
-    * the probe ran at the committed baseline's 32-thread shape — summed
-    * parallel throughput within ±25% of the 16,719/14,762 Mops baseline
-    * band [11000, 21000]. Other host shapes keep the par axis
-    * record-only until a baseline for that shape is committed. */
+  /** One row of the committed host-tier envelope table (BASELINE.md
+    * "Health-envelope tiers"). A probe is assigned a tier by its
+    * single-thread cpu calibration alone (the one axis that identifies
+    * the HOST rather than the window); within a tier the io floor and —
+    * only at the tier's committed thread shape — the par band decide
+    * window health. A cpu reading outside every tier's band is an
+    * unknown host: the run proceeds but is never promoted (round-11
+    * measure-and-quarantine contract). */
+  final case class EnvelopeTier(name: String, cpuLo: Double, cpuHi: Double,
+      ioFloor: Double, parThreads: Int, parLo: Double, parHi: Double)
+
+  /** The committed tiers. `builder`: the round-8/9 reference host
+    * (cpu 470-525 Mops healthy; io ≥ 300 MB/s tmpfs-adjacent volume;
+    * 32-thread par band ±25% around the 16,719/14,762 Mops baseline).
+    * `driver`: the harness driver's measured steady state (r09 cpu 444,
+    * r10 probes 454 Mops ×4; io 130-140 MB/s on its volume vs 41 MB/s
+    * in its one genuine end-of-run collapse; par 12.6k within the same
+    * 32-thread band) — a host that ALWAYS reads degraded against the
+    * builder bars, which round 10's absolutist gate turned into a
+    * blanket refusal (BENCH_r10 = empty −1). Its io floor sits between
+    * its steady state and its observed collapse. */
+  val envelopeTiers: Seq[EnvelopeTier] = Seq(
+    EnvelopeTier("builder", 470, Double.MaxValue, 300, 32, 11000, 21000),
+    EnvelopeTier("driver", 430, 470, 80, 32, 11000, 21000),
+  )
+
+  def tierOf(cpuMops: Double): Option[EnvelopeTier] =
+    envelopeTiers.find(t => cpuMops >= t.cpuLo && cpuMops < t.cpuHi)
+
+  /** The three-axis health envelope, shared by the pre-flight probe and
+    * the end-of-run promotion decision (BASELINE.md contract §4), keyed
+    * by host tier: the single-thread cpu reading selects the tier, the
+    * tier's io floor gates, and — only when the probe ran at that
+    * tier's committed thread shape — the par band gates. Other host
+    * shapes keep the par axis record-only until a baseline for that
+    * shape is committed. */
   def withinEnvelope(ioMbps: Double, cpuMops: Double, parMops: Double,
       parThreads: Int): Boolean =
-    ioMbps >= 300 && cpuMops >= 470 &&
-      (parThreads != 32 || (parMops >= 11000 && parMops <= 21000))
+    tierOf(cpuMops).exists { t =>
+      ioMbps >= t.ioFloor &&
+        (parThreads != t.parThreads || (parMops >= t.parLo && parMops <= t.parHi))
+    }
+
+  /** Locale-pinned double formatting for JSON fields: the `f`
+    * interpolator is default-locale-sensitive (a de_DE JVM emits comma
+    * decimal separators — invalid JSON). */
+  def num(fmt: String, d: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(d))
+
+  /** JSON string literal with the same control-char/quote scrubbing the
+    * error map uses — env-controlled values (the sf dir) and cache keys
+    * (contain paths) must not be interpolated raw. */
+  def jstr(s: String): String =
+    "\"" + s.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c) + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDirRaw = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Pre-flight gate (round-10, VERDICT r09 item 5): the driver's r09
-    // bench burned 26 minutes inside a window that was ALREADY below
-    // envelope at the start (io fine but cpu 444 Mops, par 10.5k) — the
-    // end-of-run guard correctly quarantined it, but the 26 minutes were
-    // spent either way. Probe the three axes BEFORE staging or starting
-    // Spark; if the window is already degraded, retry a few times (a
+    // Pre-flight probe (round-10 gate, round-11 fallback): the driver's
+    // r09 bench burned 26 minutes inside a window that was ALREADY below
+    // envelope at the start, so round 10 added a probe-and-retry gate —
+    // but its failure mode was refusal (exit 2, empty BENCH_r10), which
+    // is strictly less information than a quarantined run. Round-11
+    // contract (VERDICT r10 item 1): probe the three axes BEFORE staging
+    // or starting Spark; if the window is degraded, retry a few times (a
     // throttle window usually persists minutes-to-hours, but a brief
-    // neighbor burst shouldn't kill the round's bench), then refuse:
-    // emit a minimal parseable JSON line with "preflight_abort":true,
-    // write the probes to bench_preflight_abort.json, exit non-zero.
-    // SPARK_GRAFT_FORCE_RUN=1 bypasses (for window-independence A/Bs,
-    // which intentionally run in degraded windows).
+    // neighbor burst shouldn't taint the round's bench); if STILL
+    // degraded, MEASURE ANYWAY — tag the output "window_degraded":true,
+    // keep the probe record in bench_preflight_abort.json, and let the
+    // end-of-run promotion logic route the full result to
+    // bench_unhealthy.json. Refuse to promote, never to measure; exit 0
+    // unless the run itself fails. SPARK_GRAFT_FORCE_RUN=1 skips the
+    // probe retries entirely (window-independence A/Bs run in
+    // deliberately degraded windows and shouldn't wait out the retry
+    // loop).
     val forceRun = sys.env.get("SPARK_GRAFT_FORCE_RUN").contains("1")
     val preflightRetries = sys.env.get("SPARK_GRAFT_PREFLIGHT_RETRIES")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3)
@@ -198,17 +246,20 @@ object Bench {
       val p = probe(); ioMbps = p._1; cpuMops = p._2; cpuParMops = p._3
       attempts += 1
     }
-    if (!forceRun &&
-        !withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads)) {
-      val abort = s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"errors":{},"failed":0,"sf":"$sfDirRaw","preflight_abort":true,"io_calibration_mbps":${f"$ioMbps%.1f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_par_mops":${f"$cpuParMops%.0f"},"cpu_calibration_par_threads":$parCalibrationThreads,"preflight_attempts":$attempts}"""
-      println(abort)
+    val preflightDegraded = !forceRun &&
+      !withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads)
+    if (preflightDegraded) {
+      // durable probe record (same sidecar name the round-10 gate used,
+      // so round-over-round tooling keeps one place to look), but the
+      // run PROCEEDS — a quarantined full result beats an empty -1
+      val abort = s"""{"preflight_abort":true,"proceeding_degraded":true,"sf":${jstr(sfDirRaw)},"io_calibration_mbps":${num("%.1f", ioMbps)},"cpu_calibration_mops":${num("%.0f", cpuMops)},"cpu_calibration_par_mops":${num("%.0f", cpuParMops)},"cpu_calibration_par_threads":$parCalibrationThreads,"preflight_attempts":$attempts}"""
       System.err.println(
-        "[graft.Bench] PRE-FLIGHT ABORT: window below envelope after " +
-          s"$attempts probes — refusing to spend a run; " +
-          "writing bench_preflight_abort.json")
+        "[graft.Bench] PRE-FLIGHT DEGRADED after " + attempts +
+          " probes — measuring anyway, result will be tagged " +
+          "window_degraded and quarantined from promotion " +
+          "(probe record: bench_preflight_abort.json)")
       scala.util.Try(Files.write(Paths.get("bench_preflight_abort.json"),
         (abort + "\n").getBytes("UTF-8")))
-      sys.exit(2)
     }
     val cpu0 = cpuStatTicks()
     val sfDir = stageInput(sfDirRaw)
@@ -257,6 +308,30 @@ object Bench {
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     var gcTotal = 0L
+    // One-time session-cache builds, split out of per-query lines
+    // (VERDICT r10 item 3): whichever query runs FIRST in a family pays
+    // the family's shared build (q202's 19.08 s line was ~95% the domain
+    // pipeline build; its steady state is sub-second), so registry order
+    // polluted round-over-round per-query diffs. SessionCache now times
+    // every build (self-time, nesting-aware); the drain below attributes
+    // that wall to the CACHE KEY in "session_build_sec" and nets it out
+    // of the query's line. "value" stays the RAW total (builds included)
+    // so totals remain comparable with every prior round's.
+    val sessionBuild = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def drainBuilds(): Double = {
+      var sum = 0.0
+      var b = SessionCache.builds.poll()
+      while (b != null) {
+        sum += b._2
+        // keys embed the per-run staged input path — normalize so the
+        // session_build_sec map diffs cleanly across rounds
+        val k = b._1.replace(sfDir, "<sf>")
+        sessionBuild(k) = sessionBuild.getOrElse(k, 0.0) + b._2
+        b = SessionCache.builds.poll()
+      }
+      sum
+    }
+    drainBuilds() // warm-up-phase builds belong to no query
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val g0 = gcMillis()
@@ -269,6 +344,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val gq = gcMillis() - g0
       gcTotal += gq
+      val buildSec = drainBuilds()
       // attribute session-cache builds/evictions and GC stalls to the
       // query that paid for them (the r6->r7 in-session regression hunt)
       var ev = List.empty[String]
@@ -276,17 +352,23 @@ object Bench {
       while (e != null) { ev ::= e; e = SessionCache.events.poll() }
       if (ev.nonEmpty || gq > 500) System.err.println(
         f"[graft.Bench] $name%-28s $dt%7.2fs gc=${gq / 1000.0}%.1fs" +
+          (if (buildSec > 0.005) f" build=$buildSec%.2fs" else "") +
           (if (ev.nonEmpty) s" cache: ${ev.reverse.mkString("; ")}" else ""))
-      (name, dt, err)
+      // per-query line = wall MINUS in-query shared-cache build time
+      // (self-times sum ≤ wall by construction; clamp guards clock skew)
+      (name, math.max(0.0, dt - buildSec), err, dt)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sessionBuildJson = sessionBuild
+      .map { case (k, v) => jstr(k) + ":" + num("%.3f", v) }
+      .mkString("{", ",", "}")
+    val sessionBuildTotal = sessionBuild.values.sum
     // escape like Verify.q(): ANY control char would invalidate the JSON
-    val errs = results.collect { case (k, _, Some(m)) =>
-      val clean = m.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
-      "\"" + k + "\":\"" + clean + "\""
+    val errs = results.collect { case (k, _, Some(m), _) =>
+      "\"" + k + "\":" + jstr(m)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._4).sum // RAW wall incl. builds
     val nFail = results.count(_._3.isDefined)
     // second calibration AFTER the queries: a throttle window that opens
     // mid-run is invisible to the start-of-run sample (observed: run 1
@@ -309,25 +391,28 @@ object Bench {
     val cpuParMopsEnd = cpuCalibrationParMops()
     val stealPct = (for ((s0, t0) <- cpu0; (s1, t1) <- cpuStatTicks()
       if t1 > t0) yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
-    val ioField = f"$ioMbps%.1f"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":"$sfDirRaw","staged_input":true,"io_calibration_mbps":$ioField,"io_calibration_end_mbps":${f"$ioEnd%.1f"},"cpu_steal_pct":${f"$stealPct%.2f"},"cpu_calibration_mops":${f"$cpuMops%.0f"},"cpu_calibration_end_mops":${f"$cpuMopsEnd%.0f"},"cpu_calibration_par_mops":${f"$cpuParMops%.0f"},"cpu_calibration_par_end_mops":${f"$cpuParMopsEnd%.0f"},"cpu_calibration_par_threads":$parCalibrationThreads,"gc_sec":${f"${gcTotal / 1000.0}%.1f"},"cache_hits":${SessionCache.hits}}"""
+    // Tier + health verdicts feed both the JSON tags and the promotion
+    // decision below. window_degraded is the round-11 quarantine tag:
+    // true whenever the pre-flight never cleared OR either end-of-run
+    // probe left the envelope — the run's numbers exist but must not be
+    // promoted to the committed reference.
+    val healthy = !preflightDegraded &&
+      withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads) &&
+      withinEnvelope(ioEnd, cpuMopsEnd, cpuParMopsEnd, parCalibrationThreads)
+    val tierName = tierOf(cpuMops).map(_.name).getOrElse("none")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":${jstr(sfDirRaw)},"staged_input":true,"window_degraded":${!healthy},"host_tier":${jstr(tierName)},"preflight_attempts":$attempts,"session_build_sec":$sessionBuildJson,"session_build_total_sec":${num("%.2f", sessionBuildTotal)},"io_calibration_mbps":${num("%.1f", ioMbps)},"io_calibration_end_mbps":${num("%.1f", ioEnd)},"cpu_steal_pct":${num("%.2f", stealPct)},"cpu_calibration_mops":${num("%.0f", cpuMops)},"cpu_calibration_end_mops":${num("%.0f", cpuMopsEnd)},"cpu_calibration_par_mops":${num("%.0f", cpuParMops)},"cpu_calibration_par_end_mops":${num("%.0f", cpuParMopsEnd)},"cpu_calibration_par_threads":$parCalibrationThreads,"gc_sec":${num("%.1f", gcTotal / 1000.0)},"cache_hits":${SessionCache.hits}}"""
     println(json)
     // Healthy-window guard (round-7 lesson: a degraded host window — io
     // writeback throttled to 88 MB/s, cpu calibration 445 Mops — produced
     // a +20% snapshot that read as a regression until a same-day A/B
     // discounted it). A run whose OWN calibration says the window was
     // degraded must never silently become the committed per-query
-    // reference, so it lands in bench_unhealthy.json instead. Envelope
-    // per BASELINE.md: io >= 300 MB/s and cpu >= 470 Mops at BOTH ends,
-    // AND (round 9 — the axis round 8 proved discriminating: 1.45-1.52×
-    // same-code swings while single-thread cpu read HEALTHY) parallel
-    // throughput within ±25% of the committed 32-thread baseline
-    // 16,719/14,762 summed Mops, i.e. [11000, 21000] at both ends. The
-    // par band is host-shape-specific, so it gates only when the probe
-    // ran at the baseline's 32 threads; other shapes keep it record-only.
-    val healthy =
-      withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads) &&
-        withinEnvelope(ioEnd, cpuMopsEnd, cpuParMopsEnd, parCalibrationThreads)
+    // reference, so it lands in bench_unhealthy.json instead. The
+    // envelope is the per-host-tier table above (BASELINE.md
+    // "Health-envelope tiers"), applied at BOTH ends of the run; the
+    // par axis (round 9 — the axis round 8 proved discriminating:
+    // 1.45-1.52× same-code swings while single-thread cpu read HEALTHY)
+    // gates only at a tier's committed thread shape.
     if (!healthy) System.err.println(
       f"[graft.Bench] UNHEALTHY window (io $ioMbps%.0f/$ioEnd%.0f MB/s, " +
         f"cpu $cpuMops%.0f/$cpuMopsEnd%.0f Mops, " +

@@ -32,6 +32,13 @@ object Profile {
     // (the GraphX CC feeders that crawled at a blanket 512) coalesce
     // back to a handful of tasks. Unset = Spark default (= the final
     // shuffle.partitions value), i.e. behavior unchanged.
+    //
+    // ROUND-11 DEFAULT PROTOCOL for scaling runs (BASELINE.md "q116
+    // third decade"): SPARK_GRAFT_INITIAL_PARTITIONS=512 with 32
+    // shuffle partitions and SPARK_DRIVER_MEM=16g — the one shape that
+    // avoids both measured failure modes (the pinned-32p heap OOM at
+    // 1000×, the blanket-512p small-stage crawl at 100×). See
+    // scripts/q116_third_decade.sh for the committed campaign form.
     val initialPartitions = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")

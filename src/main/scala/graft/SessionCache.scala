@@ -56,6 +56,34 @@ object SessionCache {
       super.add(e)
     }
   }
+
+  /** `(key, self-seconds)` per memo build — drained by `Bench` per query
+    * to split one-time session-cache builds out of the per-query timing
+    * lines (the q202 head was ~95% the shared domain-pipeline build;
+    * whichever query runs first in a family paid it, so registry order
+    * polluted round-over-round per-query diffs). Self-time EXCLUDES
+    * nested builds (a build that triggers another key's build reports
+    * only its own wall), so summing a drain is wall-additive and the
+    * subtraction in Bench can never exceed the query's measured wall.
+    * Only captures work done INSIDE build blocks — eager builds (the
+    * LPA `localCheckpoint`, stream runs behind `onceStrong`) are fully
+    * captured; a lazily `.cache()`-marked frame's FILL still bills to
+    * the first query that forces it. Same bounded-queue discipline as
+    * [[events]]. */
+  val builds = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)] {
+    private val cap = 1024
+    override def add(e: (String, Double)): Boolean = {
+      while (size() >= cap) poll()
+      super.add(e)
+    }
+  }
+  // per-thread accumulator of nested builds' TOTAL wall, so a parent
+  // build can report self = total − children (single-cell array: cheap
+  // mutable box without ThreadLocal churn per update)
+  private val childSecs = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = Array(0.0)
+  }
+
   private val hitsC = new java.util.concurrent.atomic.LongAdder
   def hits: Long = hitsC.sum()
 
@@ -88,13 +116,19 @@ object SessionCache {
       val fresh = new CompletableFuture[Box]()
       val prior = inner.putIfAbsent(key, fresh)
       if (prior == null) {
+        val acc = childSecs.get(); val saved = acc(0); acc(0) = 0.0
+        val t0 = System.nanoTime()
         try {
           events.add(s"build $key")
           val v = build
+          val total = (System.nanoTime() - t0) / 1e9
+          builds.add(key -> (total - acc(0))) // self = total − nested builds
+          acc(0) = saved + total // report full wall to an enclosing build
           fresh.complete(wrap(v))
           return v
         } catch {
           case e: Throwable =>
+            acc(0) = saved // failed build records nothing
             inner.remove(key, fresh)
             fresh.completeExceptionally(e)
             throw e

@@ -2,17 +2,19 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-10 hardening (VERDICT r09 items 5+6): pins for the bench
-  * harness's two honesty mechanisms.
+/** Round-10 hardening (VERDICT r09 items 5+6), round-11 revision
+  * (VERDICT r10 items 1+5): pins for the bench harness's two honesty
+  * mechanisms.
   *
-  *  1. PRE-FLIGHT GATE — the driver's r09 bench spent 26 minutes inside
-  *     a window already below envelope at the start (cpu 444 Mops, par
-  *     10.5k); the end-of-run guard quarantined the numbers but not the
-  *     time. `Bench.withinEnvelope` is the single decision function both
-  *     the pre-flight refusal and the end-of-run promotion share; this
-  *     spec pins its verdicts on the historically-observed windows and
-  *     lints that `main` actually wires the refusal (abort JSON +
-  *     non-zero exit) so a refactor can't silently drop the gate.
+  *  1. ENVELOPE + MEASURE-AND-QUARANTINE — `Bench.withinEnvelope` is the
+  *     single decision function the pre-flight probe and the end-of-run
+  *     promotion share, now keyed by a per-host-tier table (the round-10
+  *     builder-absolutist bars refused the driver host's STEADY state —
+  *     cpu 454 Mops, io 138 MB/s — and blanked BENCH_r10 to an empty −1).
+  *     This spec pins the tier verdicts on every historically-observed
+  *     window, and lints that `main` measures-and-quarantines: a degraded
+  *     window gets a full run tagged `window_degraded` (and routed to
+  *     bench_unhealthy.json), never a refusal exit.
   *
   *  2. HONEST FORCING — round 9 measured a 170× under-count when
   *     `.count()` timing let Catalyst prune the timed work (q274's left
@@ -59,24 +61,66 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.withinEnvelope(450.0, 400.0, 5000.0, 16))
   }
 
+  // ---- driver tier (round 11: VERDICT r10 items 1+5) ---------------------
+
+  test("withinEnvelope: r10 driver steady state (io 138, cpu 454, par 12.6k) passes") {
+    // the window the round-10 absolutist gate refused 4× — it is the
+    // driver HOST's normal, not a degraded builder window
+    assert(Bench.withinEnvelope(137.8, 454.0, 12619.0, 32))
+  }
+
+  test("withinEnvelope: driver-tier genuine io collapse (41 MB/s) refuses") {
+    // the r09 end-of-run reading — a real writeback throttle, below even
+    // the driver tier's floor
+    assert(!Bench.withinEnvelope(41.0, 454.0, 12619.0, 32))
+  }
+
+  test("withinEnvelope: cpu below every tier band refuses") {
+    // no committed tier covers a 400-Mops host; record-only, never promote
+    assert(!Bench.withinEnvelope(450.0, 420.0, 16000.0, 32))
+  }
+
+  test("tierOf: cpu reading selects the tier exclusively") {
+    // a builder-tier cpu must be held to builder bars — the driver
+    // tier's lower io floor must not leak upward (io 88 at cpu 478
+    // stays a refusal, as the round-7 throttle window was)
+    assert(Bench.tierOf(478.0).map(_.name).contains("builder"))
+    assert(Bench.tierOf(454.0).map(_.name).contains("driver"))
+    assert(Bench.tierOf(420.0).isEmpty)
+  }
+
   // ---- source lints ------------------------------------------------------
 
   private def source(rel: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), rel)
+    // walk up from the forked test JVM's cwd to the directory holding
+    // build.sbt, so a Test/fork baseDirectory change degrades loudly
+    // (a lint failure naming the assumption) instead of a silent
+    // file-not-found vacuously skipping the guard
+    var root = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+    while (root != null && !java.nio.file.Files.exists(root.resolve("build.sbt")))
+      root = root.getParent
+    assert(root != null,
+      s"no build.sbt found walking up from ${sys.props("user.dir")} — " +
+        "the source lints assume the test JVM runs somewhere under the repo")
+    val p = root.resolve(rel)
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
 
-  test("lint: Bench.main wires the pre-flight refusal path") {
+  test("lint: Bench.main measures-and-quarantines, never refuses") {
     val b = source("src/main/scala/graft/Bench.scala")
     assert(b.contains("\"preflight_abort\":true"),
-      "pre-flight abort must emit a parseable JSON marker")
+      "a degraded pre-flight must leave a parseable probe record")
     assert(b.contains("bench_preflight_abort.json"),
-      "pre-flight abort must leave a durable sidecar")
-    assert(b.contains("sys.exit(2)"),
-      "pre-flight abort must exit non-zero so the driver sees a refusal")
+      "the probe record sidecar keeps the round-10 name for tooling")
+    assert(b.contains("\"window_degraded\""),
+      "the full-run JSON must carry the quarantine tag")
+    assert(!b.contains("sys.exit"),
+      "Bench must never refuse to measure (VERDICT r10 item 1: an empty " +
+        "BENCH_rN is strictly less information than a quarantined one); " +
+        "reserve non-zero exits for real failures, which throw")
     assert(b.contains("withinEnvelope(ioMbps, cpuMops, cpuParMops"),
-      "the refusal must use the shared envelope decision function")
+      "the quarantine decision must use the shared envelope function")
   }
 
   // ---- 2. honest-forcing lint -------------------------------------------

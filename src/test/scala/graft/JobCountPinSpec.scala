@@ -45,6 +45,14 @@ class JobCountPinSpec extends AnyFunSuite {
     test(s"$name: steady-state execution stays under $steadyMax jobs") {
       val (first, second) = jobsFor(name)
       info(s"$name jobs: first=$first steady=$second")
+      // saturation canary (round-11 ADVICE): if the status store ever
+      // evicts under these pins (retainedJobs misconfigured or lowered),
+      // deltas under-read toward zero and the pin passes vacuously —
+      // every execution must run at least one job, so zero fails loudly
+      assert(first >= 1 && second >= 1,
+        s"$name job delta read first=$first second=$second — a zero means " +
+          "the UI status store is evicting (check spark.ui.retainedJobs " +
+          "in SparkTestSession), not that the query ran no jobs")
       assert(second <= steadyMax,
         s"$name ran $second jobs on a WARM second execution (first=$first) — " +
           "a jump to hundreds means a shared frame's lineage is being " +
@@ -62,4 +70,16 @@ class JobCountPinSpec extends AnyFunSuite {
   pin("q116_corpus_build", 90)
   pin("q149_leakage_split", 40)
   pin("q46_clean_corpus", 40)
+  // streaming-restart composites (round-11, VERDICT r10 item 4): the
+  // two-incarnation scaffold (run stream → stop → restart from the
+  // checkpoint → read the sink) executes ONCE behind an onceStrong sink
+  // path; a warm second execution must be a plain sink scan. A lineage
+  // blowup here would re-run both incarnations per reference — the
+  // exact defect class, at its most expensive site. Measured at
+  // sf0.01/local[4] (round 11): first=11-13 (the two incarnations +
+  // sink write), steady=2 (the sink scan) for all four; bounds are 3×.
+  pin("q117_stream_restart", 6)
+  pin("q118_stream_join_restart", 6)
+  pin("q121_stream_session_restart", 6)
+  pin("q184_stream_hll_restart", 6)
 }

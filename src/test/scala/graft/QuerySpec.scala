@@ -11,6 +11,13 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JobCountPinSpec reads statusTracker.getJobIdsForGroup(null),
+      // which is backed by the UI status store and evicts beyond
+      // spark.ui.retainedJobs (default 1000). The shared session runs
+      // the whole suite's jobs first, so at the default the store can
+      // saturate and the pins' deltas under-read — raise it far above
+      // any suite's job count so a delta of hundreds stays visible
+      .config("spark.ui.retainedJobs", "100000")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.local.dir", Scratch.root)
       .config("spark.sql.warehouse.dir",
