@@ -151,46 +151,52 @@ object Bench {
     }.toOption
 
   /** One row of the committed host-tier envelope table (BASELINE.md
-    * "Health-envelope tiers"). A probe is assigned a tier by its
-    * single-thread cpu calibration alone (the one axis that identifies
-    * the HOST rather than the window); within a tier the io floor and —
-    * only at the tier's committed thread shape — the par band decide
-    * window health. A cpu reading outside every tier's band is an
-    * unknown host: the run proceeds but is never promoted (round-11
+    * "Health-envelope tiers"). A tier is a HOST FINGERPRINT: the
+    * (cpu band × io band) rectangle a known host's healthy windows
+    * occupy. cpu alone cannot identify the host — the builder box
+    * drifts into the driver's 430-470 Mops band during contention
+    * windows (r7 at 445 Mops read +20%, the round-11 first full-bench
+    * attempt at 454 Mops read +24%) — but those builder windows carry
+    * builder-volume io (300+ MB/s) while the driver host's volume
+    * steadily reads 130-140, so the joint reading separates "the
+    * driver's normal" from "the builder degraded". A probe matching no
+    * tier still runs; it is quarantined from promotion (round-11
     * measure-and-quarantine contract). */
   final case class EnvelopeTier(name: String, cpuLo: Double, cpuHi: Double,
-      ioFloor: Double, parThreads: Int, parLo: Double, parHi: Double)
+      ioLo: Double, ioHi: Double, parThreads: Int, parLo: Double, parHi: Double)
 
   /** The committed tiers. `builder`: the round-8/9 reference host
-    * (cpu 470-525 Mops healthy; io ≥ 300 MB/s tmpfs-adjacent volume;
-    * 32-thread par band ±25% around the 16,719/14,762 Mops baseline).
-    * `driver`: the harness driver's measured steady state (r09 cpu 444,
-    * r10 probes 454 Mops ×4; io 130-140 MB/s on its volume vs 41 MB/s
-    * in its one genuine end-of-run collapse; par 12.6k within the same
-    * 32-thread band) — a host that ALWAYS reads degraded against the
-    * builder bars, which round 10's absolutist gate turned into a
-    * blanket refusal (BENCH_r10 = empty −1). Its io floor sits between
-    * its steady state and its observed collapse. */
+    * (cpu 470-525 Mops healthy; io 300-550 MB/s; 32-thread par band
+    * ±25% around the 16,719/14,762 Mops baseline). `driver`: the
+    * harness driver's measured steady state (r09 cpu 444, r10 probes
+    * 454 Mops ×4; io 130-140 MB/s steady vs 41 MB/s in its one genuine
+    * end-of-run collapse; par 12.6k within the same 32-thread band) —
+    * a host that ALWAYS reads degraded against the builder bars, which
+    * round 10's absolutist gate turned into a blanket refusal
+    * (BENCH_r10 = empty −1). Its io band spans its steady state with
+    * headroom, floored above its observed collapse and capped below
+    * builder-volume territory. */
   val envelopeTiers: Seq[EnvelopeTier] = Seq(
-    EnvelopeTier("builder", 470, Double.MaxValue, 300, 32, 11000, 21000),
-    EnvelopeTier("driver", 430, 470, 80, 32, 11000, 21000),
+    EnvelopeTier("builder", 470, Double.MaxValue, 300, Double.MaxValue,
+      32, 11000, 21000),
+    EnvelopeTier("driver", 430, 470, 80, 250, 32, 11000, 21000),
   )
 
-  def tierOf(cpuMops: Double): Option[EnvelopeTier] =
-    envelopeTiers.find(t => cpuMops >= t.cpuLo && cpuMops < t.cpuHi)
+  def tierOf(cpuMops: Double, ioMbps: Double): Option[EnvelopeTier] =
+    envelopeTiers.find(t => cpuMops >= t.cpuLo && cpuMops < t.cpuHi &&
+      ioMbps >= t.ioLo && ioMbps < t.ioHi)
 
   /** The three-axis health envelope, shared by the pre-flight probe and
     * the end-of-run promotion decision (BASELINE.md contract §4), keyed
-    * by host tier: the single-thread cpu reading selects the tier, the
-    * tier's io floor gates, and — only when the probe ran at that
-    * tier's committed thread shape — the par band gates. Other host
-    * shapes keep the par axis record-only until a baseline for that
-    * shape is committed. */
+    * by host tier: the (cpu, io) reading must land inside a committed
+    * tier's fingerprint rectangle, and — only when the probe ran at
+    * that tier's committed thread shape — the par band gates. Other
+    * host shapes keep the par axis record-only until a baseline for
+    * that shape is committed. */
   def withinEnvelope(ioMbps: Double, cpuMops: Double, parMops: Double,
       parThreads: Int): Boolean =
-    tierOf(cpuMops).exists { t =>
-      ioMbps >= t.ioFloor &&
-        (parThreads != t.parThreads || (parMops >= t.parLo && parMops <= t.parHi))
+    tierOf(cpuMops, ioMbps).exists { t =>
+      parThreads != t.parThreads || (parMops >= t.parLo && parMops <= t.parHi)
     }
 
   /** Locale-pinned double formatting for JSON fields: the `f`
@@ -399,7 +405,7 @@ object Bench {
     val healthy = !preflightDegraded &&
       withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads) &&
       withinEnvelope(ioEnd, cpuMopsEnd, cpuParMopsEnd, parCalibrationThreads)
-    val tierName = tierOf(cpuMops).map(_.name).getOrElse("none")
+    val tierName = tierOf(cpuMops, ioMbps).map(_.name).getOrElse("none")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":${jstr(sfDirRaw)},"staged_input":true,"window_degraded":${!healthy},"host_tier":${jstr(tierName)},"preflight_attempts":$attempts,"session_build_sec":$sessionBuildJson,"session_build_total_sec":${num("%.2f", sessionBuildTotal)},"io_calibration_mbps":${num("%.1f", ioMbps)},"io_calibration_end_mbps":${num("%.1f", ioEnd)},"cpu_steal_pct":${num("%.2f", stealPct)},"cpu_calibration_mops":${num("%.0f", cpuMops)},"cpu_calibration_end_mops":${num("%.0f", cpuMopsEnd)},"cpu_calibration_par_mops":${num("%.0f", cpuParMops)},"cpu_calibration_par_end_mops":${num("%.0f", cpuParMopsEnd)},"cpu_calibration_par_threads":$parCalibrationThreads,"gc_sec":${num("%.1f", gcTotal / 1000.0)},"cache_hits":${SessionCache.hits}}"""
     println(json)
     // Healthy-window guard (round-7 lesson: a degraded host window — io

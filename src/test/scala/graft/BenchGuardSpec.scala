@@ -80,13 +80,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.withinEnvelope(450.0, 420.0, 16000.0, 32))
   }
 
-  test("tierOf: cpu reading selects the tier exclusively") {
+  test("withinEnvelope: builder-host contention window (cpu 454, io 304) refuses") {
+    // the round-11 first full-bench attempt: builder-volume io with
+    // driver-band cpu is the BUILDER degraded (it read +24% vs the r10
+    // reference), not the driver's normal — the joint (cpu, io)
+    // fingerprint must not let it promote through the driver tier
+    assert(!Bench.withinEnvelope(303.6, 454.0, 11241.0, 32))
+  }
+
+  test("tierOf: the (cpu, io) fingerprint selects the tier exclusively") {
     // a builder-tier cpu must be held to builder bars — the driver
     // tier's lower io floor must not leak upward (io 88 at cpu 478
     // stays a refusal, as the round-7 throttle window was)
-    assert(Bench.tierOf(478.0).map(_.name).contains("builder"))
-    assert(Bench.tierOf(454.0).map(_.name).contains("driver"))
-    assert(Bench.tierOf(420.0).isEmpty)
+    assert(Bench.tierOf(478.0, 500.0).map(_.name).contains("builder"))
+    assert(Bench.tierOf(478.0, 88.0).isEmpty)
+    assert(Bench.tierOf(454.0, 137.8).map(_.name).contains("driver"))
+    assert(Bench.tierOf(454.0, 303.6).isEmpty) // builder degraded, not driver
+    assert(Bench.tierOf(420.0, 450.0).isEmpty)
   }
 
   // ---- source lints ------------------------------------------------------
