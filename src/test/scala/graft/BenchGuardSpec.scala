@@ -117,6 +117,27 @@ class BenchGuardSpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
 
+  test("lint: BASELINE.md tier table matches Bench.envelopeTiers") {
+    // the envelope constants are contractually "derived from a committed
+    // table in BASELINE.md" (VERDICT r10 item 5) — pin doc and code
+    // against each other so neither drifts silently
+    val doc = source("BASELINE.md")
+    val builder = Bench.envelopeTiers.find(_.name == "builder").get
+    val driver = Bench.envelopeTiers.find(_.name == "driver").get
+    assert(doc.contains(
+      s"| builder | ≥ ${builder.cpuLo.toInt} | ≥ ${builder.ioLo.toInt} " +
+        s"| [11,000, 21,000] @ ${builder.parThreads} |"),
+      "BASELINE.md's builder tier row no longer matches Bench.envelopeTiers")
+    assert(doc.contains(
+      s"| driver | [${driver.cpuLo.toInt}, ${driver.cpuHi.toInt}) " +
+        s"| [${driver.ioLo.toInt}, ${driver.ioHi.toInt}) " +
+        s"| [11,000, 21,000] @ ${driver.parThreads} |"),
+      "BASELINE.md's driver tier row no longer matches Bench.envelopeTiers")
+    assert(builder.parLo == 11000 && builder.parHi == 21000 &&
+      driver.parLo == 11000 && driver.parHi == 21000,
+      "par band changed in code — update the [11,000, 21,000] doc rows AND this lint")
+  }
+
   test("lint: Bench.main measures-and-quarantines, never refuses") {
     val b = source("src/main/scala/graft/Bench.scala")
     assert(b.contains("\"preflight_abort\":true"),
