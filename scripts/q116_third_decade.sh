@@ -38,15 +38,24 @@ probe() {
 stamp "campaign start; jar=$JAR"
 probe
 
-if [ ! -d /dev/shm/graft-sf-x100 ]; then
+# completion markers, not bare directory checks: ScaleUp writes tables
+# one at a time, so a crashed/interrupted build (the documented 1000x
+# OOM failure mode) leaves a PARTIAL dir behind — a bare [ -d ] guard
+# would then skip the rebuild forever and kill the leg mid-window on a
+# missing table
+if [ ! -f /dev/shm/graft-sf-x100/_COMPLETE ]; then
   stamp "build x100 fixture"
+  rm -rf /dev/shm/graft-sf-x100
   GRAFT_SCALE_FACTOR=100 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS=16 java $AO -Xmx8g -cp "$CP" graft.tools.ScaleUp || exit 1
+  touch /dev/shm/graft-sf-x100/_COMPLETE
 fi
-if [ ! -d /dev/shm/graft-sf-x1000 ]; then
+if [ ! -f /dev/shm/graft-sf-x1000/_COMPLETE ]; then
   stamp "build x1000 fixture"
+  rm -rf /dev/shm/graft-sf-x1000
   GRAFT_SCALE_FACTOR=1000 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS=16 java $AO -Xmx16g -cp "$CP" graft.tools.ScaleUp || exit 1
+  touch /dev/shm/graft-sf-x1000/_COMPLETE
 fi
 df -h /dev/shm | tail -1
 

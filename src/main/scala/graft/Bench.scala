@@ -174,12 +174,14 @@ object Bench {
     * a host that ALWAYS reads degraded against the builder bars, which
     * round 10's absolutist gate turned into a blanket refusal
     * (BENCH_r10 = empty −1). Its io band spans its steady state with
-    * headroom, floored above its observed collapse and capped below
-    * builder-volume territory. */
+    * ~45% headroom, floored above its observed collapse (41) and capped
+    * below the builder volume's CONTENDED readings (the round-11
+    * evening's three degraded-window start probes read io 246/304/385
+    * at cpu 436-454 — the 246 must not fingerprint as the driver). */
   val envelopeTiers: Seq[EnvelopeTier] = Seq(
     EnvelopeTier("builder", 470, Double.MaxValue, 300, Double.MaxValue,
       32, 11000, 21000),
-    EnvelopeTier("driver", 430, 470, 80, 250, 32, 11000, 21000),
+    EnvelopeTier("driver", 430, 470, 80, 200, 32, 11000, 21000),
   )
 
   def tierOf(cpuMops: Double, ioMbps: Double): Option[EnvelopeTier] =
@@ -399,10 +401,10 @@ object Bench {
       if t1 > t0) yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     // Tier + health verdicts feed both the JSON tags and the promotion
     // decision below. window_degraded is the round-11 quarantine tag:
-    // true whenever the pre-flight never cleared OR either end-of-run
-    // probe left the envelope — the run's numbers exist but must not be
-    // promoted to the committed reference.
-    val healthy = !preflightDegraded &&
+    // true whenever either bracketing probe left the envelope. (A
+    // degraded pre-flight is subsumed: it IS the start probe failing —
+    // preflightDegraded only gates the sidecar write above.)
+    val healthy =
       withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads) &&
       withinEnvelope(ioEnd, cpuMopsEnd, cpuParMopsEnd, parCalibrationThreads)
     val tierName = tierOf(cpuMops, ioMbps).map(_.name).getOrElse("none")

@@ -68,8 +68,14 @@ object SessionCache {
     * Only captures work done INSIDE build blocks — eager builds (the
     * LPA `localCheckpoint`, stream runs behind `onceStrong`) are fully
     * captured; a lazily `.cache()`-marked frame's FILL still bills to
-    * the first query that forces it. Same bounded-queue discipline as
-    * [[events]]. */
+    * the first query that forces it. One accounting caveat: the
+    * nesting ledger is a ThreadLocal, so a memo build reached from a
+    * DIFFERENT thread than its parent (e.g. via a stream-execution
+    * thread inside an `onceStrong` stream-run build) is recorded but
+    * not subtracted from the parent's self-time — both walls are then
+    * reported, and Bench's `max(0, dt − builds)` clamp bounds the
+    * damage to an under-read of that one query's net line. Same
+    * bounded-queue discipline as [[events]]. */
   val builds = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)] {
     private val cap = 1024
     override def add(e: (String, Double)): Boolean = {
@@ -128,7 +134,13 @@ object SessionCache {
           return v
         } catch {
           case e: Throwable =>
-            acc(0) = saved // failed build records nothing
+            // the failed build records nothing, but its SUCCESSFUL child
+            // builds did enqueue self-times — propagate their wall to the
+            // enclosing frame so an outer build still subtracts them
+            // (dropping them would double-count: outer self would include
+            // walls already recorded under the children's keys, breaking
+            // the "self-times sum ≤ wall" invariant Bench subtracts on)
+            acc(0) = saved + acc(0)
             inner.remove(key, fresh)
             fresh.completeExceptionally(e)
             throw e

@@ -86,6 +86,10 @@ class BenchGuardSpec extends AnyFunSuite {
     // reference), not the driver's normal — the joint (cpu, io)
     // fingerprint must not let it promote through the driver tier
     assert(!Bench.withinEnvelope(303.6, 454.0, 11241.0, 32))
+    // the round-11 third attempt's start probe: io contended DOWN to 246
+    // (cpu 451, steal 3%) — still the builder degraded, and still above
+    // the driver volume's steady 130-140; the driver io cap must exclude it
+    assert(!Bench.withinEnvelope(246.3, 451.0, 12908.0, 32))
   }
 
   test("tierOf: the (cpu, io) fingerprint selects the tier exclusively") {
