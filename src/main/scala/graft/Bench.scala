@@ -201,6 +201,24 @@ object Bench {
       parThreads != t.parThreads || (parMops >= t.parLo && parMops <= t.parHi)
     }
 
+  /** Promotion additionally requires the two bracketing probes to
+    * fingerprint the SAME tier: a host cannot change hardware identity
+    * mid-run, so a start=builder/end=driver bracket is a contention
+    * signature, not a window. Motivating record (probe 24 of the
+    * round-11 contention evening): the CONTENDED builder read
+    * (cpu 444, io 97.4) — inside the driver tier's rectangle — while
+    * its neighboring probes read builder-volume io 300+; only the
+    * collapsed par axis (10.1k) kept that reading from promotable, and
+    * par had crossed 11k repeatedly the same hour, so a throttle dip
+    * bracketing a run could false-promote a builder contention window
+    * as a healthy driver one. Tier agreement closes the path with no
+    * new constants. */
+  def sameTier(cpuA: Double, ioA: Double, cpuB: Double, ioB: Double): Boolean =
+    (tierOf(cpuA, ioA), tierOf(cpuB, ioB)) match {
+      case (Some(a), Some(b)) => a.name == b.name
+      case _ => false
+    }
+
   /** Locale-pinned double formatting for JSON fields: the `f`
     * interpolator is default-locale-sensitive (a de_DE JVM emits comma
     * decimal separators — invalid JSON). */
@@ -406,7 +424,8 @@ object Bench {
     // preflightDegraded only gates the sidecar write above.)
     val healthy =
       withinEnvelope(ioMbps, cpuMops, cpuParMops, parCalibrationThreads) &&
-      withinEnvelope(ioEnd, cpuMopsEnd, cpuParMopsEnd, parCalibrationThreads)
+      withinEnvelope(ioEnd, cpuMopsEnd, cpuParMopsEnd, parCalibrationThreads) &&
+      sameTier(cpuMops, ioMbps, cpuMopsEnd, ioEnd)
     val tierName = tierOf(cpuMops, ioMbps).map(_.name).getOrElse("none")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFail,"sf":${jstr(sfDirRaw)},"staged_input":true,"window_degraded":${!healthy},"host_tier":${jstr(tierName)},"preflight_attempts":$attempts,"session_build_sec":$sessionBuildJson,"session_build_total_sec":${num("%.2f", sessionBuildTotal)},"io_calibration_mbps":${num("%.1f", ioMbps)},"io_calibration_end_mbps":${num("%.1f", ioEnd)},"cpu_steal_pct":${num("%.2f", stealPct)},"cpu_calibration_mops":${num("%.0f", cpuMops)},"cpu_calibration_end_mops":${num("%.0f", cpuMopsEnd)},"cpu_calibration_par_mops":${num("%.0f", cpuParMops)},"cpu_calibration_par_end_mops":${num("%.0f", cpuParMopsEnd)},"cpu_calibration_par_threads":$parCalibrationThreads,"gc_sec":${num("%.1f", gcTotal / 1000.0)},"cache_hits":${SessionCache.hits}}"""
     println(json)

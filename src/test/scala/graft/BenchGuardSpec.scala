@@ -92,6 +92,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.withinEnvelope(246.3, 451.0, 12908.0, 32))
   }
 
+  test("sameTier: a cross-tier bracket is a contention signature, not a window") {
+    // probe 24 of the round-11 contention evening: the contended builder
+    // read (cpu 444, io 97.4) — INSIDE the driver rectangle — minutes
+    // after builder-volume io 300+ readings. A run bracketed by one
+    // builder-healthy and one driver-shaped probe cannot be a real host
+    // (hardware identity is run-constant), so promotion requires tier
+    // agreement at both ends
+    assert(!Bench.sameTier(480.0, 400.0, 444.0, 97.4))
+    assert(!Bench.sameTier(454.0, 137.8, 478.0, 500.0))
+    // genuine windows: both ends the same fingerprint
+    assert(Bench.sameTier(478.0, 433.8, 472.0, 319.3)) // r10 promoted run
+    assert(Bench.sameTier(454.0, 137.8, 444.0, 130.0)) // driver steady state
+    // no-tier ends never agree into a promotion
+    assert(!Bench.sameTier(420.0, 450.0, 420.0, 450.0))
+  }
+
   test("tierOf: the (cpu, io) fingerprint selects the tier exclusively") {
     // a builder-tier cpu must be held to builder bars — the driver
     // tier's lower io floor must not leak upward (io 88 at cpu 478
