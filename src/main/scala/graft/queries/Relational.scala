@@ -31,6 +31,26 @@ object Relational {
     * emit double. Matches `CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE)`. */
   private def dsum(c: Column, scale: Int = 2): Column = sum(dec(c, scale)).cast("double")
 
+  /** All ordered pairs (x < y) of a SORTED, DISTINCT array, as structs —
+    * the map-side replacement for a basket self-join (r11, guide §2.3
+    * "aggregate before you shuffle"): a basket of n items explodes to
+    * C(n,2) pairs inside the scan task, so the only shuffle left is the
+    * partial-aggregated pair-count roll-up. Equivalent to the
+    * `a JOIN b ON a.key = b.key AND a.it < b.it` self-join because the
+    * array is the basket's distinct item set in ascending order. */
+  private def pairCombos(items: Column): Column =
+    flatten(transform(items, (x, i) =>
+      transform(slice(items, i + lit(2), size(items) - i - lit(1)),
+        y => struct(x.as("x"), y.as("y")))))
+
+  /** All ordered triples (x < y < z) of a sorted, distinct array — the
+    * 3-way basket self-join, same discipline as [[pairCombos]]. */
+  private def tripleCombos(items: Column): Column =
+    flatten(transform(items, (x, i) =>
+      flatten(transform(slice(items, i + lit(2), size(items) - i - lit(1)), (y, j) =>
+        transform(slice(items, i + j + lit(3), size(items) - i - j - lit(2)),
+          z => struct(x.as("x"), y.as("y"), z.as("z")))))))
+
   // ---------------------------------------------------------------- q01
   /** TPC-H Q1 shape: filter → groupBy → multi-aggregate (A2/A7, F-date,
     * C9). Reference analog: per-period/per-game min-max-sum roll-ups
@@ -545,15 +565,22 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     val price = col("l_extendedprice").cast("double")
+    // one percentile buffer for all three points, not three (r11, guide
+    // §1.2 per-task work): each percentile() is its own ImperativeAggregate
+    // holding a full value->count map per group — the array form shares
+    // one map and one merge pass, and element extraction is bit-identical
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile(price, lit(0.5)).as("p50"),
-        percentile(price, lit(0.95)).as("p95"),
-        percentile(price, lit(0.99)).as("p99"),
+        percentile(price, array(lit(0.5), lit(0.95), lit(0.99))).as("ps"),
         min(price).as("lo"),
         max(price).as("hi"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p95"),
+        col("ps").getItem(2).as("p99"),
+        col("lo"), col("hi"), col("n"))
   }
 
   // ---------------------------------------------------------------- q82
@@ -2374,14 +2401,19 @@ object Relational {
       |CROSS JOIN t""".stripMargin,
     "market-basket co-occurrence pairs with exact support, cosine and lift") {
     (s, dir) =>
-      val items = Tables(s, dir, "lineitem")
+      // r11 (guide §2.3): basket self-join → per-order sorted item array
+      // + map-side pair explode; frequencies and the order total come off
+      // the same array frame, so lineitem is scanned/deduped once
+      val arr = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val t = items.agg(countDistinct(col("ok")).as("n_orders"))
-      val pairs = items.as("a").join(items.as("b"),
-          col("b.ok") === col("a.ok") && col("b.pk") > col("a.pk"))
-        .groupBy(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("items"))
+      val freq = arr.select(explode(col("items")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val t = arr.agg(count(lit(1)).as("n_orders"))
+      val pairs = arr.select(explode(pairCombos(col("items"))).as("p"))
+        .groupBy(col("p.x").as("pk_a"), col("p.y").as("pk_b"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 2)
       pairs
@@ -5130,7 +5162,14 @@ object Relational {
       .stripMargin,
     "frequent brand triples via L2-pruned candidate generation") {
     (s, dir) =>
-      val b = graft.SessionCache.once(s, s"relational#$dir#apriori-baskets") {
+      // r11 (guide §2.3/§2.4): the cached basket frame is now the PER-ORDER
+      // SORTED ITEM ARRAY, so pair and triple enumeration are map-side
+      // combination explodes with partial-aggregated counts — the previous
+      // spelling self-joined the (o, it) frame twice (pairs) and three
+      // times (triples) on o, shuffling the fan-out each time (plan:
+      // 5 Exchanges on o → 1 Exchange building the array; bench net
+      // 11.8 s → see OPTIMIZATION_r11.md)
+      val arr = graft.SessionCache.once(s, s"relational#$dir#apriori-baskets") {
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey"))
           .join(broadcast(Tables(s, dir, "part")
@@ -5138,18 +5177,19 @@ object Relational {
             col("p_partkey") === col("l_partkey"))
           .select(col("o"), col("p_brand").as("it"))
           .distinct()
+          .groupBy(col("o"))
+          .agg(sort_array(collect_set(col("it"))).as("items"))
           .cache()
       }
       // scale-relative min supports (2.3% / 0.4% of basket count), so
       // the prune stays selective at ANY corpus size — an absolute
       // count would stop cutting on a 10x blow-up and return nothing
       // on a 10x shrink
-      val nb = b.agg(
-        expr("(23 * count(distinct o)) div 1000").as("s2"),
-        expr("(4 * count(distinct o)) div 1000").as("s3"))
-      val l2 = b.select(col("o"), col("it").as("x"))
-        .join(b.select(col("o"), col("it").as("y")), Seq("o"))
-        .filter(col("x") < col("y"))
+      val nb = arr.agg(
+        expr("(23 * count(1)) div 1000").as("s2"),
+        expr("(4 * count(1)) div 1000").as("s3"))
+      val l2 = arr.select(explode(pairCombos(col("items"))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
         .groupBy(col("x"), col("y"))
         .agg(count(lit(1)).cast("long").as("sup"))
         .crossJoin(broadcast(nb))
@@ -5162,11 +5202,8 @@ object Relational {
         .join(l2.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"),
           "left_semi")
         .select(col("x"), col("y"), col("z"))
-      val triples = b.select(col("o"), col("it").as("x"))
-        .join(b.select(col("o"), col("it").as("y")), Seq("o"))
-        .filter(col("x") < col("y"))
-        .join(b.select(col("o"), col("it").as("z")), Seq("o"))
-        .filter(col("y") < col("z"))
+      val triples = arr.select(explode(tripleCombos(col("items"))).as("t"))
+        .select(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
         .join(broadcast(c3), Seq("x", "y", "z"), "left_semi")
         .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).cast("long").as("support"))
@@ -5279,7 +5316,13 @@ object Relational {
       |WHERE rn <= 3""".stripMargin,
     "top-3 unowned brands per customer by summed item-item co-occurrence") {
     (s, dir) =>
-      val b = graft.SessionCache.once(s, s"relational#$dir#cf-baskets") {
+      // r11 (guide §2.3): baskets cached as the per-customer sorted item
+      // array. The co-occurrence matrix is a map-side pair explode
+      // (counted once for x<y, mirrored — count(x,y) = count(y,x)), and
+      // the owned-brand exclusion is an `array_contains` filter on the
+      // basket array the row already carries, replacing the previous
+      // (u, y)-keyed shuffle anti-join of the full scoring fan-out.
+      val arr = graft.SessionCache.once(s, s"relational#$dir#cf-baskets") {
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey").as("u"))
           .join(Tables(s, dir, "lineitem")
@@ -5290,17 +5333,19 @@ object Relational {
             col("p_partkey") === col("l_partkey"))
           .select(col("u"), col("p_brand").as("it"))
           .distinct()
+          .groupBy(col("u"))
+          .agg(sort_array(collect_set(col("it"))).as("items"))
           .cache()
       }
-      val cooc = b.select(col("u"), col("it").as("x"))
-        .join(b.select(col("u"), col("it").as("y")), Seq("u"))
-        .filter(col("x") =!= col("y"))
-        .groupBy(col("x"), col("y"))
+      val pc = arr.select(explode(pairCombos(col("items"))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(count(lit(1)).cast("long").as("w"))
-      val sc = b.withColumnRenamed("it", "x")
+      val cooc = pc.unionByName(
+        pc.select(col("y").as("x"), col("x").as("y"), col("w")))
+      val sc = arr
+        .select(col("u"), col("items"), explode(col("items")).as("x"))
         .join(broadcast(cooc), Seq("x"))
-        .join(b.select(col("u"), col("it").as("y")), Seq("u", "y"),
-          "left_anti")
+        .filter(!array_contains(col("items"), col("y")))
         .groupBy(col("u"), col("y").as("rec"))
         .agg(sum(col("w")).cast("long").as("score"))
       val w = Window.partitionBy(col("u"))

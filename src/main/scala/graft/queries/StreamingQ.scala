@@ -37,12 +37,28 @@ object StreamingQ {
     * conf is never mutated, so a concurrent query build elsewhere in the
     * JVM can't race a set/restore window and pin the wrong state-store
     * count into a checkpoint. */
+  /** Session-conf overlay applied to EVERY one-shot drain (round-11
+    * optimization, guide §1.1/§6): Spark 4.1's checkpoint file-checksum
+    * layer writes one `.checksum` sidecar per checkpoint file (state
+    * deltas, offset/commit log entries, sink manifests) — measured at
+    * ~HALF of every state-store commit at drain scale
+    * (tools.StreamCostProbe: commitMs 13.6k → 6.3k summed over 32
+    * stores, both batches) while adding nothing a drain consumes: the
+    * restart gates recover through the offset/commit logs with or
+    * without sidecars (Spark 4.0 semantics — the pre-change log was
+    * already full of "No checksum file found" warnings because mixed
+    * versions tolerate absence by design). Integrity sidecars belong on
+    * durability-critical production checkpoints on unreliable storage;
+    * these drains write JVM-scoped scratch that is deleted on exit. */
+  private val drainConfs = Map(
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+
   private def streamOnce(tag: String, spark: SparkSession, dir: String,
       shufflePartitions: Option[Int] = None,
       extraConfs: Map[String, String] = Map.empty)(
       build: SparkSession => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
-      val overrides = extraConfs ++
+      val overrides = drainConfs ++ extraConfs ++
         shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
       val sess = if (overrides.isEmpty) spark else {
         val s2 = spark.newSession()
@@ -256,6 +272,44 @@ object StreamingQ {
     * files; the re-read (which honors `_spark_metadata`) and the
     * unchanged one-shot oracle prove neither a duplicate nor a lost row
     * survived. */
+  /** The two staged feed halves every restart scaffold publishes, built
+    * ONCE per (session, sf dir, split predicate) — round-11 optimization
+    * (guide §2.4, remove repeated work): 12 of the 13 restart gates use
+    * the identical default (ts, event_id)-ranked half split, but each
+    * previously re-ran the count + global rank window + two coalesce(1)
+    * parquet writes inside its own build (~1.5 s × 12 of pure staging
+    * repetition in the bench's session-build total). The staged part
+    * FILES are shared; each scaffold still copies them into its own
+    * watch dir, so stream inputs stay per-query and checkpoints never
+    * collide. Returns (slice1Path, slice2Path). */
+  private def stagedHalves(spark: SparkSession, dir: String,
+      splitPred: Option[org.apache.spark.sql.Column]): (String, String) =
+    graft.SessionCache.onceStrong(spark,
+      s"stream#$dir#restart-stage#${splitPred.map(_.toString).getOrElse("half")}") {
+      import org.apache.spark.sql.expressions.Window
+      import java.nio.file.{Files, Path}
+      val stagePath = graft.Scratch.tempDir("graft-restart-stage-")
+      sys.addShutdownHook {
+        import java.util.Comparator
+        if (Files.exists(stagePath))
+          Files.walk(stagePath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val ev = graft.Tables(spark, dir, "events")
+      val n = ev.count()
+      val ranked = ev.withColumn("__rn",
+        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      val firstHalf = splitPred.getOrElse(col("__rn") <= n / 2)
+      def stage(df: DataFrame, name: String): String = {
+        val out = s"$stagePath/$name"
+        df.coalesce(1).write.parquet(out)
+        new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getPath
+      }
+      (stage(ranked.filter(firstHalf).drop("__rn"), "slice1"),
+        stage(ranked.filter(!firstHalf).drop("__rn"), "slice2"))
+    }
+
   private def streamRestart(tag: String, spark: SparkSession, dir: String,
       shufflePartitions: Option[Int] = None,
       extraConfs: Map[String, String] = Map.empty,
@@ -263,9 +317,8 @@ object StreamingQ {
       splitPred: Option[org.apache.spark.sql.Column] = None)(
       build: (SparkSession, String) => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
-      import org.apache.spark.sql.expressions.Window
       import java.nio.file.{Files, Path, Paths}
-      val overrides = extraConfs ++
+      val overrides = drainConfs ++ extraConfs ++
         shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
       val sess = if (overrides.isEmpty) spark else {
         val s2 = spark.newSession()
@@ -282,17 +335,9 @@ object StreamingQ {
       }
       val watch = s"$tmp/watch"
       Files.createDirectories(Paths.get(watch))
-      val ev = graft.Tables(spark, dir, "events")
-      val n = ev.count()
-      val ranked = ev.withColumn("__rn",
-        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
-      def publish(df: DataFrame, name: String): Unit = {
-        val staged = s"$tmp/stage/$name"
-        df.coalesce(1).write.parquet(staged)
-        val part = new java.io.File(staged).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.copy(part.toPath, Paths.get(s"$watch/$name.parquet"))
-      }
+      val (slice1, slice2) = stagedHalves(spark, dir, splitPred)
+      def publish(src: String, name: String): Unit =
+        Files.copy(Paths.get(src), Paths.get(s"$watch/$name.parquet"))
       def drainOnce(): Unit = {
         val q = build(sess, watch)
           .writeStream.format("parquet")
@@ -302,8 +347,7 @@ object StreamingQ {
           .start()
         q.awaitTermination()
       }
-      val firstHalf = splitPred.getOrElse(col("__rn") <= n / 2)
-      publish(ranked.filter(firstHalf).drop("__rn"), "slice1")
+      publish(slice1, "slice1")
       drainOnce() // incarnation 1 drains the front half, then is GONE
       val torn: Option[java.io.File] =
         if (!tearSinkCommit) None
@@ -324,7 +368,7 @@ object StreamingQ {
             require(crc.delete(), s"could not delete $crc")
           Some(latest)
         }
-      publish(ranked.filter(!firstHalf).drop("__rn"), "slice2")
+      publish(slice2, "slice2")
       drainOnce() // incarnation 2 resumes state + offsets from the ckpt
       // the torn batch must have been REPLAYED (commit marker rewritten),
       // not skipped — otherwise this gate would be testing nothing
@@ -2313,6 +2357,7 @@ object StreamingQ {
       import java.nio.file.{Files, Path, Paths}
       val sess = spark.newSession()
       sess.conf.set("spark.sql.shuffle.partitions", "8")
+      drainConfs.foreach { case (k, v) => sess.conf.set(k, v) }
       val tmpPath = graft.Scratch.tempDir("graft-merge-sink-")
       val tmp = tmpPath.toString
       sys.addShutdownHook {
@@ -2326,17 +2371,9 @@ object StreamingQ {
       Files.createDirectories(Paths.get(watch))
       val inv = mergeSinkInvocations.computeIfAbsent(tableDir,
         _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-      val ev = graft.Tables(spark, dir, "events")
-      val n = ev.count()
-      val ranked = ev.withColumn("__rn",
-        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
-      def publish(df: DataFrame, name: String): Unit = {
-        val staged = s"$tmp/stage/$name"
-        df.coalesce(1).write.parquet(staged)
-        val part = new java.io.File(staged).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.copy(part.toPath, Paths.get(s"$watch/$name.parquet"))
-      }
+      val (slice1, slice2) = stagedHalves(spark, dir, None)
+      def publish(src: String, name: String): Unit =
+        Files.copy(Paths.get(src), Paths.get(s"$watch/$name.parquet"))
       def drain(tearAfterSinkWrite: Boolean): Unit = {
         @volatile var torn = false
         val agg = StreamingFeed.eventsStream(sess, watch).toDF()
@@ -2378,9 +2415,9 @@ object StreamingQ {
             if tearAfterSinkWrite && isInjectedTear(e) =>
         }
       }
-      publish(ranked.filter(col("__rn") <= n / 2).drop("__rn"), "slice1")
+      publish(slice1, "slice1")
       drain(tearAfterSinkWrite = true) // incarnation 1 dies mid-commit
-      publish(ranked.filter(col("__rn") > n / 2).drop("__rn"), "slice2")
+      publish(slice2, "slice2")
       drain(tearAfterSinkWrite = false) // incarnation 2 replays + drains
       val ids = {
         val it = inv.iterator(); val b = Seq.newBuilder[Long]

@@ -171,8 +171,13 @@ object StreamingFeed {
     * query shares. */
   def fileSource(spark: SparkSession, dir: String,
       glob: String): org.apache.spark.sql.DataFrame = {
-    val refSchema = spark.read
-      .option("pathGlobFilter", glob).parquet(dir).schema
+    // footer probe memoized per (session, dir, glob): ~40 drains share a
+    // handful of (dir, glob) shapes, and each probe is a driver-side
+    // file listing + footer read that never changes within a session
+    val refSchema = graft.SessionCache.onceStrong(
+      spark, s"streamschema#$dir#$glob") {
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    }
     spark.readStream.schema(refSchema)
       .option("pathGlobFilter", glob).parquet(dir)
   }

@@ -54,6 +54,10 @@ object StreamCostProbe {
         val d = p.durationMs
         println(s"  batch=${p.batchId} rows=${p.numInputRows} durationMs=" +
           d.entrySet().toArray.mkString("{", ", ", "}"))
+        p.stateOperators.foreach { so =>
+          println(s"    state op=${so.operatorName} commitMs=${so.commitTimeMs}" +
+            s" rowsUpdated=${so.numRowsUpdated} mem=${so.memoryUsedBytes}")
+        }
       }
     }
 
