@@ -1138,20 +1138,35 @@ object Domain {
     * directly (the materialized LogicalRDD that q202/q256 consume is
     * opaque to explain). */
   private[graft] def lpaFold(co: DataFrame, verts: DataFrame): DataFrame = {
-    var l = verts.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to LpaIters) {
-      val votes = co
-        .join(l.select(col("id").as("src"), col("lbl")), Seq("src"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(sum(col("w")).as("votes"))
-      val picked = votes
-        .groupBy(col("dst"))
-        .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
-        .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
-      l = l.join(picked, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-    }
+    // Each round references `l` TWICE (vote source + update join left
+    // side), so left lazy the analyzed tree DOUBLES per round — 2^k
+    // subtree copies by round k, and AQE executes each copy as its own
+    // stage chain (measured r11: q202 cold = 39.2 s / 108 jobs at sf0.1
+    // for 40 output rows). Truncating per round with `localCheckpoint`
+    // (the q85/q239/q259 frontier discipline) makes every round O(V)
+    // work over an O(1)-deep plan: 26.0 s / 50 jobs cold (the residue
+    // is the shared game-pipeline build), same output.
+    var l = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to LpaIters)
+      l = lpaRound(co, l).localCheckpoint()
     l
+  }
+
+  /** One synchronous LPA round, pre-checkpoint (factored out so PlanSpec
+    * can pin the per-round physical shape — the checkpointed composition
+    * is an opaque `Scan ExistingRDD` by design, exactly like q85's
+    * `relaxRound`). */
+  private[graft] def lpaRound(co: DataFrame, l: DataFrame): DataFrame = {
+    val votes = co
+      .join(l.select(col("id").as("src"), col("lbl")), Seq("src"))
+      .groupBy(col("dst"), col("lbl"))
+      .agg(sum(col("w")).as("votes"))
+    val picked = votes
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
+      .select(col("dst").as("id"), col("m.lbl").as("new_lbl"))
+    l.join(picked, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
   }
 
   /** Community detection by synchronous label propagation (Raghavan et

@@ -651,7 +651,13 @@ class PlanSpec extends AnyFunSuite {
     val co = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L))
       .toDF("src", "dst", "w")
     val verts = Seq(1L, 2L, 3L).toDF("id")
-    val p = queries.Domain.lpaFold(co, verts)
+    // r11: lpaFold truncates per round (localCheckpoint — the measured
+    // fix for the 2^k analyzed-tree blowup: q202 cold 39.2 s/108 jobs →
+    // 26.0 s/50 jobs at sf0.1, residue = shared pipeline build), so the fold's composition is opaque to
+    // explain; the round shape is pinned on one pre-checkpoint round,
+    // exactly like q85's relaxRound
+    val p = queries.Domain.lpaRound(co,
+        verts.select($"id", $"id".as("lbl")))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     // every co-occurrence pair and every vote rides an equi-key shuffle;
