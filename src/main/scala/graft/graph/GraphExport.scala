@@ -45,12 +45,12 @@ object GraphExport {
     * may `unpersist()` it when the export is consumed. */
   def denseIdsByType(df: DataFrame, typeCol: String, orderCols: Seq[String]): DataFrame = {
     if (sys.env.contains("GRAFT_DENSE_WINDOW")) return denseIdsByTypeWindow(df, typeCol, orderCols)
-    val spark = df.sparkSession
     val sorted = df.orderBy((typeCol +: orderCols).map(col): _*)
-    val schema = StructType(sorted.schema.fields :+ StructField("__gidx", LongType, nullable = false))
-    val zipped = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema).cache()
+    // internal-row zip (r11): skips the catalyst→Row→catalyst double
+    // conversion of every node row (feature arrays included) that
+    // `.rdd` + `createDataFrame` paid
+    val zipped = org.apache.spark.sql.GraftBridge
+      .zipWithIndexColumn(sorted, "__gidx").cache()
     val offsets = zipped.groupBy(col(typeCol))
       .agg(min(col("__gidx")).as("__off"))
     val out = zipped.join(broadcast(offsets), Seq(typeCol))

@@ -148,9 +148,12 @@ object PyGExport {
         lit(dstType).as("dst_type"), src.cast("string").as("src_id"),
         dst.cast("string").as("dst_id"))
 
-    // stint-sourced relations in ONE pass: two window leads (per-lineup
-    // NEXT, court-order ON_COURT_NEXT) become columns, then every edge of
-    // the row explodes from one struct array — 7 relations, 1 branch
+    // stint-sourced relations split by DEDUP NEED (r11, guide §2.3/§2.4):
+    // the four stint_id-keyed relations are duplicate-free by
+    // construction (one stint row ⇒ one edge each), so they bypass the
+    // set-dedup shuffle entirely; only has_lineup/member_of (repeated
+    // across stints of the same lineup) pay a distinct — over their own
+    // small key space, not the full 363k-row edge union.
     val wLineup = Window.partitionBy(col("game_id"), col("lineup_id"))
       .orderBy(col("start_clock"))
     val wCourt = Window.partitionBy(col("game_id"), col("team_id"))
@@ -160,19 +163,24 @@ object PyGExport {
     val stintEdges = stints
       .withColumn("next_same_lineup", lead(col("stint_id"), 1).over(wLineup))
       .withColumn("next_on_court", lead(col("stint_id"), 1).over(wCourt))
-      .select(explode(concat(
-        array(
-          edgeSt("has_lineup", "team", "lineup", col("team_id"), col("lineup_id")),
+      .select(explode(array(
           edgeSt("on_court", "lineup", "lineup_stint", col("lineup_id"), col("stint_id")),
           edgeSt("in_period", "lineup_stint", "period", col("stint_id"), periodId),
           edgeSt("next", "lineup_stint", "lineup_stint",
             col("stint_id"), col("next_same_lineup")),
           edgeSt("on_court_next", "lineup_stint", "lineup_stint",
-            col("stint_id"), col("next_on_court"))),
+            col("stint_id"), col("next_on_court")))).as("e"))
+      .select(col("e.*"))
+      .filter(col("dst_id").isNotNull)
+    val stintMembershipEdges = stints
+      .select(explode(concat(
+        array(edgeSt("has_lineup", "team", "lineup",
+          col("team_id"), col("lineup_id"))),
         transform(col("player_ids"), p =>
           edgeSt("member_of", "player", "lineup", p, col("lineup_id"))))).as("e"))
       .select(col("e.*"))
       .filter(col("dst_id").isNotNull)
+      .distinct()
 
     // player-stint-sourced relations: one window lead + membership explode
     val wPlayer = Window.partitionBy(col("game_id"), col("person_id"))
@@ -221,6 +229,14 @@ object PyGExport {
       .join(stintPeriod, Seq("stint_id"))
       .select(col("src"), col("period_id").as("dst")))
 
+    // Branch-level set semantics replace the former GLOBAL distinct over
+    // the whole edge union: every (rel_type, src_type, dst_type) combo
+    // comes from exactly one branch, so union-all of internally-distinct
+    // branches IS the distinct union — and the duplicate-free branches
+    // (unique stint_id / player_stint_id / period_id / game row per edge
+    // by construction) never enter a dedup shuffle at all. Dup-capable
+    // branches (membership fan-outs, action-actor resolutions) keep
+    // their own distinct over a far smaller frame.
     val edges: Seq[DataFrame] = Seq(
       gameTeams.select(explode(array(
         edgeSt("played_home", "team", "game", col("home_team_id"), col("game_id")),
@@ -228,13 +244,23 @@ object PyGExport {
         .as("e")).select(col("e.*")),
       rel("in_game", "period", "game", p.periods
         .select(col("period_id").as("src"), col("game_id").as("dst"))),
-      stintEdges, psEdges, psPeriodEdges, actorEdges, tookShotEdges,
+      stintEdges, stintMembershipEdges, psEdges,
+      psPeriodEdges.distinct(), actorEdges.distinct(), tookShotEdges.distinct(),
       rel("caused", "foul", "freethrow",
         Edges.caused(ev)
-          .select(col("src_action_id").as("src"), col("dst_action_id").as("dst"))))
+          .select(col("src_action_id").as("src"), col("dst_action_id").as("dst")))
+        .distinct())
 
     val idx = nodes.select(col("node_type"), col("node_id"), col("dense_id"))
-    val allEdges = edges.reduce(_ unionByName _).distinct()
+    val allEdges = edges.reduce(_ unionByName _)
+    if (sys.env.contains("GRAFT_PROFILE")) {
+      timed("stintEdges.count")(stintEdges.count())
+      timed("psEdges.count")(psEdges.count())
+      timed("actorEdges.count")(actorEdges.count())
+      timed("tookShotEdges.count")(tookShotEdges.count())
+      timed("psPeriodEdges.count")(psPeriodEdges.count())
+      timed("allEdges.count")(allEdges.count())
+    }
     val src = idx.select(col("node_type").as("src_type"), col("node_id").as("src_id"),
       col("dense_id").as("src_idx"))
     val dst = idx.select(col("node_type").as("dst_type"), col("node_id").as("dst_id"),

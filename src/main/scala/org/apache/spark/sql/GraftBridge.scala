@@ -39,6 +39,30 @@ object GraftBridge {
     * evict, so the weak ref is live precisely when cleanup is needed.
     * `uncacheQuery` is `private[sql]`, hence this lives in the bridge.
     */
+  /** `zipWithIndex` without the external-Row round trip: the input plan's
+    * `toRdd` (UnsafeRow) is zipped and re-wrapped via
+    * `internalCreateDataFrame` (`private[sql]`), skipping both the
+    * catalyst→Row and Row→catalyst per-row conversions that
+    * `df.rdd`/`createDataFrame` pay — measurable on wide rows (the PyG
+    * node table carries feature arrays through its dense-id sort).
+    * UnsafeRows are buffer-reused per partition, hence the `copy()`. */
+  def zipWithIndexColumn(df: DataFrame, idxCol: String): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(idxCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = ds.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (r, i) =>
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(),
+          org.apache.spark.sql.catalyst.InternalRow(i))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    spark.internalCreateDataFrame(rdd, schema)
+  }
+
   def clearedCacheCleanup(v: AnyRef): Option[() => Unit] = v match {
     case ds: classic.Dataset[_] =>
       val sess = new java.lang.ref.WeakReference(ds.sparkSession)
