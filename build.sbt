@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNPREFIXED: sbt's default
+// LoggedOutput strategy writes the child's stdout as "[info] <line>",
+// which breaks any consumer that expects the bench/verify JSON line to
+// start the line (the driver greps stdout for `{"metric":...}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -384,7 +384,9 @@ object Bench {
       // (self-times sum ≤ wall by construction; clamp guards clock skew)
       (name, math.max(0.0, dt - buildSec), err, dt)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // ms resolution: full double precision added ~2.5 KB of digits to a
+    // line the driver is known to truncate (see sidecar note below)
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     val sessionBuildJson = sessionBuild
       .map { case (k, v) => jstr(k) + ":" + num("%.3f", v) }

@@ -53,13 +53,30 @@ object StreamingQ {
   private val drainConfs = Map(
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
 
+  /** Default state-store fan-out for the one-shot drains (r12, guide
+    * §2.2/§1.2): every stateful operator commits ONE state store per
+    * shuffle partition per micro-batch, and at drain scale (≤ a few
+    * thousand rows of state) the per-store commit overhead — delta file
+    * create + fsync + manifest — dominates the actual state bytes, so 32
+    * stores cost ~4× the commit wall of 8 for identical results. Results
+    * are partition-count-invariant by construction AND by test: Verify
+    * has always driven these same drains at 4 partitions (local[4],
+    * shuffle=4) while Bench used 32, with every oracle green. Production
+    * sizes state fan-out to key cardinality × state bytes, not cores —
+    * that judgment stays env-tunable here; explicit per-drain overrides
+    * (the join drains' Some(8)) win over the default. */
+  private def drainShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
+
   private def streamOnce(tag: String, spark: SparkSession, dir: String,
       shufflePartitions: Option[Int] = None,
       extraConfs: Map[String, String] = Map.empty)(
       build: SparkSession => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
-      val overrides = drainConfs ++ extraConfs ++
-        shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+      val overrides = drainConfs ++ extraConfs +
+        ("spark.sql.shuffle.partitions" ->
+          shufflePartitions.getOrElse(drainShufflePartitions).toString)
       val sess = if (overrides.isEmpty) spark else {
         val s2 = spark.newSession()
         overrides.foreach { case (k, v) => s2.conf.set(k, v) }
@@ -89,9 +106,9 @@ object StreamingQ {
   /** The feed ingestion: the events parquet streamed through the
     * stateful per-game fold (see [[StreamingFeed.actions]]). */
   private def ingest(spark: SparkSession, dir: String): DataFrame =
-    streamOnce("feed-ingest", spark, dir) { _ =>
+    streamOnce("feed-ingest", spark, dir) { sess =>
       StreamingFeed.actions(
-        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
+        StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")).toDF()
     }
 
   private def sqlList(xs: Seq[String]): String =
@@ -318,8 +335,9 @@ object StreamingQ {
       build: (SparkSession, String) => DataFrame): DataFrame = {
     val path = graft.SessionCache.onceStrong(spark, s"stream#$dir#$tag") {
       import java.nio.file.{Files, Path, Paths}
-      val overrides = drainConfs ++ extraConfs ++
-        shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+      val overrides = drainConfs ++ extraConfs +
+        ("spark.sql.shuffle.partitions" ->
+          shufflePartitions.getOrElse(drainShufflePartitions).toString)
       val sess = if (overrides.isEmpty) spark else {
         val s2 = spark.newSession()
         overrides.foreach { case (k, v) => s2.conf.set(k, v) }
@@ -395,8 +413,8 @@ object StreamingQ {
     * FINALIZED windows (end past the watermark) reach the sink. */
   private def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-window", spark, dir) { _ =>
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+    streamOnce("stream-window", spark, dir) { sess =>
+      StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")
         .toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -450,8 +468,8 @@ object StreamingQ {
     * over a documents file-stream. */
   private def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-dedup", spark, dir) { _ =>
-      StreamingFeed.fileSource(spark, dir, "documents.parquet")
+    streamOnce("stream-dedup", spark, dir) { sess =>
+      StreamingFeed.fileSource(sess, dir, "documents.parquet")
         .select(md5(col("text")).as("content_hash"))
         .dropDuplicates("content_hash")
     }
@@ -482,15 +500,15 @@ object StreamingQ {
     * dimension attributes inside each micro-batch. */
   private def enrichStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-enrich", spark, dir) { _ =>
-      val nation = spark.read.parquet(s"$dir/nation.parquet")
+    streamOnce("stream-enrich", spark, dir) { sess =>
+      val nation = sess.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").cast("long").as("nkey"),
           col("n_name"), col("n_regionkey"))
-      val region = spark.read.parquet(s"$dir/region.parquet")
+      val region = sess.read.parquet(s"$dir/region.parquet")
         .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
       val dim = nation.join(region, Seq("n_regionkey"))
         .select(col("nkey"), col("n_name"), col("r_name"))
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+      StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")
         .toDF()
         .withColumn("nkey", col("user_id") % 25)
         .join(dim, Seq("nkey"))
@@ -694,8 +712,8 @@ object StreamingQ {
     * values distinct-user estimate via the native mergeable aggregate. */
   private def kmvStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-kmv", spark, dir) { _ =>
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+    streamOnce("stream-kmv", spark, dir) { sess =>
+      StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"),
@@ -753,8 +771,8 @@ object StreamingQ {
 
   private def hllStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-hll", spark, dir) { _ =>
-      hllDerived(StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")
+    streamOnce("stream-hll", spark, dir) { sess =>
+      hllDerived(StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")
         .toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
@@ -1222,8 +1240,8 @@ object StreamingQ {
       "streaming per-window KMV-values sketches + batch overlap algebra (q102 x q96)") {
       (s, dir) =>
         import org.apache.spark.sql.functions._
-        val sketches = streamOnce("stream-kmv-overlap", s, dir) { _ =>
-          StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+        val sketches = streamOnce("stream-kmv-overlap", s, dir) { sess =>
+          StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
             .withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "1 day"), col("event_type"))
             .agg(graft.functions.KmvValues.values(
@@ -1257,8 +1275,8 @@ object StreamingQ {
     * per closed window, one depth-4 × width-256 counter matrix. */
   private def cmsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-cms", spark, dir) { _ =>
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+    streamOnce("stream-cms", spark, dir) { sess =>
+      StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"),
@@ -1340,8 +1358,8 @@ object StreamingQ {
 
   private def mgStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    streamOnce("stream-mg", spark, dir) { _ =>
-      StreamingFeed.eventsStream(spark, dir, glob = "events.parquet").toDF()
+    streamOnce("stream-mg", spark, dir) { sess =>
+      StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_window"),
@@ -1540,9 +1558,9 @@ object StreamingQ {
   /** The streaming anomaly scorer: custom ring-buffer state on
     * flatMapGroupsWithState (see [[graft.streaming.StreamingAnomaly]]). */
   private def anomalyStream(spark: SparkSession, dir: String): DataFrame =
-    streamOnce("stream-anomaly", spark, dir) { _ =>
+    streamOnce("stream-anomaly", spark, dir) { sess =>
       graft.streaming.StreamingAnomaly(
-        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
+        StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")).toDF()
     }
 
   /** Streaming trailing-window z-score anomaly detection — q133's
@@ -1594,9 +1612,9 @@ object StreamingQ {
   /** The per-key infinite-history EWMA fold (custom buffered-fold state,
     * see [[graft.streaming.StreamingEwma]]). */
   private def ewmaStream(spark: SparkSession, dir: String): DataFrame =
-    streamOnce("stream-ewma", spark, dir) { _ =>
+    streamOnce("stream-ewma", spark, dir) { sess =>
       graft.streaming.StreamingEwma(
-        StreamingFeed.eventsStream(spark, dir, glob = "events.parquet")).toDF()
+        StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")).toDF()
     }
 
   /** Streaming infinite-history EWMA — the stateful twin of the batch
@@ -1926,8 +1944,8 @@ object StreamingQ {
     "streaming tumbling-window deterministic bottom-k quantiles (mergeable sample)") {
     (s, dir) =>
       import org.apache.spark.sql.functions._
-      streamOnce("stream-bottomk", s, dir) { _ =>
-        val agg = StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+      streamOnce("stream-bottomk", s, dir) { sess =>
+        val agg = StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n_events"),
@@ -1986,10 +2004,10 @@ object StreamingQ {
     "per-hour streaming reliability-decile counters under the watermark") {
     (s, dir) =>
       import org.apache.spark.sql.functions._
-      streamOnce("stream-calibration", s, dir) { _ =>
+      streamOnce("stream-calibration", s, dir) { sess =>
         val vc = floor(col("value") * 100).cast("long")
         val pm = floor(lit(1000) * vc / (vc + 5000)).cast("long")
-        StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+        StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
           .where(col("event_type").isin("purchase", "click") &&
             col("value").isNotNull)
           .withWatermark("ts", "10 minutes")
@@ -2121,8 +2139,8 @@ object StreamingQ {
     "per-window event-type counts vs the reference: live chi-square terms") {
     (s, dir) =>
       import org.apache.spark.sql.functions._
-      val counts = streamOnce("stream-drift", s, dir) { _ =>
-        StreamingFeed.eventsStream(s, dir, glob = "events.parquet").toDF()
+      val counts = streamOnce("stream-drift", s, dir) { sess =>
+        StreamingFeed.eventsStream(sess, dir, glob = "events.parquet").toDF()
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("o"))
@@ -2300,9 +2318,9 @@ object StreamingQ {
       .stripMargin,
     "per-user token-bucket admission decisions on exact integer state") {
     (s, dir) =>
-      streamOnce("stream-token-bucket", s, dir) { _ =>
+      streamOnce("stream-token-bucket", s, dir) { sess =>
         graft.streaming.StreamingTokenBucket(
-          StreamingFeed.eventsStream(s, dir, glob = "events.parquet")).toDF()
+          StreamingFeed.eventsStream(sess, dir, glob = "events.parquet")).toDF()
       }.select(col("user_id"), col("event_id"), col("rn"), col("allowed"),
         col("tokens_after"))
   }
