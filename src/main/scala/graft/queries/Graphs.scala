@@ -429,16 +429,26 @@ object Graphs {
       var deg = ue.groupBy("a").agg(count(lit(1)).as("d"))
         .withColumnRenamed("a", "id").localCheckpoint()
       var dead = deg.filter(col("d") < 2).select("id").localCheckpoint()
-      for (_ <- 1 to KCoreRounds) {
+      // r12: an empty removal fringe is the fixpoint — every remaining
+      // round would rebuild deg against an empty dead set (identical deg,
+      // two wasted O(V) shuffles + checkpoints per round). The count is
+      // already on hand for the broadcast gate; reuse it to stop.
+      var live = true
+      for (_ <- 1 to KCoreRounds if live) {
+        // One count per round serves both decisions below; the frame is
+        // localCheckpoint-materialized so this is a cheap cached-RDD scan.
+        val nDead = dead.count()
+        if (nDead == 0L) { live = false }
+        else {
         // The removal fringe is SMALL on this schema-shaped graph, but its
         // size is data-dependent: on a leaf-heavy power-law graph round 1
         // can strip a large fraction of ALL vertices, and a hard-coded
         // broadcast() of an O(V) frame is an executor OOM no AQE re-plan
-        // can undo. Gate the hint on the fringe's actual count (cheap: the
-        // frame is localCheckpoint-materialized); past the cutoff, leave
-        // the join unhinted and let AQE pick from measured sizes.
+        // can undo. Gate the hint on the fringe's actual count; past the
+        // cutoff, leave the join unhinted and let AQE pick from measured
+        // sizes.
         val hint: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (dead.count() <= 1000000L) broadcast(_) else identity
+          if (nDead <= 1000000L) broadcast(_) else identity
         val lost = ue.join(hint(dead.withColumnRenamed("id", "b")), Seq("b"))
           .groupBy("a").agg(count(lit(1)).as("lost"))
           .withColumnRenamed("a", "id")
@@ -449,6 +459,7 @@ object Graphs {
           .select(col("id"), (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
           .localCheckpoint()
         dead = deg.filter(col("d") < 2).select("id").localCheckpoint()
+        }
       }
       // a fixpoint survivor always has d >= 2; the >= 1 guard mirrors the
       // oracle's final join, which omits vertices with no surviving edge
@@ -800,21 +811,25 @@ object Graphs {
               org.apache.spark.sql.types.LongType, nullable = false))))
         .localCheckpoint()
       var frontier = dists
-      for (_ <- 1 to ClosenessRounds) {
-        val improved = edges
+      // r12: same restructure as q259's sweep (anti-join first-reach,
+      // disjoint-frontier union instead of the per-round O(V·seeds)
+      // re-min + checkpoint, early exit on an exhausted frontier) — per
+      // (seed, id) instead of per id. Same BFS levels, fewer shuffles.
+      var live = true
+      for (_ <- 1 to ClosenessRounds if live) {
+        val next = edges
           .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
           .select(col("seed"), col("dst").as("id"),
-            (col("dist") + 1L).as("cand"))
-          .groupBy(col("seed"), col("id")).agg(min(col("cand")).as("cand"))
-          .join(dists.withColumnRenamed("dist", "old"), Seq("seed", "id"),
-            "left_outer")
-          .filter(col("old").isNull || col("cand") < col("old"))
-          .select(col("seed"), col("id"), col("cand").as("dist"))
-          .localCheckpoint()
-        frontier = improved
-        dists = dists.unionByName(frontier)
+            (col("dist") + 1L).as("dist"))
           .groupBy(col("seed"), col("id")).agg(min(col("dist")).as("dist"))
+          .join(dists.select(col("seed"), col("id")), Seq("seed", "id"),
+            "left_anti")
           .localCheckpoint()
+        if (next.isEmpty) live = false
+        else {
+          frontier = next
+          dists = dists.unionByName(frontier)
+        }
       }
       def term(d: Column): Column =
         when(d.isNull || d === 0, lit(0).cast("double"))
@@ -906,23 +921,30 @@ object Graphs {
       }
       val edges = ep.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(ep.select(col("p").as("src"), col("c").as("dst")))
+      // r12 (guide §2.4, remove shuffles outright): on unit-weight BFS a
+      // round-k candidate (dist = k) can never beat an entry already in
+      // `dists` (dist ≤ k-1), so "improved" ≡ first-reach — the
+      // left_outer+filter is an anti-join, the per-round
+      // union→groupBy-min over O(V) dists was a semantic no-op (frontiers
+      // are disjoint), and its re-checkpoint job is gone with it. An
+      // empty frontier ends the sweep early: every later round would
+      // produce nothing (same result, fewer jobs).
       def sweep(seed: DataFrame): DataFrame = {
         var dists = seed.localCheckpoint()
         var frontier = dists
-        for (_ <- 1 to SweepRounds) {
-          val improved = edges
+        var live = true
+        for (_ <- 1 to SweepRounds if live) {
+          val next = edges
             .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-            .select(col("dst").as("id"), (col("dist") + 1L).as("cand"))
-            .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-            .join(dists.withColumnRenamed("dist", "old"), Seq("id"),
-              "left_outer")
-            .filter(col("old").isNull || col("cand") < col("old"))
-            .select(col("id"), col("cand").as("dist"))
-            .localCheckpoint()
-          frontier = improved
-          dists = dists.unionByName(frontier)
+            .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
             .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+            .join(dists.select(col("id")), Seq("id"), "left_anti")
             .localCheckpoint()
+          if (next.isEmpty) live = false
+          else {
+            frontier = next
+            dists = dists.unionByName(frontier)
+          }
         }
         dists
       }
