@@ -1370,10 +1370,18 @@ object Domain {
           .agg(count(lit(1)).as("w"))
           .cache()
       }
-      val verts = mem.select(col("person_id").cast("long").as("id")).distinct()
-      val seeds = verts.orderBy(col("id")).limit(3)
+      // r12 (guide §2.4): verts, the seed frame and the weighted edge
+      // frame are referenced once per round (verts twice), and
+      // unmaterialized each reference re-derived them from `co` — the
+      // out-weight aggregation and distinct re-ran every iteration.
+      // Materialize each once; per-round scores are checkpointed so the
+      // composed plan stays one round deep (the q202/q256 lineage
+      // discipline). Same integer recurrence, same results.
+      val verts = mem.select(col("person_id").cast("long").as("id"))
+        .distinct().localCheckpoint()
+      val seeds = verts.orderBy(col("id")).limit(3).localCheckpoint()
       val outw = co.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-      val edges = co.join(outw, Seq("src"))
+      val edges = co.join(outw, Seq("src")).localCheckpoint()
       val restart = PprScale * 15 / 100 / 3
       def withSeed(v: DataFrame): DataFrame =
         v.join(broadcast(seeds.select(col("id"), lit(1).as("sd"))), Seq("id"), "left")
@@ -1393,6 +1401,7 @@ object Domain {
           .select(col("id"),
             (when(col("sd").isNotNull, lit(restart)).otherwise(lit(0L))
               + coalesce(col("inc"), lit(0L))).cast("long").as("s"))
+          .localCheckpoint()
       }
       withSeed(scores)
         .select(col("id").as("person_id"), col("s").as("ppr"),

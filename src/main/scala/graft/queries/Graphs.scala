@@ -697,9 +697,16 @@ object Graphs {
             .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
             .distinct()
         }
+        // r12 (guide §2.4/§3.3): each l1norm embeds its input TWICE (the
+        // scalar total and the division), and the half-steps nest, so the
+        // unmaterialized composition re-derived a1 up to 8× across the
+        // final plan (73 jobs for three half-steps). Materializing the
+        // O(V) score frame once per half-step makes every subtree compute
+        // exactly once and keeps each round's plan flat.
         def l1norm(scores: DataFrame, key: String): DataFrame = {
-          val t = scores.agg(sum(col("s")).cast("long").as("t"))
-          scores.crossJoin(broadcast(t))
+          val sc = scores.localCheckpoint()
+          val t = sc.agg(sum(col("s")).cast("long").as("t"))
+          sc.crossJoin(broadcast(t))
             .select(col(key), expr(s"(s * $S) div t").cast("long").as("s"))
         }
         val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("s"))
