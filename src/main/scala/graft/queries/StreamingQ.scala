@@ -1033,13 +1033,20 @@ object StreamingQ {
 
   private val RocksDbConf = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // r12: commit uploads the per-batch changelog instead of a full
+    // snapshot (snapshots move to async maintenance) — the documented
+    // low-latency commit mode for RocksDB state; recovery replays
+    // changelogs over the last snapshot, which q118's restart gate
+    // exercises end to end
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 
   private def fullJoinStream(spark: SparkSession, dir: String): DataFrame = {
     // state-store count sized to the state, not the CPU count (measured
     // at sf0.1: 32 partitions → 24 s fixed cost, 8 → ~1/4 of that);
     // both overrides ride streamOnce's session clone, never shared conf
-    streamOnce("stream-full-join", spark, dir, shufflePartitions = Some(8),
+    streamOnce("stream-full-join", spark, dir, shufflePartitions = Some(4),
       extraConfs = RocksDbConf)(
       sess => fullOuterJoinPlan(sess, dir, "events.parquet"))
   }
@@ -1132,7 +1139,7 @@ object StreamingQ {
     fullJoinOracleSql,
     "checkpoint restart mid-feed of the RocksDB full-outer join state") {
     (s, dir) =>
-      streamRestart("full-join-restart", s, dir, shufflePartitions = Some(8),
+      streamRestart("full-join-restart", s, dir, shufflePartitions = Some(4),
         extraConfs = RocksDbConf)(
         (sess, watch) => fullOuterJoinPlan(sess, watch, "*.parquet"))
         .select(col("user_id"), col("p_event_id"), col("c_event_id"),
