@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
+  /** The documents corpus, spread across the session's cores. The
+    * fixture ships each table as ONE parquet row group, so every scan is
+    * a single task no matter how many cores the session has — and the
+    * text family's per-row kernels (shingle md5s, token HOFs, gram
+    * builds) then run serialized (q28: 10M md5s in one task, 3.5 s). A
+    * round-robin repartition immediately after the read is the guide's
+    * unsplittable-input-skew fix: one ~5 MB shuffle buys every
+    * downstream per-row kernel full parallelism. On a real deployment
+    * the corpus arrives as many files/row groups and this is a no-op
+    * cost; fan-out follows the session's parallelism, not a constant. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   private val stopEn = Seq("the", "of", "and", "to", "in", "is", "that", "it")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht")
@@ -495,11 +505,15 @@ object TextPipeline {
     val sh = simhashRows(s, dir)
     val tagged = docs(s, dir).select(col("doc_id"), col("lang"))
       .join(sh, Seq("doc_id"))
+    // r12: materialized — both sides of the segment self-join read this
+    // frame, and the per-doc simhash kernel is the expensive part; a
+    // checkpoint guarantees it computes once however the join is planned
     val segs = tagged.select(col("doc_id"), col("lang"), col("simhash"),
       posexplode(array(
         col("simhash").bitwiseAND(lit(0x7FFL)),
         shiftright(col("simhash"), 11).bitwiseAND(lit(0x7FFL)),
         shiftright(col("simhash"), 22))).as(Seq("seg", "segval")))
+      .localCheckpoint()
     val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
     segs.as("a")
       .join(segs.as("b"), col("a.lang") === col("b.lang") &&
