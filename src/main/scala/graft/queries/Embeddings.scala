@@ -27,8 +27,12 @@ object Embeddings {
   private def duckCos(a: String, b: String, dim: Int = 64): String =
     s"${duckDot(a, b, dim)} / (sqrt(${duckDot(a, a, dim)}) * sqrt(${duckDot(b, b, dim)}))"
 
+  /** The embeddings table, spread across the session's cores: the
+    * fixture ships it as ONE parquet row group (single-task scans), and
+    * this family's per-row vector kernels would otherwise serialize —
+    * same unsplittable-input-skew fix as TextPipeline.docs. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   // ---------------------------------------------------------------- q30
   /** Brute-force cosine top-5 neighbors for each query vector
